@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-aware readers for the driver-generated parquet tables
+  * (TESTDATA.md / FIXTURES.md). One parquet file per table per sf dir.
+  *
+  * Scale note: these are plain `spark.read.parquet` scans so Catalyst keeps
+  * full pushdown (PushedFilters / ReadSchema) — on a real cluster the same
+  * code reads a partitioned directory tree and partition pruning applies
+  * unchanged. Never collect(); never assume one partition.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which stock Spark 4.1.2
+    * rejects (PARQUET_TYPE_ILLEGAL). Verified workaround (SURVEY.md §1.2):
+    * read nanos as long, derive
+    *   - `ts_us`  : BIGINT microseconds (integer `div`, never `/1000` —
+    *                double division loses ULPs at 1.7e18 ns), and
+    *   - `ts_ntz` : TIMESTAMP_NTZ at microsecond precision.
+    * This truncation matches DuckDB 1.0, which silently reads the same
+    * column µs-truncated — so every oracle comparison runs in the µs domain.
+    * The conf is set here (idempotent) because Verify/Bench build their own
+    * sessions.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_ntz", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable as-of join: for each left row, attach the payload of the latest
+  * right row with the same key and a strictly earlier ordering value.
+  *
+  * Spark has no native ASOF JOIN (DuckDB does). The naive rewrite —
+  * equi-join on key plus `r.ts < l.ts`, then `row_number() = 1` — explodes
+  * to O(|pairs|) and dies at 100 TB. This implementation is the standard
+  * union-merge rewrite instead:
+  *
+  *   1. tag left rows side=0 and right rows side=1 carrying their payload,
+  *   2. union them (one dataset, one schema),
+  *   3. one window partitioned by key, ordered by (ts, side, tieBreak),
+  *      `last(payload, ignoreNulls = true)` over rows unbounded..current,
+  *   4. keep the left rows.
+  *
+  * Cost: ONE shuffle of |L| + |R| rows and a per-partition sort — the same
+  * plan shape Spark uses for any window, so AQE/skew handling apply. At
+  * equal ts the left row sorts BEFORE the right row (side 0 < 1), which
+  * yields strict `r.ts < l.ts` semantics, matching DuckDB's
+  * `ASOF JOIN ... ON r.ts < l.ts`.
+  *
+  * @param left      left (probe) side
+  * @param right     right (reference) side
+  * @param key       equi-join key column name (same name both sides)
+  * @param ts        ordering column name (same name both sides, any
+  *                  orderable type; use a BIGINT epoch for exact parity)
+  * @param payload   right-side columns to attach (null when no match)
+  * @param rightTie  right-side tie-break column for duplicate (key, ts)
+  *                  rows — the greatest wins, deterministically
+  */
+object AsofJoin {
+  def lastEarlier(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String],
+      rightTie: String,
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val asofCols = payload.map(c => s"asof_$c")
+
+    val l = left
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", lit(null).cast(right.schema(rightTie).dataType))
+    val lPadded = asofCols.zip(payload).foldLeft(l) { case (df, (ac, pc)) =>
+      df.withColumn(ac, lit(null).cast(right.schema(pc).dataType))
+    }
+
+    val rBase = right
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", col(rightTie))
+    val rTagged = asofCols.zip(payload).foldLeft(rBase) { case (df, (ac, pc)) =>
+      df.withColumn(ac, col(pc))
+    }
+    val rPadded = leftCols.filterNot(c => c == key || c == ts).foldLeft(rTagged) {
+      case (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val unionCols: Seq[Column] =
+      (leftCols ++ Seq("__side", "__tie") ++ asofCols).map(col)
+    val unioned = lPadded.select(unionCols: _*)
+      .unionByName(rPadded.select(unionCols: _*))
+
+    // side DESC puts right rows first at equal ts? No: we order ASC by
+    // (ts, side) so at equal ts the left row (side 0) precedes the right
+    // row (side 1) and does NOT see it => strict r.ts < l.ts.
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = asofCols.foldLeft(unioned) { case (df, ac) =>
+      df.withColumn(ac, last(col(ac), ignoreNulls = true).over(w))
+    }
+
+    filled
+      .filter(col("__side") === 0)
+      .drop("__side", "__tie")
+  }
+}
