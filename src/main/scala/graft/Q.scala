@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Oracle-parity discipline (SURVEY.md §7.3): every oracled query ends in a
   * deterministic total ORDER BY, aggregates money in DECIMAL and casts the
   * final value to DOUBLE, rounds float outputs, and never uses
-  * rand()/dropDuplicates/approx_*/dayofweek or implicit pivot domains.
+  * rand()/dropDuplicates/approx-sketches/dayofweek or implicit pivot domains.
   */
 final case class Q(
     key: String,

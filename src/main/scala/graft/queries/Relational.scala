@@ -1,0 +1,386 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.AsofJoin
+import Sqlh._
+
+/** SURVEY.md §2.1–2.4, §2.6, §2.7 — scans, projection/filter, the full join
+  * matrix, aggregation, sort/limit, and set operations, each paired with its
+  * DuckDB oracle twin.
+  *
+  * Scale discipline ([N] 100 TB mandate): dimension joins are explicitly
+  * `broadcast(...)`; fact–fact joins shuffle on their equi keys (sort-merge);
+  * the one theta/band join keeps `user_id` as an equi key so it stays
+  * shuffle-parallel instead of degenerating to a nested-loop cross product;
+  * nothing collects to the driver.
+  */
+object Relational {
+
+  /** §7.2 flagship: scan→broadcast joins→filter→decimal agg→global sort. */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(
+      expr("l_shipdate >= timestamp_ntz'1996-01-01' and l_shipdate < timestamp_ntz'1997-01-01'"))
+    li.join(Tables.orders(s, d), expr("l_orderkey = o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), expr("o_custkey = c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), expr("c_nationkey = n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), expr("n_regionkey = r_regionkey"))
+      .groupBy("r_name", "l_returnflag")
+      .agg(expr(dsum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "l_returnflag")
+  }
+
+  val flagshipOracle: String =
+    s"""SELECT r_name, l_returnflag, ${dsum(revenue)} AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |GROUP BY r_name, l_returnflag
+       |ORDER BY r_name, l_returnflag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("flagship_pricing", flagshipOracle)(flagship),
+
+    // §2.1 scan + stable projection
+    Q("scan_parquet",
+      "SELECT * FROM part ORDER BY p_partkey") { (s, d) =>
+      Tables.part(s, d).orderBy("p_partkey")
+    },
+
+    // §2.2
+    Q("project_select",
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture data —
+      // lineitem-grain queries must ORDER BY every output column so that
+      // any remaining equal-key rows are bit-identical (hash-stable).
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS disc_price,
+         |  l_quantity * 2 AS qty2
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, qty2""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(cast(l_extendedprice as decimal(18,6)) * (1 - cast(l_discount as decimal(18,6))) as double)").as("disc_price"),
+        expr("l_quantity * 2").as("qty2"),
+      ).orderBy("l_orderkey", "l_linenumber", "disc_price", "qty2")
+    },
+
+    Q("filter_pred",
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         |FROM orders
+         |WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 200000)
+         |   OR (o_orderpriority LIKE '1-%' AND o_orderdate IS NOT NULL AND o_orderdate < TIMESTAMP '1996-01-01')
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(
+        expr("(o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 200000)" +
+          " OR (o_orderpriority LIKE '1-%' AND o_orderdate IS NOT NULL AND o_orderdate < timestamp_ntz'1996-01-01')"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // §2.3 joins
+    Q("join_inner_broadcast",
+      s"""SELECT o_orderkey, c_custkey, n_name, r_name FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), expr("o_custkey = c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), expr("c_nationkey = n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), expr("n_regionkey = r_regionkey"))
+        .select("o_orderkey", "c_custkey", "n_name", "r_name")
+        .orderBy("o_orderkey")
+    },
+
+    Q("join_sortmerge",
+      s"""SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |ORDER BY l_orderkey, l_linenumber, o_custkey, o_totalprice""".stripMargin) { (s, d) =>
+      // fact–fact: hint sort-merge so the plan is the one that scales
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d).hint("merge"), expr("l_orderkey = o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
+    },
+
+    Q("join_left_outer",
+      s"""SELECT p_partkey, l_orderkey, l_linenumber
+         |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+         |ORDER BY p_partkey, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), expr("p_partkey = l_partkey"), "left")
+        .select("p_partkey", "l_orderkey", "l_linenumber")
+        .orderBy(col("p_partkey"), col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+    },
+
+    Q("join_right_outer",
+      s"""SELECT p_partkey, l_orderkey, l_linenumber
+         |FROM lineitem RIGHT JOIN part ON p_partkey = l_partkey
+         |ORDER BY p_partkey, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), expr("p_partkey = l_partkey"), "right")
+        .select("p_partkey", "l_orderkey", "l_linenumber")
+        .orderBy(col("p_partkey"), col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+    },
+
+    Q("join_full_outer",
+      s"""SELECT p.p_partkey, p.p_size, b.l_partkey, b.cnt
+         |FROM (SELECT p_partkey, p_size FROM part WHERE p_size <= 10) p
+         |FULL JOIN (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey) b
+         |  ON p.p_partkey = b.l_partkey
+         |ORDER BY p_partkey NULLS FIRST, l_partkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).filter("p_size <= 10").select("p_partkey", "p_size")
+      val b = Tables.lineitem(s, d).groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      p.join(b, expr("p_partkey = l_partkey"), "full")
+        .select("p_partkey", "p_size", "l_partkey", "cnt")
+        .orderBy(col("p_partkey").asc_nulls_first, col("l_partkey").asc_nulls_first)
+    },
+
+    Q("join_semi",
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), expr("c_custkey = o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q("join_anti",
+      s"""SELECT p_partkey, p_name FROM part
+         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), expr("p_partkey = l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    Q("join_cross",
+      s"""SELECT r_name, n_name FROM region CROSS JOIN nation
+         |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // band join: equi on user_id keeps it shuffle-parallel at scale
+    Q("join_theta_range",
+      s"""SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+         |  (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         |ORDER BY a_event_id, b_event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val a = e.toDF("a_event_id", "a_user", "a_ts")
+      val b = e.toDF("b_event_id", "b_user", "b_ts")
+      a.join(b, expr("a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + 600000000"))
+        .select(col("a_event_id"), col("b_event_id"),
+          expr("(b_ts - a_ts) div 1000000").as("gap_s"))
+        .orderBy("a_event_id", "b_event_id")
+    },
+
+    Q("join_interval",
+      s"""SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+         |FROM lineitem JOIN orders
+         |  ON l_orderkey = o_orderkey
+         | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+         |ORDER BY l_orderkey, l_linenumber, l_shipdate, o_orderdate""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          expr("l_orderkey = o_orderkey AND l_shipdate BETWEEN o_orderdate AND o_orderdate + interval 90 day"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+    },
+
+    // as-of via the union-merge rewrite (one shuffle; see AsofJoin scaladoc)
+    Q("join_asof",
+      s"""SELECT a.event_id, b.event_id AS asof_event_id, b.value AS asof_value
+         |FROM events a ASOF LEFT JOIN events b
+         |  ON a.user_id = b.user_id AND b.ts < a.ts
+         |ORDER BY a.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val left = e.select("event_id", "user_id", "ts_us")
+      val right = e.select("user_id", "ts_us", "event_id", "value")
+      AsofJoin.lastEarlier(left, right, key = "user_id", ts = "ts_us",
+        payload = Seq("event_id", "value"), rightTie = "event_id")
+        .select("event_id", "asof_event_id", "asof_value")
+        .orderBy("event_id")
+    },
+
+    // §2.4 aggregation
+    Q("agg_hash_sum",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base,
+         |  ${dsum(revenue)} AS sum_disc,
+         |  ${dsum(charge)} AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        expr(dsum("l_quantity")).as("sum_qty"),
+        expr(dsum("l_extendedprice")).as("sum_base"),
+        expr(dsum(revenue)).as("sum_disc"),
+        expr(dsum(charge)).as("sum_charge"),
+        expr(davg("l_quantity")).as("avg_qty"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        count(lit(1)).as("count_order"),
+      ).orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("agg_count_distinct",
+      s"""SELECT s_nationkey, count(DISTINCT l_suppkey) AS n_supp,
+         |  count(DISTINCT l_partkey) AS n_part
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), expr("l_suppkey = s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"))
+        .orderBy("s_nationkey")
+    },
+
+    Q("agg_distinct_global",
+      s"""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    Q("agg_grouping_sets",
+      s"""SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r,
+         |  CAST(grouping(n_name) AS INT) AS g_n, count(*) AS cnt,
+         |  ${dsum("s_acctbal")} AS bal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("gs_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("gs_nation")
+      Tables.region(s, d).createOrReplaceTempView("gs_region")
+      s.sql(
+        s"""SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r,
+           |  CAST(grouping(n_name) AS INT) AS g_n, count(*) AS cnt,
+           |  ${dsum("s_acctbal")} AS bal
+           |FROM gs_supplier JOIN gs_nation ON s_nationkey = n_nationkey
+           |JOIN gs_region ON n_regionkey = r_regionkey
+           |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    },
+
+    Q("agg_rollup",
+      s"""SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r,
+         |  CAST(grouping(n_name) AS INT) AS g_n, count(*) AS cnt,
+         |  ${dsum("s_acctbal")} AS bal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("ru_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("ru_nation")
+      Tables.region(s, d).createOrReplaceTempView("ru_region")
+      s.sql(
+        s"""SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r,
+           |  CAST(grouping(n_name) AS INT) AS g_n, count(*) AS cnt,
+           |  ${dsum("s_acctbal")} AS bal
+           |FROM ru_supplier JOIN ru_nation ON s_nationkey = n_nationkey
+           |JOIN ru_region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    },
+
+    Q("agg_cube",
+      s"""SELECT c_mktsegment, c_nationkey, CAST(grouping(c_mktsegment) AS INT) AS g_m,
+         |  CAST(grouping(c_nationkey) AS INT) AS g_n, count(*) AS cnt,
+         |  ${dsum("c_acctbal")} AS bal
+         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+         |ORDER BY g_m, g_n, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(grouping("c_mktsegment").cast("int").as("g_m"),
+          grouping("c_nationkey").cast("int").as("g_n"),
+          count(lit(1)).as("cnt"),
+          expr(dsum("c_acctbal")).as("bal"))
+        .orderBy(col("g_m"), col("g_n"),
+          col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+    },
+
+    // HLL sketch — engines' sketches differ, so no SQL oracle (rows-only
+    // driver check + ScalaTest asserts within 5% of exact).
+    Q("agg_approx_distinct", { (s: SparkSession, d: String) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag")
+    }, None),
+
+    Q("agg_collect_list",
+      s"""SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sort_array(collect_list("l_linenumber")).as("lines"))
+        .orderBy("l_orderkey")
+    },
+
+    // §2.6 sort / limit
+    Q("sort_multi",
+      s"""SELECT o_orderkey, o_totalprice, nullif(o_orderstatus, 'P') AS st
+         |FROM orders
+         |ORDER BY st ASC NULLS FIRST, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          expr("nullif(o_orderstatus, 'P')").as("st"))
+        .orderBy(col("st").asc_nulls_first, col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    Q("limit_topk",
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // §2.7 set ops (buyer ids vs event-user ids)
+    Q("set_union_all",
+      s"""SELECT o_custkey AS id FROM orders
+         |UNION ALL SELECT user_id AS id FROM events ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("id"))
+        .unionByName(Tables.events(s, d).select(col("user_id").as("id")))
+        .orderBy("id")
+    },
+
+    Q("set_union_distinct",
+      s"""SELECT o_custkey AS id FROM orders
+         |UNION SELECT user_id AS id FROM events ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("id"))
+        .union(Tables.events(s, d).select(col("user_id").as("id")))
+        .distinct()
+        .orderBy("id")
+    },
+
+    Q("set_intersect",
+      s"""SELECT o_custkey AS id FROM orders
+         |INTERSECT SELECT user_id AS id FROM events ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("id"))
+        .intersect(Tables.events(s, d).select(col("user_id").as("id")))
+        .orderBy("id")
+    },
+
+    Q("set_except",
+      s"""SELECT o_custkey AS id FROM orders
+         |EXCEPT SELECT user_id AS id FROM events ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("id"))
+        .except(Tables.events(s, d).select(col("user_id").as("id")))
+        .orderBy("id")
+    },
+  )
+}
