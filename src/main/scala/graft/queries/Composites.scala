@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import Sqlh._
+
+/** SURVEY.md §2.9 — the reference's experiment-generation composites
+  * re-expressed Spark-first: series/grid generation (the state-set
+  * enumerator), deterministic sampling, plate-layout pivot/unpivot,
+  * deterministic dedup, and the unit-conversion expression chain.
+  *
+  * Scale notes: generated grids are bounded by construction (the reference's
+  * plate/volume domains are small); dedup is the window-rewrite (never
+  * `dropDuplicates`, whose survivor is arbitrary); sampling is modulo-based
+  * (reproducible on any engine, unlike `rand(seed)`).
+  */
+object Composites {
+
+  val all: Seq[Q] = Seq(
+
+    Q("gen_sequence",
+      s"""SELECT CAST(n AS INT) AS n FROM (SELECT unnest(generate_series(1,12)) AS n)
+         |ORDER BY n""".stripMargin) { (s, d) =>
+      s.range(1).select(explode(sequence(lit(1), lit(12))).as("n")).orderBy("n")
+    },
+
+    // the state-set generator: bounded cartesian + physical constraint
+    Q("gen_grid",
+      s"""SELECT CAST(v1 AS INT) AS v1, CAST(v2 AS INT) AS v2,
+         |  CAST(100 - v1 - v2 AS INT) AS v3
+         |FROM (SELECT unnest(generate_series(0,100,5)) AS v1),
+         |     (SELECT unnest(generate_series(0,100,5)) AS v2)
+         |WHERE v1 + v2 <= 100
+         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      val v1 = s.range(1).select(explode(sequence(lit(0), lit(100), lit(5))).as("v1"))
+      val v2 = s.range(1).select(explode(sequence(lit(0), lit(100), lit(5))).as("v2"))
+      v1.crossJoin(v2)
+        .filter("v1 + v2 <= 100")
+        .select(col("v1"), col("v2"), expr("100 - v1 - v2").as("v3"))
+        .orderBy("v1", "v2")
+    },
+
+    Q("sample_det",
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE l_orderkey % 97 < 5
+         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter("l_orderkey % 97 < 5")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // plate-layout analog: long -> wide with an EXPLICIT value list
+    Q("pivot_wide",
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "F",
+         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "O"
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(expr(dsum("l_quantity")))
+        .orderBy("l_returnflag")
+    },
+
+    Q("unpivot_long",
+      s"""SELECT p_partkey, 'p_retailprice' AS var, p_retailprice AS val FROM part
+         |UNION ALL
+         |SELECT p_partkey, 'p_size_d' AS var, CAST(p_size AS DOUBLE) AS val FROM part
+         |ORDER BY p_partkey, var""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size_d"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size_d")), "var", "val")
+        .orderBy("p_partkey", "var")
+    },
+
+    // deterministic dedup: first event per (user, type) by (ts, event_id)
+    Q("dedup_exact",
+      s"""SELECT user_id, event_type, event_id FROM (
+         |  SELECT user_id, event_type, event_id,
+         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+         |  FROM events) WHERE rn = 1
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    },
+
+    // unit-conversion chain analog (concentration math in the reference)
+    Q("normalize_expr",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(CAST(${revenue} AS DECIMAL(18,6)) AS DOUBLE) AS rev,
+         |  CAST(CAST(${charge} AS DECIMAL(18,6)) AS DOUBLE) AS chg
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, rev, chg""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr(s"cast(cast($revenue as decimal(18,6)) as double)").as("rev"),
+        expr(s"cast(cast($charge as decimal(18,6)) as double)").as("chg"),
+      ).orderBy("l_orderkey", "l_linenumber", "rev", "chg")
+    },
+  )
+}
