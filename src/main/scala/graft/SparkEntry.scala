@@ -12,7 +12,8 @@ object SparkEntry {
     Relational.flagship(spark, "/root/testdata/sf0.001")
 
   lazy val all: Seq[Q] =
-    Relational.all ++ Windows.all ++ Composites.all ++ Scalars.all
+    Relational.all ++ Windows.all ++ Composites.all ++ Scalars.all ++
+      TextSim.all ++ StreamingBatch.all ++ Udx.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** SURVEY.md §2.10 — LLM-data-pipeline operators: tokenization, corpus
+  * stats, vector similarity search (brute-force top-k with the left side
+  * restricted BEFORE the self-join and broadcast), kNN majority-label, and
+  * MinHash-LSH fuzzy dedup.
+  *
+  * Scale: the brute-force cosine path broadcasts the bounded probe set (50
+  * vectors) against the full corpus — at 100 TB the same plan shape holds as
+  * long as the probe side stays bounded; the unbounded-corpus variant is the
+  * LSH-bucketed `ann_lsh_bucket` in LlmOps (wave 5).
+  */
+object TextSim {
+
+  /** Shared double-precision cosine between two float-array columns.
+    * `dot / sqrt(na * nb)` — single sqrt, matching DuckDB's
+    * list_cosine_similarity evaluation shape.
+    */
+  def cosineExpr(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), cast(0 as double), (acc, v) -> acc + v)"
+    s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
+  }
+
+  /** Cosine sims of the bounded probe set (vec_id < `probeLimit`) against
+    * the whole corpus: (a_id, b_id, lbl, sim). Probe side is broadcast.
+    */
+  def simPairs(s: SparkSession, d: String, probeLimit: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.filter(col("vec_id") < probeLimit)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("label").as("lbl"))
+    broadcast(a).join(b, expr("a_id <> b_id"))
+      .select(col("a_id"), col("b_id"), col("lbl"),
+        expr(cosineExpr("a_emb", "b_emb")).as("sim"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("text_tokenize",
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    },
+
+    Q("text_stats",
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+      ).orderBy("lang")
+    },
+
+    Q("sim_cosine_topk",
+      s"""SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(sim, 3) AS sim3
+         |FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rnk
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 50)
+         |WHERE rnk <= 3
+         |ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      simPairs(s, d, 50)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), round(col("sim"), 3).as("sim3"))
+        .orderBy("vec_id", "rnk")
+    },
+
+    // majority label among top-5 neighbors — the RF-candidate-scoring analog
+    Q("knn_label",
+      s"""WITH sims AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS lbl,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 50),
+         |top5 AS (
+         |  SELECT * FROM sims
+         |  QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) <= 5),
+         |votes AS (
+         |  SELECT a_id, lbl, count(*) AS votes FROM top5 GROUP BY a_id, lbl)
+         |SELECT a_id AS vec_id, lbl AS pred_label, votes FROM votes
+         |QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY votes DESC, lbl) = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val wTop = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val wVote = Window.partitionBy("a_id").orderBy(col("votes").desc, col("lbl"))
+      simPairs(s, d, 50)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .groupBy("a_id", "lbl").agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("a_id").as("vec_id"), col("lbl").as("pred_label"), col("votes"))
+        .orderBy("vec_id")
+    },
+
+    // MinHash-LSH near-duplicate join over 3-word shingles. The fixture has
+    // no organic near-dupes (random small-vocab text), so the query plants
+    // them: each doc vs a copy of the corpus — the LSH join must recover
+    // exactly the identity pairs. Sketch-based => no SQL oracle (rows-only
+    // driver check; planted-pair recovery asserted in MlSpec).
+    Q("dedup_fuzzy", { (s: SparkSession, d: String) =>
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles",
+          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .select("doc_id", "shingles")
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18)
+      val feat = tf.transform(docs)
+      val copy = feat.withColumn("doc_id", col("doc_id") + 1000000L)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(5).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, copy, 0.3, "dist")
+        .select(col("datasetA.doc_id").as("doc_a"),
+          (col("datasetB.doc_id") - 1000000L).as("doc_b"),
+          round(col("dist"), 3).as("dist3"))
+        .filter(col("doc_a") <= col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }, None),
+  )
+}
