@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.multimodal.Multimodal
+import TextSim.cosineExpr
+
+/** SURVEY.md §2.13 (north-star `[N]`) — the large-scale training-data
+  * pipeline suite beyond the reference's own surface: deduplication
+  * (n-gram Jaccard, SimHash, embedding cosine), LSH-bucketed ANN, text
+  * analysis (language-ID heuristic, quality scoring, token counting,
+  * fingerprinting), and multimodal binary-column plumbing.
+  *
+  * Scale design notes (100 TB):
+  * - Pairwise dedups never materialise the full cross product: Jaccard
+  *   pairs come from an equi-join on shared shingles, SimHash pairs from an
+  *   equi-join on 16-bit bands, ANN candidates from an equi-join on
+  *   hyperplane-signature bands — all shuffle-parallel on their keys. At
+  *   sf0.1 these run as-is; at cluster scale add a doc-frequency cap on
+  *   shingles (drop shingles appearing in >0.1% of docs) to bound skew.
+  * - Engine-specific hash functions (murmur3 in `hash()`) never appear in
+  *   oracled queries — SimHash/ANN are rows-only + ScalaTest.
+  */
+object LlmOps {
+
+  // keyword sets drawn from the fixture vocabulary so scores are non-trivial
+  private val langKw = Seq(
+    "en" -> Seq("the", "fast"), "de" -> Seq("scan", "merge"),
+    "es" -> Seq("join", "hash"), "fr" -> Seq("sort", "table"),
+    "zh" -> Seq("key", "order"))
+
+  private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // n-gram-overlap language-ID heuristic; deterministic argmax tie-break
+    Q("text_langid", {
+      val scoresO = langKw.map { case (l, ws) =>
+        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN (${inList(ws)}))) AS INT) AS s_$l"
+      }.mkString(",\n  ")
+      val pred =
+        """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+          |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+          |     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+          |     WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred""".stripMargin
+      s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh, $pred
+         |FROM (SELECT doc_id, lang,
+         |  $scoresO
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val scored = langKw.foldLeft(Tables.documents(s, d)) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          expr(s"size(filter(split(lower(text), ' '), t -> t IN (${inList(ws)})))"))
+      }
+      scored.select(col("doc_id"), col("lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"),
+        expr(
+          """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+            |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+            |     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+            |     WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END""".stripMargin).as("pred"))
+        .orderBy("doc_id")
+    },
+
+    // length/stopword/word-shape quality score
+    Q("text_quality",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         |  CAST(length(text) AS INT) AS n_char,
+         |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS avg_wlen,
+         |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('the', 'fast', 'slow'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("size(split(text, ' '))").as("n_tok"),
+        length(col("text")).as("n_char"),
+        expr("round(cast(length(text) - (size(split(text, ' ')) - 1) as double) / size(split(text, ' ')), 6)").as("avg_wlen"),
+        expr("round(cast(size(filter(split(lower(text), ' '), t -> t IN ('the', 'fast', 'slow'))) as double) / size(split(text, ' ')), 6)").as("stop_ratio"),
+      ).orderBy("doc_id")
+    },
+
+    // whitespace + BPE-ish regex token counts
+    Q("text_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("size(split(text, ' '))").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("bpe_tokens"),
+      ).orderBy("doc_id")
+    },
+
+    // polynomial rolling-hash document fingerprint (mod 1e9+7)
+    Q("text_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("aggregate(split(text, ''), cast(0 as bigint), (a, c) -> (a * 31 + ascii(c)) % 1000000007)").as("fp"),
+      ).orderBy("doc_id")
+    },
+
+    // exact n-gram Jaccard near-dup pairs via shared-shingle equi-join
+    Q("dedup_ngram_jaccard",
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, lang,
+         |    unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY da, db)
+         |SELECT da, db, round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 3) AS jac
+         |FROM common JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
+      val grams = toks.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = grams.toDF("da", "lang_a", "g")
+      val b = grams.toDF("db", "lang_b", "g2")
+      val common = a.join(b, expr("g = g2 AND lang_a = lang_b AND da < db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.toDF("da2", "na"), expr("da = da2"))
+        .join(sizes.toDF("db2", "nb"), expr("db = db2"))
+        .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
+        .select(col("da"), col("db"),
+          expr("round(cast(c as double) / (na + nb - c), 3)").as("jac"))
+        .orderBy("da", "db")
+    },
+
+    // embedding-cosine near-dup pairs (bounded corpus side; the unbounded
+    // path is ann_lsh_bucket)
+    Q("dedup_embedding",
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS sim3
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, expr("a_id < b_id"))
+        .withColumn("sim", expr(cosineExpr("a_emb", "b_emb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 3).as("sim3"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash near-dup candidates: 64-bit signature over 3-gram shingle
+    // xxhash64s (frequency-weighted — shingles, not distinct tokens: on a
+    // small shared vocabulary token-set signatures collapse to hamming 0
+    // for unrelated docs), 8x8-bit banded equi-join, Hamming re-rank.
+    // Engine-specific hash ⇒ rows-only (organic near-dup docs guarantee
+    // rows; selectivity asserted in MlSpec).
+    Q("dedup_simhash", { (s: SparkSession, d: String) =>
+      val shingles = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+        .withColumn("h", xxhash64(col("g")))
+      val sig = shingles
+        .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("b"), col("h"))
+        .withColumn("v", expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
+        .groupBy("doc_id", "b").agg(sum("v").as("sv"))
+        .withColumn("bit", expr("CASE WHEN sv >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
+        .groupBy("doc_id").agg(sum(expr("shiftleft(bit, b)")).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("bi"))
+        .withColumn("bv", expr("(shiftright(sig, bi * 8)) & 255"))
+      val a = bands.toDF("da", "sig_a", "bi", "bv")
+      val b2 = bands.toDF("db", "sig_b", "bi2", "bv2")
+      a.join(b2, expr("bi = bi2 AND bv = bv2 AND da < db"))
+        .select("da", "db", "sig_a", "sig_b").distinct()
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= 8)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    }, None),
+
+    // ANN: 16 deterministic random hyperplanes -> 4x4-bit band buckets ->
+    // candidate equi-join -> exact cosine re-rank, top-3. The 100 TB path
+    // for similarity search (recall vs brute force asserted in MlSpec).
+    Q("ann_lsh_bucket", { (s: SparkSession, d: String) =>
+      val sigU = Multimodal.lshSignatureUdf
+      val e = Tables.embeddings(s, d).withColumn("sig", sigU(col("embedding")))
+      val bands = e.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(expr("array(0, 1, 2, 3)")).as("bi"))
+        .withColumn("bv", expr("(shiftright(sig, bi * 4)) & 15"))
+      val probes = bands.filter(col("vec_id") < 50)
+        .toDF("a_id", "a_emb", "sig_a", "bi_a", "bv_a")
+      val corpus = bands.toDF("b_id", "b_emb", "sig_b", "bi_b", "bv_b")
+      val cands = broadcast(probes)
+        .join(corpus, expr("bi_a = bi_b AND bv_a = bv_b AND a_id <> b_id"))
+        .select("a_id", "a_emb", "b_id", "b_emb").distinct()
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      cands.withColumn("sim", expr(cosineExpr("a_emb", "b_emb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), round(col("sim"), 3).as("sim3"))
+        .orderBy("vec_id", "rnk")
+    }, None),
+
+    // multimodal: opaque binary column + typed metadata, parity-checked
+    Q("mm_binary_meta",
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |  upper(substring(hex(encode(text)), 1, 16)) AS head_hex
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.withMedia(Tables.documents(s, d))
+        .select(col("doc_id"),
+          octet_length(col("media")).as("n_bytes"),
+          upper(substring(hex(col("media")), 1, 16)).as("head_hex"))
+        .orderBy("doc_id")
+    },
+
+    // decode/feature-extract runs the mapPartitions stub end-to-end
+    // (schema + batching real; byte decode is the clearly-marked fake)
+    Q("mm_decode_features", { (s: SparkSession, d: String) =>
+      Multimodal.decodeFeatures(s, Multimodal.withMedia(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    }, None),
+  )
+}
