@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2 — golden tests at sf0.001. Expected values were computed
+  * INDEPENDENTLY with DuckDB 1.0.0 on the same parquet (not by running the
+  * engine), so these catch engine regressions without DuckDB in the loop.
+  */
+class GoldenSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private def run(key: String) = SparkEntry.queries(key)(s, d)
+
+  test("entry / flagship: 15 region x flag groups, exact first row") {
+    val rows = SparkEntry.entry(s).collect()
+    assert(rows.length == 15)
+    val first = rows.head
+    assert(first.getString(0) == "AFRICA" && first.getString(1) == "A")
+    assert(first.getDouble(2) == 2865201.8026)
+    assert(first.getLong(3) == 57L)
+  }
+
+  test("agg_hash_sum: 6 groups; (A,F) qty 24851 over 977 items") {
+    val m = run("agg_hash_sum").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(9))).toMap
+    assert(m.size == 6)
+    assert(m(("A", "F")) == (24851.0, 977L))
+    assert(m(("R", "O")) == (25633.0, 1001L))
+  }
+
+  test("join cardinalities: semi 150, anti 0, cross 125") {
+    assert(run("join_semi").count() == 150L)
+    assert(run("join_anti").count() == 0L)
+    assert(run("join_cross").count() == 125L)
+  }
+
+  test("generators: sequence 12 rows, grid 231 rows each summing to 100") {
+    assert(run("gen_sequence").count() == 12L)
+    val grid = run("gen_grid").collect()
+    assert(grid.length == 231)
+    assert(grid.forall(r => r.getInt(0) + r.getInt(1) + r.getInt(2) == 100))
+  }
+
+  test("stream_session: 946 sessions over 15 users at sf0.001") {
+    val sess = run("stream_session").collect()
+    assert(sess.length == 946)
+    assert(sess.map(_.getLong(0)).distinct.length == 15)
+  }
+
+  test("join_asof: one row per event; exactly one null match per user") {
+    val rows = run("join_asof").collect()
+    assert(rows.length == 1000)
+    // the first event of each user has no earlier event
+    assert(rows.count(_.isNullAt(1)) == 15)
+  }
+
+  test("window_rank handles ties: rank repeats, row_number stays unique") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // planted tie: two rows share the ordering value
+    val df = Seq((1, 10.0), (2, 10.0), (3, 5.0)).toDF("id", "v")
+    val ties = Window.orderBy(col("v").desc)
+    val total = Window.orderBy(col("v").desc, col("id"))
+    val out = df.select(col("id"), rank().over(ties).as("rnk"),
+      row_number().over(total).as("rn")).orderBy("id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 1, 3))
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+  }
+}

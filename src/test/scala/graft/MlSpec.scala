@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.5 — ML-adjacent capabilities: MinHash-LSH recovers planted
+  * near-duplicates, the LSH ANN keeps useful recall vs brute force, and an
+  * MLlib pipeline learns a learnable target from the embeddings table.
+  */
+class MlSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("MinHashLSH finds planted near-duplicates (1-word perturbation)") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 20)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+    // perturb: replace the first word, keep the rest -> Jaccard stays high
+    val perturbed = docs
+      .withColumn("toks", expr("concat(array('zzzz'), slice(toks, 2, size(toks) - 1))"))
+      .withColumn("doc_id", col("doc_id") + 5000L)
+    val allDocs = docs.unionByName(perturbed)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .select("doc_id", "shingles")
+    val feat = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).transform(allDocs)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42L).fit(feat)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.4, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .filter(col("a") + 5000L === col("b"))
+    val found = pairs.count()
+    assert(found >= 18, s"recovered only $found of 20 planted pairs")
+  }
+
+  test("LSH ANN keeps recall >= 0.25 vs brute-force top-3") {
+    val ann = SparkEntry.queries("ann_lsh_bucket")(s, d)
+      .select("vec_id", "neighbor_id")
+    val brute = SparkEntry.queries("sim_cosine_topk")(s, d)
+      .select("vec_id", "neighbor_id")
+    val hits = ann.intersect(brute).count().toDouble
+    val recall = hits / brute.count()
+    assert(recall >= 0.25, s"recall@3 $recall")
+  }
+
+  test("RF pipeline learns a separable target from embeddings") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.functions.array_to_vector
+    // learnable label: sign of the first embedding component
+    val data = Tables.embeddings(s, d)
+      .withColumn("target", (element_at(col("embedding"), 1) > 0).cast("double"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val rf = new RandomForestClassifier()
+      .setLabelCol("target").setFeaturesCol("features")
+      .setNumTrees(30).setSeed(42L)
+    val model = new Pipeline().setStages(Array(rf)).fit(train)
+    val pred = model.transform(test)
+    val acc = pred.filter(col("prediction") === col("target")).count().toDouble / pred.count()
+    val majority = {
+      val pos = test.filter(col("target") === 1.0).count().toDouble / test.count()
+      math.max(pos, 1 - pos)
+    }
+    assert(acc > majority, s"accuracy $acc did not beat majority $majority")
+    assert(acc >= 0.7, s"accuracy $acc")
+  }
+
+  test("schema-first CSV and JSON-lines ingest round-trips") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File("target/tmp/sources_spec")
+    dir.mkdirs()
+    val csv = new java.io.File(dir, "chem.csv")
+    val jsn = new java.io.File(dir, "chem.jsonl")
+    java.nio.file.Files.writeString(csv.toPath,
+      "abbrev,name,mw\nGBL,gamma-Butyrolactone,86.09\nDMF,Dimethylformamide,73.09\n")
+    java.nio.file.Files.writeString(jsn.toPath,
+      """{"abbrev":"GBL","mw":86.09}
+        |{"abbrev":"DMF","mw":73.09}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("abbrev", StringType), StructField("name", StringType),
+      StructField("mw", DoubleType)))
+    val c = Sources.readCsv(s, csv.getPath, schema)
+    assert(c.count() == 2 && c.schema("mw").dataType == DoubleType)
+    val jSchema = StructType(Seq(
+      StructField("abbrev", StringType), StructField("mw", DoubleType)))
+    val j = Sources.readJsonLines(s, jsn.getPath, jSchema)
+    assert(j.count() == 2)
+    assert(j.agg(sum("mw")).head.getDouble(0) == 159.18)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.3 — algebraic invariants across operators at sf0.001. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private def run(key: String) = SparkEntry.queries(key)(s, d)
+
+  test("dedup_exact is idempotent") {
+    val once = run("dedup_exact")
+    assert(once.count() == once.distinct().count())
+    // keys are unique after dedup
+    assert(once.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
+  test("window_frame_rows final running value equals the group total") {
+    val last = run("window_frame_rows")
+      .groupBy("o_custkey").agg(max("running").as("final"))
+    val total = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,6))) as double)").as("tot"))
+    val joined = last.join(total, "o_custkey")
+      .filter(abs(col("final") - col("tot")) > 1e-9)
+    assert(joined.count() == 0L)
+  }
+
+  test("pivot_wide row sums equal agg_hash_sum per-flag totals") {
+    val piv = run("pivot_wide").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)).fold(0.0)(_.asInstanceOf[Double])
+        + Option(r.get(2)).fold(0.0)(_.asInstanceOf[Double]))).toMap
+    val agg = run("agg_hash_sum").collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getDouble(2)).sum }
+    agg.foreach { case (f, tot) => assert(math.abs(piv(f) - tot) < 1e-6, s"flag $f") }
+  }
+
+  test("union_distinct of a set with itself is the set") {
+    val ids = Tables.orders(s, d).select(col("o_custkey").as("id"))
+    assert(ids.union(ids).distinct().count() == ids.distinct().count())
+  }
+
+  test("as-of matches are a subset of the theta-join predecessor relation") {
+    // every non-null as-of pair (event, prev) must satisfy prev.ts < event.ts
+    // for the same user — re-derive from the base table
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+    val asof = run("join_asof").filter(col("asof_event_id").isNotNull)
+    val bad = asof
+      .join(e.toDF("event_id", "u1", "t1"), "event_id")
+      .join(e.toDF("asof_event_id", "u2", "t2"), "asof_event_id")
+      .filter(col("u1") =!= col("u2") || col("t2") >= col("t1"))
+    assert(bad.count() == 0L)
+  }
+
+  test("set algebra: |A∪B| = |A| + |B| - |A∩B| (distinct sets)") {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("id")).distinct()
+    val b = Tables.events(s, d).select(col("user_id").as("id")).distinct()
+    val union = run("set_union_distinct").count()
+    val inter = run("set_intersect").count()
+    assert(union == a.count() + b.count() - inter)
+    assert(run("set_except").count() == a.count() - inter)
+  }
+
+  test("limit_topk rows are exactly the head of sort by the same key") {
+    val top = run("limit_topk").collect().map(_.getLong(0)).toSeq
+    val full = Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10).collect().map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(top == full)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.11 stream-only rows (watermark / dedup / stateful) plus
+  * batch↔stream parity, via MemoryStream micro-batches with controlled
+  * event-time. LocalDateTime encodes as TIMESTAMP_NTZ, matching the batch
+  * queries' `ts_ntz`.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def t(h: Int, m: Int): LocalDateTime = LocalDateTime.of(2024, 1, 1, h, m)
+
+  test("stream_tumbling: streaming result equals the batch equivalent") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // replay the real sf0.001 events through a stream (driver collect is
+    // test-only plumbing, never part of an operator)
+    val rows = Tables.events(s, d)
+      .select(col("ts_ntz"), col("event_type")).as[(LocalDateTime, String)]
+      .collect().toSeq
+    val ms = MemoryStream[(LocalDateTime, String)]
+    val q = ms.toDF().toDF("ts_ntz", "event_type")
+      .groupBy(window(col("ts_ntz"), "1 hour").as("w"), col("event_type"))
+      .count()
+      .writeStream.format("memory").queryName("tumbling_stream")
+      .outputMode(OutputMode.Complete()).start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("tumbling_stream")
+      .select(col("w.start").as("ws"), col("event_type"), col("count").as("cnt"))
+    val batch = SparkEntry.queries("stream_tumbling")(s, d)
+      .select("ws", "event_type", "cnt")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0L)
+  }
+
+  // watermarks require TIMESTAMP (LTZ) in Spark 4.1 — NTZ event time is
+  // rejected (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); UTC session makes the
+  // wall-clock values identical either way.
+  private def ts(h: Int, m: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(t(h, m))
+
+  test("stream_watermark: a row later than the watermark is dropped") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val q = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w")).count()
+      .writeStream.format("memory").queryName("wm_stream")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Seq((ts(10, 0), "a"), (ts(10, 10), "b")))
+    q.processAllAvailable()
+    ms.addData(Seq((ts(12, 30), "c"))) // watermark -> 11:30, closes [10:00,11:00)
+    q.processAllAvailable()
+    ms.addData(Seq((ts(10, 5), "late"))) // behind watermark: must be dropped
+    q.processAllAvailable()
+    ms.addData(Seq((ts(14, 0), "d"))) // close [12:00,13:00) too
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table("wm_stream")
+      .select(col("w.start").as("ws"), col("count")).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("ws") -> r.getAs[Long]("count")).toMap
+    assert(out(ts(10, 0)) == 2L, "late row must not be counted")
+    assert(out(ts(12, 0)) == 1L)
+  }
+
+  test("stream_dedup: dropDuplicatesWithinWatermark emits each id once") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = ms.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Seq((ts(10, 0), 1L), (ts(10, 1), 1L), (ts(10, 2), 2L)))
+    q.processAllAvailable()
+    ms.addData(Seq((ts(10, 30), 1L), (ts(10, 31), 3L))) // 1 still within watermark
+    q.processAllAvailable()
+    q.stop()
+    val ids = s.table("dedup_stream").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream_stateful: per-key running count via flatMapGroupsWithState") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val counter = (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) => {
+      val total = state.getOption.getOrElse(0L) + rows.size
+      state.update(total)
+      Iterator.single((key, total))
+    }
+    val q = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(counter)
+      .toDF("k", "running")
+      .writeStream.format("memory").queryName("stateful_stream")
+      .outputMode(OutputMode.Update()).start()
+    ms.addData(Seq(("u1", 1L), ("u1", 2L), ("u2", 3L)))
+    q.processAllAvailable()
+    ms.addData(Seq(("u1", 4L)))
+    q.processAllAvailable()
+    q.stop()
+    val last = s.table("stateful_stream").groupBy("k").agg(max("running").as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("u1" -> 3L, "u2" -> 1L))
+  }
+}
