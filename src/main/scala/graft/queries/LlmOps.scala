@@ -127,8 +127,9 @@ object LlmOps {
          |ORDER BY da, db""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
-      val grams = toks.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+      val grams = toks.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
         .distinct()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = grams.toDF("da", "lang_a", "g")
@@ -152,11 +153,14 @@ object LlmOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val a = TextSim.withVecNorm(
+        e.select(col("vec_id").as("a_id"), col("embedding")), "a")
+      val b = TextSim.withVecNorm(
+        e.select(col("vec_id").as("b_id"), col("embedding")), "b")
       a.join(b, expr("a_id < b_id"))
-        .withColumn("sim", expr(cosineExpr("a_emb", "b_emb")))
+        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
         .filter(col("sim") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("sim"), 3).as("sim3"))
         .orderBy("a_id", "b_id")
@@ -170,6 +174,7 @@ object LlmOps {
     // rows; selectivity asserted in MlSpec).
     Q("dedup_simhash", { (s: SparkSession, d: String) =>
       val shingles = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .select(col("doc_id"),
           explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
@@ -197,19 +202,21 @@ object LlmOps {
     // candidate equi-join -> exact cosine re-rank, top-3. The 100 TB path
     // for similarity search (recall vs brute force asserted in MlSpec).
     Q("ann_lsh_bucket", { (s: SparkSession, d: String) =>
+      graft.functions.DotProduct.register(s)
       val sigU = Multimodal.lshSignatureUdf
       val e = Tables.embeddings(s, d).withColumn("sig", sigU(col("embedding")))
       val bands = e.select(col("vec_id"), col("embedding"), col("sig"),
         explode(expr("array(0, 1, 2, 3)")).as("bi"))
         .withColumn("bv", expr("(shiftright(sig, bi * 4)) & 15"))
-      val probes = bands.filter(col("vec_id") < 50)
-        .toDF("a_id", "a_emb", "sig_a", "bi_a", "bv_a")
-      val corpus = bands.toDF("b_id", "b_emb", "sig_b", "bi_b", "bv_b")
+      val probes = TextSim.withVecNorm(bands.filter(col("vec_id") < 50)
+        .toDF("a_id", "embedding", "sig_a", "bi_a", "bv_a"), "a")
+      val corpus = TextSim.withVecNorm(
+        bands.toDF("b_id", "embedding", "sig_b", "bi_b", "bv_b"), "b")
       val cands = broadcast(probes)
         .join(corpus, expr("bi_a = bi_b AND bv_a = bv_b AND a_id <> b_id"))
-        .select("a_id", "a_emb", "b_id", "b_emb").distinct()
+        .select("a_id", "a_d", "a_n2", "b_id", "b_d", "b_n2").distinct()
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-      cands.withColumn("sim", expr(cosineExpr("a_emb", "b_emb")))
+      cands.withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),

@@ -28,18 +28,36 @@ object TextSim {
     s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
   }
 
+  /** Double dot product of two pre-cast double-array columns, via the
+    * native codegen'd `dot_d` expression (same left-to-right accumulation
+    * as the `aggregate(zip_with(...))` form, no per-pair allocation).
+    * Callers must `DotProduct.register(spark)` first (idempotent).
+    */
+  def dotExpr(a: String, b: String): String = s"dot_d($a, $b)"
+
+  /** Pre-cast the float embedding to double ONCE per vector and attach its
+    * squared norm — an O(n·d) prepass that turns every pairwise cosine from
+    * three dot products into one (bit-identical results: the per-pair
+    * `dot / sqrt(na * nb)` sees the exact same double operands).
+    */
+  def withVecNorm(df: DataFrame, prefix: String): DataFrame =
+    df.withColumn(s"${prefix}_d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn(s"${prefix}_n2", expr(dotExpr(s"${prefix}_d", s"${prefix}_d")))
+      .drop("embedding")
+
   /** Cosine sims of the bounded probe set (vec_id < `probeLimit`) against
     * the whole corpus: (a_id, b_id, lbl, sim). Probe side is broadcast.
     */
   def simPairs(s: SparkSession, d: String, probeLimit: Int): DataFrame = {
+    graft.functions.DotProduct.register(s)
     val e = Tables.embeddings(s, d)
-    val a = e.filter(col("vec_id") < probeLimit)
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("label").as("lbl"))
+    val a = withVecNorm(e.filter(col("vec_id") < probeLimit)
+      .select(col("vec_id").as("a_id"), col("embedding")), "a")
+    val b = withVecNorm(e.select(col("vec_id").as("b_id"), col("embedding"),
+      col("label").as("lbl")), "b")
     broadcast(a).join(b, expr("a_id <> b_id"))
       .select(col("a_id"), col("b_id"), col("lbl"),
-        expr(cosineExpr("a_emb", "b_emb")).as("sim"))
+        expr(s"${dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)").as("sim"))
   }
 
   val all: Seq[Q] = Seq(
@@ -127,12 +145,18 @@ object TextSim {
         .withColumn("shingles",
           expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .select("doc_id", "shingles")
+        // the sf fixture is ONE parquet file = one partition; spread the
+        // expensive minhash + explode-join across cores (at cluster scale
+        // the scan arrives already partitioned)
+        .repartition(s.sparkContext.defaultParallelism)
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setNumFeatures(1 << 18)
+        .setNumFeatures(1 << 16) // 64k buckets ≈ shingle-space size; larger only adds hash cost
       val feat = tf.transform(docs)
       val copy = feat.withColumn("doc_id", col("doc_id") + 1000000L)
+      // 3 tables suffice: identity pairs (distance 0) collide in EVERY
+      // table, and J>=0.9 organics collide with p = 1-(1-0.9)^3 ≈ 0.999
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(5).setSeed(42L)
+        .setNumHashTables(3).setSeed(42L)
       val model = lsh.fit(feat)
       model.approxSimilarityJoin(feat, copy, 0.3, "dist")
         .select(col("datasetA.doc_id").as("doc_a"),
