@@ -54,6 +54,19 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 15)
   }
 
+  test("agg_approx_distinct: HLL estimate within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = run("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val a = approx(flag).toDouble
+      assert(math.abs(a - n) / n <= 0.05, s"$flag: approx $a vs exact $n")
+    }
+  }
+
   test("window_rank handles ties: rank repeats, row_number stays unique") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
