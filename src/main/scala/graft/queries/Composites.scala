@@ -95,6 +95,57 @@ object Composites {
         .orderBy("user_id", "event_type")
     },
 
+    // The reference's CORE workflow composed end-to-end: chemical inventory
+    // (dim) -> molar-weight lookup -> volume state-set grid under a
+    // physical constraint -> per-well species concentrations -> plate well
+    // labels -> spec-JSON assembly round-trip. A reference user's main
+    // pipeline, re-expressed as one declarative Spark plan.
+    Q("exp_pipeline",
+      s"""WITH chems AS (
+         |  SELECT p_partkey AS chem_id, p_retailprice / 10 AS mw,
+         |    row_number() OVER (ORDER BY p_partkey) AS rk
+         |  FROM part WHERE p_partkey < 3),
+         |mws AS (SELECT
+         |  max(CASE WHEN rk=1 THEN mw END) AS mw1,
+         |  max(CASE WHEN rk=2 THEN mw END) AS mw2,
+         |  max(CASE WHEN rk=3 THEN mw END) AS mw3 FROM chems),
+         |grid AS (
+         |  SELECT v1, v2, 100 - v1 - v2 AS v3 FROM
+         |    (SELECT unnest(generate_series(0,100,10)) v1),
+         |    (SELECT unnest(generate_series(0,100,10)) v2)
+         |  WHERE v1 + v2 <= 100),
+         |wells AS (SELECT *, row_number() OVER (ORDER BY v1, v2) - 1 AS idx FROM grid)
+         |SELECT chr(65 + CAST(idx // 12 AS INT)) || lpad(CAST(idx % 12 + 1 AS VARCHAR), 2, '0') AS well,
+         |  CAST(v1 AS INT) AS v1, CAST(v2 AS INT) AS v2, CAST(v3 AS INT) AS v3,
+         |  v1 * mw1 / 100 AS conc1, v2 * mw2 / 100 AS conc2, v3 * mw3 / 100 AS conc3,
+         |  CAST(json_extract_string(to_json(struct_pack(c1 := v1 * mw1 / 100)), '$$.c1') AS DOUBLE) AS jc1
+         |FROM wells, mws ORDER BY well""".stripMargin) { (s, d) =>
+      val chems = Tables.part(s, d).filter("p_partkey < 3")
+        .select(col("p_partkey").as("chem_id"),
+          (col("p_retailprice") / 10).as("mw"),
+          row_number().over(Window.orderBy("p_partkey")).as("rk"))
+      val mws = chems.agg(
+        max(when(col("rk") === 1, col("mw"))).as("mw1"),
+        max(when(col("rk") === 2, col("mw"))).as("mw2"),
+        max(when(col("rk") === 3, col("mw"))).as("mw3"))
+      val v1 = s.range(1).select(explode(sequence(lit(0), lit(100), lit(10))).as("v1"))
+      val v2 = s.range(1).select(explode(sequence(lit(0), lit(100), lit(10))).as("v2"))
+      val grid = v1.crossJoin(v2).filter("v1 + v2 <= 100")
+        .withColumn("v3", expr("100 - v1 - v2"))
+      val wells = grid.withColumn("idx",
+        row_number().over(Window.orderBy("v1", "v2")) - 1)
+      wells.crossJoin(broadcast(mws))
+        .select(
+          expr("concat(char(65 + cast(idx div 12 as int)), lpad(cast(idx % 12 + 1 as string), 2, '0'))").as("well"),
+          col("v1").cast("int").as("v1"), col("v2").cast("int").as("v2"),
+          col("v3").cast("int").as("v3"),
+          expr("v1 * mw1 / 100").as("conc1"),
+          expr("v2 * mw2 / 100").as("conc2"),
+          expr("v3 * mw3 / 100").as("conc3"),
+          expr("cast(get_json_object(to_json(struct(v1 * mw1 / 100 as c1)), '$.c1') as double)").as("jc1"))
+        .orderBy("well")
+    },
+
     // unit-conversion chain analog (concentration math in the reference)
     Q("normalize_expr",
       s"""SELECT l_orderkey, l_linenumber,

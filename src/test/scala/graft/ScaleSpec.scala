@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics proofs: salting preserves join semantics, bucketing
+  * removes the join shuffle, and the flagship plan keeps pushdown/pruning.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("SaltedJoin.inner equals the plain join on skewed data") {
+    import graft.operators.SaltedJoin
+    // skew: 90% of lineitem keys collapsed onto one join key
+    val big = Tables.lineitem(s, d)
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, 0L).otherwise(col("l_orderkey")))
+      .select("k", "l_quantity")
+    val small = Tables.orders(s, d).limit(200)
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      .withColumn("k", when(col("k") % 10 < 9, 0L).otherwise(col("k")))
+      .groupBy("k").agg(max("o_totalprice").as("p"))
+    val plain = big.join(small, "k")
+    val salted = SaltedJoin.inner(big, small, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "l_quantity", "p")
+      .except(plain.select("k", "l_quantity", "p")).count() == 0L)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val oj = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val lj = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+    oj.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    lj.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val joined = s.table("b_lineitem")
+      .join(s.table("b_orders"), expr("l_orderkey = o_orderkey"))
+      .groupBy("o_custkey").agg(sum("l_quantity"))
+    joined.collect() // force execution so AQE finalizes the plan
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not shuffle either side (bucket co-location);
+    // only the groupBy aggregation exchanges
+    val joinSection = plan.substring(0, plan.indexOf("SortMergeJoin").max(0) + 1)
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+    if (plan.contains("SortMergeJoin")) {
+      // count exchanges: exactly the one for the final aggregation
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("REQUIRED_BY_STATEFUL"))
+      assert(exchanges <= 1, s"expected <=1 exchange (agg only), plan:\n$plan")
+    }
+  }
+
+  test("flagship plan: filter pushdown and column pruning reach the scan") {
+    val plan = queries.Relational.flagship(s, d).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") || readSchema == "",
+      "lineitem scan must not read unused wide columns")
+  }
+}
