@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -212,6 +213,50 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // correlated scalar subquery — exercises Catalyst's
+    // RewriteCorrelatedScalarSubquery decorrelation into a left outer
+    // aggregate join (zero-order customers get 0, not a per-row probe)
+    Q("subquery_scalar",
+      s"""SELECT c_custkey,
+         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+         |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders WHERE o_custkey = c_custkey) AS max_price
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("sq_customer")
+      Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM sq_orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM sq_orders WHERE o_custkey = c_custkey) AS max_price
+          |FROM sq_customer ORDER BY c_custkey""".stripMargin)
+    },
+
+    // the reference's versioned-results accumulation: append a delta batch
+    // to the base, keep the latest version per key (window rewrite — the
+    // deterministic SCD/compaction pattern; at scale this is the
+    // merge-on-read compaction of an append-only results log)
+    Q("versioned_latest",
+      s"""WITH versioned AS (
+         |  SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS version
+         |  FROM orders WHERE o_orderkey % 97 < 5)
+         |SELECT o_orderkey, o_totalprice, CAST(version AS INT) AS version FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY version DESC) AS rn FROM versioned)
+         |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), lit(1).as("version"))
+      val delta = Tables.orders(s, d).filter("o_orderkey % 97 < 5")
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          lit(2).as("version"))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_orderkey", "o_totalprice", "version")
+        .orderBy("o_orderkey")
+    },
+
     // §2.4 aggregation
     Q("agg_hash_sum",
       s"""SELECT l_returnflag, l_linestatus,
@@ -312,6 +357,18 @@ object Relational {
           expr(dsum("c_acctbal")).as("bal"))
         .orderBy(col("g_m"), col("g_n"),
           col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+    },
+
+    // exact interpolated percentile (sort-based, deterministic — unlike
+    // approx_percentile sketches); Spark percentile() == DuckDB quantile_cont
+    Q("agg_percentile",
+      s"""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5d)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9d)"), 6).as("p90"),
+      ).orderBy("l_returnflag")
     },
 
     // HLL sketch — engines' sketches differ, so no SQL oracle (rows-only
