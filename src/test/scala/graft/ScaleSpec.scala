@@ -32,6 +32,16 @@ class ScaleSpec extends AnyFunSuite {
     val lj = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
     s.sql("DROP TABLE IF EXISTS b_orders")
     s.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but leaves their
+    // warehouse dirs behind — remove them or CTAS fails LOCATION_ALREADY_EXISTS
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"target/spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     oj.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("b_orders")
     lj.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")

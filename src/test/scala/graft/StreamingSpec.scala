@@ -92,6 +92,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("file-source readStream: the batch tumbling query runs unchanged on a stream") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // stage the fixture as a streaming source directory
+    val dir = Paths.get("target/tmp/stream_events")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf + "/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts_ntz", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .groupBy(window(col("ts_ntz"), "1 hour").as("w"), col("event_type")).count()
+    val q = stream.writeStream.format("memory").queryName("file_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("file_stream")
+      .select(col("w.start").as("ws"), col("event_type"), col("count").as("cnt"))
+    val batch = SparkEntry.queries("stream_tumbling")(s, d).select("ws", "event_type", "cnt")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0L)
+  }
+
   test("stream_stateful: per-key running count via flatMapGroupsWithState") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
