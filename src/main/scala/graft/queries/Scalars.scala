@@ -163,5 +163,34 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("int").as("k"),
       ).orderBy("event_id")
     },
+
+    // schema-first JSON parse (the reference round-trips typed spec docs:
+    // from_json with an explicit StructType, not string path extraction)
+    Q("fn_json_schema",
+      s"""SELECT event_id, CAST(props->>'$$.k' AS INT) AS k,
+         |  CAST(props->>'$$.k' AS INT) * 2 AS k2
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
+        .select(col("event_id"), col("parsed.k").as("k"),
+          (col("parsed.k") * 2).as("k2"))
+        .orderBy("event_id")
+    },
+
+    // null-handling surface: coalesce / nullif / nvl2-style CASE
+    Q("fn_null",
+      s"""SELECT o_orderkey,
+         |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS st,
+         |  CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 0 ELSE 1 END AS has_final
+         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        coalesce(expr("nullif(o_orderstatus, 'P')"), lit("PENDING")).as("st"),
+        expr("CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 0 ELSE 1 END").as("has_final"),
+      ).orderBy("o_orderkey")
+    },
   )
 }
