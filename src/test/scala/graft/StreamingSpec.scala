@@ -141,4 +141,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(last == Map("u1" -> 3L, "u2" -> 1L))
   }
+
+  test("stream_stateful: transformWithState (Spark 4 state API) running count") {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, ValueState}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    class Counter extends StatefulProcessor[String, (String, Long), (String, Long)] {
+      @transient private var count: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count",
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
+        val total = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(total)
+        Iterator.single((key, total))
+      }
+    }
+    // transformWithState needs the RocksDB state store (multi-column-family)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new Counter, TimeMode.None(), OutputMode.Update())
+      .toDF("k", "running")
+      .writeStream.format("memory").queryName("tws_stream")
+      .outputMode(OutputMode.Update()).start()
+    ms.addData(Seq(("u1", 1L), ("u1", 2L), ("u2", 3L)))
+    q.processAllAvailable()
+    ms.addData(Seq(("u1", 4L)))
+    q.processAllAvailable()
+    q.stop()
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val last = s.table("tws_stream").groupBy("k").agg(max("running").as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("u1" -> 3L, "u2" -> 1L))
+  }
 }
