@@ -33,13 +33,25 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
 
+  // NULL *elements* yield a NULL result even when both array inputs are
+  // non-null, so the BinaryExpression default (input-nullability OR) would
+  // let NullPropagation fold `dot_d(...) IS NULL` to false incorrectly
+  override def nullable: Boolean = true
+
+  // NULL array elements propagate to a NULL result, matching the
+  // `aggregate(zip_with(a, b, (p,q) -> p*q), 0D, (acc,v) -> acc+v)` form
+  // (null product poisons the running sum there too)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,6 +64,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

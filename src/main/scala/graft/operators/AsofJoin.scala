@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *   1. tag left rows side=0 and right rows side=1 carrying their payload,
   *   2. union them (one dataset, one schema),
   *   3. one window partitioned by key, ordered by (ts, side, tieBreak),
-  *      `last(payload, ignoreNulls = true)` over rows unbounded..current,
+  *      `last(payload-struct, ignoreNulls = true)` over rows
+  *      unbounded..current (one struct so the matched row attaches
+  *      wholesale even when payload values are NULL),
   *   4. keep the left rows.
   *
   * Cost: ONE shuffle of |L| + |R| rows and a per-partition sort — the same
@@ -42,46 +44,49 @@ object AsofJoin {
       payload: Seq[String],
       rightTie: String,
   ): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
-    val asofCols = payload.map(c => s"asof_$c")
+    // the payload travels as ONE struct so a match attaches the matched
+    // right row WHOLESALE — per-column last(ignoreNulls) would pick
+    // different right rows for different columns when a payload value is
+    // NULL, diverging from ASOF JOIN semantics (and one struct = one
+    // window pass instead of N)
+    val payloadType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
 
-    val l = left
+    val lPadded = left
       .withColumn("__side", lit(0))
       .withColumn("__tie", lit(null).cast(right.schema(rightTie).dataType))
-    val lPadded = asofCols.zip(payload).foldLeft(l) { case (df, (ac, pc)) =>
-      df.withColumn(ac, lit(null).cast(right.schema(pc).dataType))
-    }
+      .withColumn("__asof", lit(null).cast(payloadType))
 
-    val rBase = right
+    val rTagged = right
       .withColumn("__side", lit(1))
       .withColumn("__tie", col(rightTie))
-    val rTagged = asofCols.zip(payload).foldLeft(rBase) { case (df, (ac, pc)) =>
-      df.withColumn(ac, col(pc))
-    }
+      .withColumn("__asof", struct(payload.map(col): _*))
     val rPadded = leftCols.filterNot(c => c == key || c == ts).foldLeft(rTagged) {
       case (df, c) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
     val unionCols: Seq[Column] =
-      (leftCols ++ Seq("__side", "__tie") ++ asofCols).map(col)
+      (leftCols ++ Seq("__side", "__tie", "__asof")).map(col)
     val unioned = lPadded.select(unionCols: _*)
       .unionByName(rPadded.select(unionCols: _*))
 
-    // side DESC puts right rows first at equal ts? No: we order ASC by
-    // (ts, side) so at equal ts the left row (side 0) precedes the right
-    // row (side 1) and does NOT see it => strict r.ts < l.ts.
+    // ASC by (ts, side): at equal ts the left row (side 0) precedes the
+    // right row (side 1) and does NOT see it => strict r.ts < l.ts.
     val w = Window
       .partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = asofCols.foldLeft(unioned) { case (df, ac) =>
-      df.withColumn(ac, last(col(ac), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__asof",
+      last(col("__asof"), ignoreNulls = true).over(w))
 
+    val projected = leftCols.map(col) ++ payload.map(c =>
+      col("__asof").getField(c).as(s"asof_$c"))
     filled
       .filter(col("__side") === 0)
-      .drop("__side", "__tie")
+      .select(projected: _*)
   }
 }

@@ -128,6 +128,7 @@ object LlmOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
       val grams = toks.repartition(s.sparkContext.defaultParallelism)
+        .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
         .distinct()
@@ -176,6 +177,7 @@ object LlmOps {
       val shingles = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 3) // see dedup_ngram_jaccard: sequence(1,0) descends
         .select(col("doc_id"),
           explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
         .withColumn("h", xxhash64(col("g")))

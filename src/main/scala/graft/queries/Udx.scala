@@ -14,24 +14,24 @@ import graft.{Q, Tables}
 object Udx {
 
   /** Geometric mean as a typed Aggregator. Determinism across partitionings:
-    * each ln(x) is quantised to a scale-12 fixed-point Long (exact integer
-    * sums are order-independent; max |ln| ~ 13 ⇒ 1.3e13 scaled, safe for
-    * ~7e5 rows in a Long), mirroring the oracle's
+    * each ln(x) is quantised to scale-12 decimal (exact decimal sums are
+    * order- and overflow-independent), mirroring the oracle's
     * `exp(CAST(SUM(CAST(ln(x) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*))`.
     */
-  case class GeoBuf(sumScaled: Long, n: Long)
+  case class GeoBuf(sumScaled: BigDecimal, n: Long)
   object GeoMean extends Aggregator[Double, GeoBuf, Double] {
-    private val SCALE = java.math.BigDecimal.valueOf(1000000000000L) // 1e12
-    private def quant(x: Double): Long =
-      new java.math.BigDecimal(math.log(x))
-        .setScale(12, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
-    def zero: GeoBuf = GeoBuf(0L, 0L)
+    // exact decimal accumulator: scale-12 quantised ln values sum without
+    // overflow for any realistic group size (a Long accumulator would wrap
+    // silently past ~7e5 rows — unacceptable at the 100 TB mandate)
+    private def quant(x: Double): BigDecimal =
+      BigDecimal(new java.math.BigDecimal(math.log(x))
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    def zero: GeoBuf = GeoBuf(BigDecimal(0), 0L)
     def reduce(b: GeoBuf, x: Double): GeoBuf = GeoBuf(b.sumScaled + quant(x), b.n + 1)
     def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.sumScaled + b.sumScaled, a.n + b.n)
     def finish(b: GeoBuf): Double =
       if (b.n == 0) Double.NaN
-      else math.exp(new java.math.BigDecimal(b.sumScaled).divide(SCALE).doubleValue() / b.n)
+      else math.exp(b.sumScaled.doubleValue / b.n)
     def bufferEncoder: Encoder[GeoBuf] = Encoders.product[GeoBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
@@ -43,7 +43,10 @@ object Udx {
     Q("udf_scalar",
       s"""SELECT p_partkey, p_retailprice / 453.59237 AS grams
          |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
-      val toGrams = udf((p: Double) => p / 453.59237)
+      // boxed param: a primitive Double would silently turn NULL into 0.0,
+      // diverging from the oracle's NULL-propagating arithmetic
+      val toGrams = udf((p: java.lang.Double) =>
+        if (p == null) null else java.lang.Double.valueOf(p / 453.59237))
       s.udf.register("to_grams", toGrams)
       Tables.part(s, d)
         .select(col("p_partkey"), expr("to_grams(p_retailprice)").as("grams"))
@@ -65,7 +68,8 @@ object Udx {
     Q("udtf_gen",
       s"""SELECT n_nationkey, CAST(unnest(generate_series(1, n_nationkey % 4 + 2)) AS INT) AS well
          |FROM nation ORDER BY n_nationkey, well""".stripMargin) { (s, d) =>
-      val wells = udf((k: Int) => (1 to (k % 4 + 2)).toArray)
+      val wells = udf((k: java.lang.Integer) =>
+        if (k == null) null else (1 to (k % 4 + 2)).toArray)
       s.udf.register("gen_wells", wells)
       Tables.nation(s, d)
         .select(col("n_nationkey"), explode(expr("gen_wells(n_nationkey)")).as("well"))
