@@ -226,6 +226,51 @@ object LlmOps {
         .orderBy("vec_id", "rnk")
     }, None),
 
+    // ANN variant 2 — IVF: seeded KMeans coarse quantizer, probe the
+    // nProbe nearest centroids, exact cosine re-rank of candidates only.
+    // Complements ann_lsh_bucket: IVF adapts buckets to the data
+    // distribution (better recall on clustered corpora), LSH needs no
+    // training. Seeded-training output => rows-only + MlSpec recall.
+    Q("ann_ivf", { (s: SparkSession, d: String) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      graft.functions.DotProduct.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val nClusters = 16
+      val km = new KMeans().setK(nClusters).setSeed(42L)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+      val model = km.fit(e)
+      // bounded: nClusters x dim doubles
+      val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+      val assigned = TextSim.withVecNorm(
+        model.transform(e).select(col("vec_id"), col("embedding"),
+          col("cluster")), "v")
+      // per-probe: the 2 nearest centroids by cosine (computed via a small
+      // exploded centroid table — no driver-side math on row data)
+      val centDf = s.createDataFrame(centroids.map { case (c, i) => (i, c) })
+        .toDF("c_id", "c_emb")
+      val cent = centDf.withColumn("c_n2", expr(TextSim.dotExpr("c_emb", "c_emb")))
+      val probes = assigned.filter(col("vec_id") < 50)
+        .toDF("a_id", "a_cluster", "a_d", "a_n2")
+      val wc = Window.partitionBy("a_id").orderBy(col("csim").desc, col("c_id"))
+      val probeClusters = probes.crossJoin(broadcast(cent))
+        .withColumn("csim", expr(s"${TextSim.dotExpr("a_d", "c_emb")} / sqrt(a_n2 * c_n2)"))
+        .withColumn("crnk", row_number().over(wc))
+        .filter(col("crnk") <= 2)
+        .select("a_id", "a_d", "a_n2", "c_id")
+      val corpus = assigned.toDF("b_id", "b_cluster", "b_d", "b_n2")
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      broadcast(probeClusters)
+        .join(corpus, expr("c_id = b_cluster AND a_id <> b_id"))
+        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), round(col("sim"), 3).as("sim3"))
+        .orderBy("vec_id", "rnk")
+    }, None),
+
     // multimodal: opaque binary column + typed metadata, parity-checked
     Q("mm_binary_meta",
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

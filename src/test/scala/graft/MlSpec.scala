@@ -45,6 +45,15 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall@3 $recall")
   }
 
+  test("IVF ANN keeps recall >= 0.25 vs brute-force top-3") {
+    val ivf = SparkEntry.queries("ann_ivf")(s, d)
+      .select("vec_id", "neighbor_id")
+    val brute = SparkEntry.queries("sim_cosine_topk")(s, d)
+      .select("vec_id", "neighbor_id")
+    val recall = ivf.intersect(brute).count().toDouble / brute.count()
+    assert(recall >= 0.25, s"IVF recall@3 $recall")
+  }
+
   test("RF pipeline learns a separable target from embeddings") {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.classification.RandomForestClassifier
