@@ -359,6 +359,16 @@ object Relational {
           col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
     },
 
+    // ordered string aggregation (robot-CSV row assembly analog): sorted
+    // DISTINCT segment list per nation
+    Q("agg_string_agg",
+      s"""SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set("c_mktsegment")), ",").as("segs"))
+        .orderBy("c_nationkey")
+    },
+
     // exact interpolated percentile (sort-based, deterministic — unlike
     // approx_percentile sketches); Spark percentile() == DuckDB quantile_cont
     Q("agg_percentile",

@@ -46,6 +46,23 @@ object Windows {
       ).orderBy("event_id")
     },
 
+    Q("window_nth",
+      s"""SELECT c_custkey,
+         |  nth_value(c_name, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_c,
+         |  last_value(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_c
+         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        nth_value(col("c_name"), 2).over(w).as("second_c"),
+        last(col("c_name")).over(w).as("last_c"),
+      ).orderBy("c_custkey")
+    },
+
     Q("window_frame_rows",
       s"""SELECT o_orderkey, o_custkey,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
