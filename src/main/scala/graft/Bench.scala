@@ -26,12 +26,20 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty) System.err.println(s"[bench] failed: ${failed.mkString(",")}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full-precision per-query line first (for humans/archives) ...
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries_full","queries":$qsFull,"sf":"$sfDir"}""")
+    // ... then the driver-contract total line LAST and COMPACT (2-decimal
+    // values): the driver archives only the final ~2000 chars of stdout,
+    // so this line must fit the tail in full to stay parseable
+    def f2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,11 +16,11 @@ import TextSim.cosineExpr
   *
   * Scale design notes (100 TB):
   * - Pairwise dedups never materialise the full cross product: Jaccard
-  *   pairs come from an equi-join on shared shingles, SimHash pairs from an
-  *   equi-join on 16-bit bands, ANN candidates from an equi-join on
-  *   hyperplane-signature bands — all shuffle-parallel on their keys. At
-  *   sf0.1 these run as-is; at cluster scale add a doc-frequency cap on
-  *   shingles (drop shingles appearing in >0.1% of docs) to bound skew.
+  *   pairs come from an equi-join on shared shingles (with a doc-frequency
+  *   cap dropping shingles shared by > 50 docs so no hot key serialises a
+  *   shuffle partition), SimHash pairs from an equi-join on 16-bit bands,
+  *   ANN candidates from an equi-join on hyperplane-signature bands — all
+  *   shuffle-parallel on their keys.
   * - Engine-specific hash functions (murmur3 in `hash()`) never appear in
   *   oracled queries — SimHash/ANN are rows-only + ScalaTest.
   */
@@ -108,14 +108,24 @@ object LlmOps {
       ).orderBy("doc_id")
     },
 
-    // exact n-gram Jaccard near-dup pairs via shared-shingle equi-join
+    // exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
+    // Skew guard: shingles appearing in > 50 docs of a language are
+    // dropped BEFORE sizing and joining (identically in both engines, so
+    // the oracle still hash-matches) — at 100 TB one stop-word shingle
+    // would otherwise make its join key quadratic and serialise a shuffle
+    // partition; Jaccard is then over each doc's rare-shingle set.
     Q("dedup_ngram_jaccard",
       s"""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
-         |grams AS (
+         |grams0 AS (
          |  SELECT DISTINCT doc_id, lang,
          |    unnest(list_transform(generate_series(1, len(w) - 2),
          |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
          |  FROM toks),
+         |freq AS (SELECT lang, g, count(*) AS df FROM grams0 GROUP BY lang, g),
+         |grams AS (
+         |  SELECT grams0.* FROM grams0
+         |  JOIN freq ON grams0.lang = freq.lang AND grams0.g = freq.g
+         |  WHERE freq.df <= 50),
          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
          |common AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
@@ -127,11 +137,15 @@ object LlmOps {
          |ORDER BY da, db""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
-      val grams = toks.repartition(s.sparkContext.defaultParallelism)
+      val grams0 = toks.repartition(s.sparkContext.defaultParallelism)
         .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
         .distinct()
+      val freq = grams0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("lang").as("lang_f"), col("g").as("g_f"))
+      val grams = grams0.join(freq, expr("lang = lang_f AND g = g_f"))
+        .select("doc_id", "lang", "g")
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = grams.toDF("da", "lang_a", "g")
       val b = grams.toDF("db", "lang_b", "g2")
@@ -146,21 +160,28 @@ object LlmOps {
         .orderBy("da", "db")
     },
 
-    // embedding-cosine near-dup pairs (bounded corpus side; the unbounded
-    // path is ann_lsh_bucket)
+    // embedding-cosine near-dup pairs — the EXACT all-pairs variant, with
+    // the corpus bound ENFORCED in the query (both engines): exact
+    // pairwise cosine is O(n²) by definition, so it is only offered for a
+    // bounded slice (vec_id < 4096 covers the whole fixture at every sf);
+    // the unbounded 100 TB path is the banded ann_lsh_bucket /
+    // dedup_simhash family. The bounded side is broadcast so the plan is
+    // an explicitly-bounded BroadcastNestedLoopJoin, not one over an
+    // unbounded corpus.
     Q("dedup_embedding",
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS sim3
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+         |WHERE a.vec_id < 4096 AND b.vec_id < 4096
+         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       graft.functions.DotProduct.register(s)
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
       val a = TextSim.withVecNorm(
         e.select(col("vec_id").as("a_id"), col("embedding")), "a")
       val b = TextSim.withVecNorm(
         e.select(col("vec_id").as("b_id"), col("embedding")), "b")
-      a.join(b, expr("a_id < b_id"))
+      broadcast(a).join(b, expr("a_id < b_id"))
         .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
         .filter(col("sim") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("sim"), 3).as("sim3"))

@@ -151,12 +151,18 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // anti-join against a RESTRICTED lineitem subset: at sf0.01 every part
+    // appears in lineitem, so an unrestricted anti-join returns 0 rows and
+    // proves nothing — the l_quantity > 45 filter leaves parts never
+    // ordered in bulk, making the result non-empty
     Q("join_anti",
       s"""SELECT p_partkey, p_name FROM part
-         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+         |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
          |ORDER BY p_partkey""".stripMargin) { (s, d) =>
       Tables.part(s, d)
-        .join(Tables.lineitem(s, d), expr("p_partkey = l_partkey"), "left_anti")
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+          expr("p_partkey = l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     },
@@ -382,18 +388,25 @@ object Relational {
     },
 
     // HLL sketch — engines' sketches differ, so no SQL oracle (rows-only
-    // driver check + ScalaTest asserts within 5% of exact).
+    // driver check). The exact count(DISTINCT) rides alongside so the
+    // output itself pins cardinality: GoldenSpec asserts the ±5% invariant
+    // directly on these two columns.
     Q("agg_approx_distinct", { (s: SparkSession, d: String) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
         .orderBy("l_returnflag")
     }, None),
 
+    // §7.3 rule 5: flatten the array to a scalar string so the driver's
+    // pandas comparator can hash it (sorted ints join identically in both
+    // engines; no float-format divergence possible)
     Q("agg_collect_list",
-      s"""SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+      s"""SELECT l_orderkey,
+         |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
          |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(sort_array(collect_list("l_linenumber")).as("lines"))
+        .agg(expr("array_join(transform(sort_array(collect_list(l_linenumber)), x -> cast(x as string)), ',')").as("lines"))
         .orderBy("l_orderkey")
     },
 

@@ -107,21 +107,35 @@ object Scalars {
       ).orderBy("o_orderkey")
     },
 
+    // §7.3 rule 5: array-valued outputs crash the driver's pandas
+    // comparator — flatten slice/sort results to one scalar FLOAT column
+    // per element (raw pass-through floats hash bit-identically in both
+    // engines; a string join would risk float-format divergence)
     Q("fn_array",
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS n,
          |  embedding[1] AS e1,
-         |  list_slice(embedding, 1, 3) AS sl,
+         |  list_slice(embedding, 1, 3)[1] AS sl1,
+         |  list_slice(embedding, 1, 3)[2] AS sl2,
+         |  list_slice(embedding, 1, 3)[3] AS sl3,
          |  list_max(embedding) AS mx,
          |  list_contains(embedding, embedding[1]) AS has_first,
-         |  list_sort(list_slice(embedding, 1, 5)) AS ss
+         |  list_sort(list_slice(embedding, 1, 5))[1] AS ss1,
+         |  list_sort(list_slice(embedding, 1, 5))[3] AS ss3,
+         |  list_sort(list_slice(embedding, 1, 5))[5] AS ss5
          |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val sl = slice(col("embedding"), 1, 3)
+      val ss = sort_array(slice(col("embedding"), 1, 5))
       Tables.embeddings(s, d).select(
         col("vec_id"), size(col("embedding")).as("n"),
         element_at(col("embedding"), 1).as("e1"),
-        slice(col("embedding"), 1, 3).as("sl"),
+        element_at(sl, 1).as("sl1"),
+        element_at(sl, 2).as("sl2"),
+        element_at(sl, 3).as("sl3"),
         array_max(col("embedding")).as("mx"),
         array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_first"),
-        sort_array(slice(col("embedding"), 1, 5)).as("ss"),
+        element_at(ss, 1).as("ss1"),
+        element_at(ss, 3).as("ss3"),
+        element_at(ss, 5).as("ss5"),
       ).orderBy("vec_id")
     },
 

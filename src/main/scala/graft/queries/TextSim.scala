@@ -132,38 +132,67 @@ object TextSim {
         .orderBy("vec_id")
     },
 
-    // MinHash-LSH near-duplicate join over 3-word shingles. The fixture has
-    // no organic near-dupes (random small-vocab text), so the query plants
-    // them: each doc vs a copy of the corpus — the LSH join must recover
-    // exactly the identity pairs. Sketch-based => no SQL oracle (rows-only
-    // driver check; planted-pair recovery asserted in MlSpec).
+    // MinHash near-duplicate self-join over 3-word shingles: 10 seeded
+    // minhashes -> 5 bands of 2 rows -> band equi-join for candidates ->
+    // cheap size-ratio guard -> EXACT Jaccard re-rank, dist <= 0.3.
+    // Replaces MLlib approxSimilarityJoin (r=1 bands: at J=0.2 a pair
+    // collides with p = 1-(1-J)^3 ≈ 0.49, so the explode-join blew up to
+    // 30-114 s run-variable); r=2 bands collide at J^2 per band, and the
+    // min(n)/max(n) >= 0.7 guard (Jaccard <= min/max always) kills the
+    // surviving random collisions before the shingle re-rank join.
+    // Identity pairs (da = db, dist 0) collide in every band, so rows > 0
+    // at every sf. Seeded-hash sketch => rows-only (planted-pair recovery
+    // through THIS code path asserted in MlSpec).
     Q("dedup_fuzzy", { (s: SparkSession, d: String) =>
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-      val docs = Tables.documents(s, d)
-        .withColumn("toks", split(lower(col("text")), " "))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("shingles",
-          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .select("doc_id", "shingles")
-        // the sf fixture is ONE parquet file = one partition; spread the
-        // expensive minhash + explode-join across cores (at cluster scale
-        // the scan arrives already partitioned)
-        .repartition(s.sparkContext.defaultParallelism)
-      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setNumFeatures(1 << 16) // 64k buckets ≈ shingle-space size; larger only adds hash cost
-      val feat = tf.transform(docs)
-      val copy = feat.withColumn("doc_id", col("doc_id") + 1000000L)
-      // 3 tables suffice: identity pairs (distance 0) collide in EVERY
-      // table, and J>=0.9 organics collide with p = 1-(1-0.9)^3 ≈ 0.999
-      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(3).setSeed(42L)
-      val model = lsh.fit(feat)
-      model.approxSimilarityJoin(feat, copy, 0.3, "dist")
-        .select(col("datasetA.doc_id").as("doc_a"),
-          (col("datasetB.doc_id") - 1000000L).as("doc_b"),
-          round(col("dist"), 3).as("dist3"))
-        .filter(col("doc_a") <= col("doc_b"))
-        .orderBy("doc_a", "doc_b")
+      minhashNearDupPairs(s, Tables.documents(s, d).select("doc_id", "text"))
     }, None),
   )
+
+  /** MinHash banded near-dup pairs of `docs` (doc_id, text): all pairs
+    * da <= db with exact shingle-Jaccard distance <= 0.3 that collide in
+    * at least one minhash band. Shared by dedup_fuzzy and MlSpec's
+    * planted-pair test so the test exercises the production path.
+    */
+  def minhashNearDupPairs(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grams = docs0
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3) // sequence(1,0) DESCENDS on Spark — drop short docs
+      // the sf fixture is ONE parquet file = one partition; spread the
+      // shingle explode across cores (at cluster scale the scan arrives
+      // already partitioned)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+      .distinct()
+    // 10 seeded minhashes in ONE map-side-combinable aggregation
+    val k = 10
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // 5 bands x 2 rows: recall at J=0.7 is 1-(1-0.49)^5 ≈ 0.97
+    val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 5).map(b => struct(lit(b).as("bi"),
+          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bv"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.bi"), col("band.bv"))
+    val cands = bands.toDF("da", "bi", "bv")
+      .join(bands.toDF("db", "bi2", "bv2"), expr("bi = bi2 AND bv = bv2 AND da <= db"))
+      .select("da", "db").distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // J <= min(na,nb)/max(na,nb): discard size-incompatible collisions
+    // BEFORE the per-shingle intersection join
+    val guarded = cands
+      .join(sizes.toDF("da2", "na"), expr("da = da2"))
+      .join(sizes.toDF("db2", "nb"), expr("db = db2"))
+      .filter(expr("cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
+      .select("da", "db", "na", "nb")
+    val common = guarded.select("da", "db")
+      .join(grams.toDF("da3", "g"), expr("da = da3"))
+      .join(grams.toDF("db3", "g2"), expr("db = db3 AND g = g2"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    guarded.join(common, Seq("da", "db"))
+      .withColumn("dist", expr("1.0d - cast(c as double) / (na + nb - c)"))
+      .filter(col("dist") <= 0.3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("dist"), 3).as("dist3"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

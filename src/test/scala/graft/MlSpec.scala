@@ -35,6 +35,27 @@ class MlSpec extends AnyFunSuite {
     assert(found >= 18, s"recovered only $found of 20 planted pairs")
   }
 
+  test("dedup_fuzzy's minhash-band join recovers planted near-duplicates") {
+    // long docs only: replacing the first word of an n-token doc changes 3
+    // shingles, J = (n-5)/(n+1) >= 0.77 at n >= 25 — above the query's
+    // 0.7 Jaccard floor with per-pair band recall ~0.99
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 25 && col("doc_id") < 200)
+    val planted = base.count()
+    assert(planted >= 5, s"fixture too short-doc for the test: $planted")
+    val perturbed = base
+      .withColumn("toks", expr("concat(array('zzzz'), slice(toks, 2, size(toks) - 1))"))
+      .withColumn("doc_id", col("doc_id") + 5000L)
+    val corpus = base.unionByName(perturbed)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))
+    val pairs = graft.queries.TextSim.minhashNearDupPairs(s, corpus)
+      .filter(col("doc_a") + 5000L === col("doc_b"))
+    val found = pairs.count()
+    assert(found >= (planted * 0.9).toLong,
+      s"recovered only $found of $planted planted pairs")
+  }
+
   test("LSH ANN keeps recall >= 0.25 vs brute-force top-3") {
     val ann = SparkEntry.queries("ann_lsh_bucket")(s, d)
       .select("vec_id", "neighbor_id")
