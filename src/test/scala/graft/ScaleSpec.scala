@@ -63,6 +63,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_fuzzy plans as banded equi-joins: no nested-loop, no cartesian") {
+    val plan = SparkEntry.queries("dedup_fuzzy")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "minhash-band candidate join must stay an equi-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup_embedding's all-pairs join is over the ENFORCED bounded corpus") {
+    val plan = SparkEntry.queries("dedup_embedding")(s, d)
+      .queryExecution.executedPlan.toString
+    // the exact O(n^2) variant is only offered behind the vec_id < 4096
+    // bound — the scan itself must be pre-filtered (pushdown), so the
+    // nested-loop can never see an unbounded corpus
+    assert(plan.contains("vec_id"), plan)
+    assert(plan.contains("4096"), "corpus bound must appear in the plan")
+  }
+
+  test("dedup_ngram_jaccard caps shingle doc-frequency before the pair join") {
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(s, d)
+      .queryExecution.optimizedPlan.toString
+    // the df <= 50 hot-shingle cap guards the quadratic join key
+    assert(plan.contains("50"), "doc-frequency cap must survive optimization")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("flagship plan: filter pushdown and column pruning reach the scan") {
     val plan = queries.Relational.flagship(s, d).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
