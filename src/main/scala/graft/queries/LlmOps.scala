@@ -259,7 +259,12 @@ object LlmOps {
       val e = Tables.embeddings(s, d)
         .withColumn("features", array_to_vector(col("embedding")))
       val nClusters = 16
+      // coarse quantizer, not a clustering deliverable: random init + few
+      // Lloyd iterations is standard IVF practice (k-means|| init alone
+      // costs more passes than the whole fit needs); seeded => same
+      // centroids, deterministic output every run
       val km = new KMeans().setK(nClusters).setSeed(42L)
+        .setInitMode("random").setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cluster")
       val model = km.fit(e)
       // bounded: nClusters x dim doubles
