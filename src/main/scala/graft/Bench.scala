@@ -10,10 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM (codegen pipeline, parquet reader classes) so the first
-    // timed query doesn't absorb one-time JIT/classloading cost
+    // warm the JVM (codegen pipeline, parquet reader, join/window/agg
+    // operator classes, noop sink) so the first timed query doesn't absorb
+    // one-time JIT/classloading cost — rounds 4-5 showed 1-9 s phantom
+    // outliers on whichever query first touched WindowExec / SortMergeJoin
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val wa = spark.range(100000).selectExpr("id % 100 as k", "id as v")
+    val wb = spark.range(1000).selectExpr("id as k2", "id as v2")
+    wa.join(wb, wa("k") === wb("k2")).groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    wa.selectExpr("k", "v",
+        "row_number() over (partition by k order by v) as rn",
+        "sum(v) over (partition by k order by v rows between 1 preceding and current row) as rs")
+      .filter("rn <= 2").write.format("noop").mode("overwrite").save()
     // drive each query through a noop SINK, not .count(): count() lets
     // Catalyst drop the final sort and prune every computed column, so it
     // would time a bare row-count scan instead of the query's actual work

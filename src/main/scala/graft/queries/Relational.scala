@@ -391,10 +391,16 @@ object Relational {
     // driver check). The exact count(DISTINCT) rides alongside so the
     // output itself pins cardinality: GoldenSpec asserts the ±5% invariant
     // directly on these two columns.
+    // both aggregates run over the pre-distincted (flag, partkey) pairs:
+    // HLL is duplicate-insensitive (identical sketch, identical estimate)
+    // and the exact count becomes a plain count(*) — one shuffle, no
+    // Expand row-duplication that mixing count(DISTINCT) with another
+    // aggregate would otherwise plan
     Q("agg_approx_distinct", { (s: SparkSession, d: String) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
+      Tables.lineitem(s, d).select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         .orderBy("l_returnflag")
     }, None),
 

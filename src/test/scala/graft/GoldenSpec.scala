@@ -56,6 +56,16 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 15)
   }
 
+  test("dedup_fuzzy: deterministic 500 identity + 28 organic pairs at sf0.001") {
+    // seeded xxhash64 minhashes — unlike the MLlib rand-based sketch this
+    // output is reproducible run to run, so pin it exactly
+    val rows = run("dedup_fuzzy").collect()
+    assert(rows.length == 528, s"got ${rows.length}")
+    val identity = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(identity.length == 500)
+    assert(identity.forall(_.getDouble(2) == 0.0), "identity pairs must have dist 0")
+  }
+
   test("agg_approx_distinct: HLL estimate within 5% of exact") {
     // the query now emits both the sketch and the exact count — assert
     // the ±5% invariant directly on the query's own output
