@@ -142,10 +142,13 @@ object LlmOps {
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
         .distinct()
+        .persist() // feeds freq AND the capped join; Catalyst does not
+                   // reuse the explode+distinct exchange across branches
       val freq = grams0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select(col("lang").as("lang_f"), col("g").as("g_f"))
       val grams = grams0.join(freq, expr("lang = lang_f AND g = g_f"))
         .select("doc_id", "lang", "g")
+        .persist() // three consumers: sizes + both self-join sides
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = grams.toDF("da", "lang_a", "g")
       val b = grams.toDF("db", "lang_b", "g2")
@@ -202,12 +205,16 @@ object LlmOps {
         .select(col("doc_id"),
           explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
         .withColumn("h", xxhash64(col("g")))
-      val sig = shingles
-        .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("b"), col("h"))
-        .withColumn("v", expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
-        .groupBy("doc_id", "b").agg(sum("v").as("sv"))
-        .withColumn("bit", expr("CASE WHEN sv >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
-        .groupBy("doc_id").agg(sum(expr("shiftleft(bit, b)")).as("sig"))
+      // single-pass signature: 64 map-side-combinable sign-sums (one agg
+      // column per bit) instead of exploding 64 rows per shingle — same
+      // sums, same bits, 1/64th the rows through the shuffle
+      val bitSums = (0 until 64).map(b =>
+        sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sv$b"))
+      val sigBits = (0 until 64).map(b =>
+        expr(s"CASE WHEN sv$b >= 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END"))
+      val sig = shingles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sigBits.reduce(_ + _).as("sig"))
+        .persist() // two band-join branches below; tiny (one long per doc)
       val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("bi"))
         .withColumn("bv", expr("(shiftright(sig, bi * 8)) & 255"))

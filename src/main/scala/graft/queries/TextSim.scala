@@ -164,26 +164,28 @@ object TextSim {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
       .distinct()
-    // 10 seeded minhashes in ONE map-side-combinable aggregation
+      .persist() // four consumers (signature, sizes, both re-rank sides);
+                 // Catalyst does not reuse the explode+distinct exchange
+    // 10 seeded minhashes AND the doc's shingle count in ONE
+    // map-side-combinable aggregation; n rides through the bands so no
+    // separate sizes aggregation/joins are needed later
     val k = 10
-    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-    val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    val sig = grams.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     // 5 bands x 2 rows: recall at J=0.7 is 1-(1-0.49)^5 ≈ 0.97
-    val bands = sig.select(col("doc_id"), explode(array(
+    val bands = sig.select(col("doc_id"), col("n"), explode(array(
         (0 until 5).map(b => struct(lit(b).as("bi"),
           xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bv"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.bi"), col("band.bv"))
-    val cands = bands.toDF("da", "bi", "bv")
-      .join(bands.toDF("db", "bi2", "bv2"), expr("bi = bi2 AND bv = bv2 AND da <= db"))
-      .select("da", "db").distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // J <= min(na,nb)/max(na,nb): discard size-incompatible collisions
-    // BEFORE the per-shingle intersection join
-    val guarded = cands
-      .join(sizes.toDF("da2", "na"), expr("da = da2"))
-      .join(sizes.toDF("db2", "nb"), expr("db = db2"))
-      .filter(expr("cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
-      .select("da", "db", "na", "nb")
+      .select(col("doc_id"), col("n"), col("band.bi"), col("band.bv"))
+    // J <= min(na,nb)/max(na,nb): the size-ratio guard discards
+    // size-incompatible collisions IN the candidate join itself,
+    // before the per-shingle intersection join
+    val guarded = bands.toDF("da", "na", "bi", "bv")
+      .join(bands.toDF("db", "nb", "bi2", "bv2"),
+        expr("bi = bi2 AND bv = bv2 AND da <= db" +
+          " AND cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
+      .select("da", "db", "na", "nb").distinct()
     val common = guarded.select("da", "db")
       .join(grams.toDF("da3", "g"), expr("da = da3"))
       .join(grams.toDF("db3", "g2"), expr("db = db3 AND g = g2"))
