@@ -281,7 +281,7 @@ object LlmOps {
           col("cluster")), "v")
       // per-probe: the 2 nearest centroids by cosine (computed via a small
       // exploded centroid table — no driver-side math on row data)
-      val centDf = s.createDataFrame(centroids.map { case (c, i) => (i, c) })
+      val centDf = s.createDataFrame(centroids.toIndexedSeq.map { case (c, i) => (i, c) })
         .toDF("c_id", "c_emb")
       val cent = centDf.withColumn("c_n2", expr(TextSim.dotExpr("c_emb", "c_emb")))
       val probes = assigned.filter(col("vec_id") < 50)
