@@ -108,59 +108,47 @@ object LlmOps {
       ).orderBy("doc_id")
     },
 
-    // exact n-gram Jaccard near-dup pairs via shared-shingle equi-join.
-    // Skew guard: shingles appearing in > 50 docs of a language are
-    // dropped BEFORE sizing and joining (identically in both engines, so
-    // the oracle still hash-matches) — at 100 TB one stop-word shingle
-    // would otherwise make its join key quadratic and serialise a shuffle
-    // partition; Jaccard is then over each doc's rare-shingle set.
+    // exact n-gram Jaccard near-dup pairs via shared-shingle equi-join
+    // (pair generator + skew guard factored into jaccardPairs below)
     Q("dedup_ngram_jaccard",
-      s"""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
-         |grams0 AS (
-         |  SELECT DISTINCT doc_id, lang,
-         |    unnest(list_transform(generate_series(1, len(w) - 2),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-         |  FROM toks),
-         |freq AS (SELECT lang, g, count(*) AS df FROM grams0 GROUP BY lang, g),
-         |grams AS (
-         |  SELECT grams0.* FROM grams0
-         |  JOIN freq ON grams0.lang = freq.lang AND grams0.g = freq.g
-         |  WHERE freq.df <= 50),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-         |  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-         |  GROUP BY da, db)
-         |SELECT da, db, round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 3) AS jac
-         |FROM common JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
-         |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+      s"""WITH $jaccardCte
+         |SELECT da, db, round(jac, 3) AS jac FROM jpairs
          |ORDER BY da, db""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
-      val grams0 = toks.repartition(s.sparkContext.defaultParallelism)
-        .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
-        .select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
-        .distinct()
-        .persist() // feeds freq AND the capped join; Catalyst does not
-                   // reuse the explode+distinct exchange across branches
-      val freq = grams0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select(col("lang").as("lang_f"), col("g").as("g_f"))
-      val grams = grams0.join(freq, expr("lang = lang_f AND g = g_f"))
-        .select("doc_id", "lang", "g")
-        .persist() // three consumers: sizes + both self-join sides
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = grams.toDF("da", "lang_a", "g")
-      val b = grams.toDF("db", "lang_b", "g2")
-      val common = a.join(b, expr("g = g2 AND lang_a = lang_b AND da < db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.toDF("da2", "na"), expr("da = da2"))
-        .join(sizes.toDF("db2", "nb"), expr("db = db2"))
-        .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
-        .select(col("da"), col("db"),
-          expr("round(cast(c as double) / (na + nb - c), 3)").as("jac"))
+      jaccardPairs(s, d)
+        .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
         .orderBy("da", "db")
+    },
+
+    // duplicate CLUSTERING: connected components over the exact Jaccard
+    // pair graph (transitive closure — A~B and B~C cluster A,B,C even if
+    // A,C never pair), min-id representative per cluster. What a real
+    // pipeline keeps is is_rep = true. Oracled end-to-end: DuckDB
+    // computes the same components with a recursive CTE.
+    Q("dedup_cluster",
+      s"""WITH RECURSIVE $jaccardCte,
+         |sym AS (
+         |  SELECT da AS a, db AS b FROM jpairs
+         |  UNION SELECT db, da FROM jpairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+         |)
+         |SELECT node AS doc_id, min(r) AS cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY min(r)) AS INT) AS cluster_size,
+         |  CAST(node = min(r) AS BOOLEAN) AS is_rep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.ConnectedComponents
+      val edges = jaccardPairs(s, d)
+        .select(col("da").as("a"), col("db").as("b"))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val w = Window.partitionBy("cluster_id")
+      ConnectedComponents.minLabel(nodes, edges)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
+        .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
     },
 
     // embedding-cosine near-dup pairs — the EXACT all-pairs variant, with
@@ -324,4 +312,67 @@ object LlmOps {
         .orderBy("doc_id")
     }, None),
   )
+
+  /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped
+    * shared-shingle exact-Jaccard pair graph (jac >= 0.5), shared by the
+    * dedup_ngram_jaccard and dedup_cluster oracles so both engines always
+    * agree on the same pair set.
+    */
+  // a def, not a val: `all` above references it during object init, and a
+  // forward val reference would still be null at that point
+  private def jaccardCte: String =
+    """toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+      |grams0 AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM toks),
+      |freq AS (SELECT lang, g, count(*) AS df FROM grams0 GROUP BY lang, g),
+      |grams AS (
+      |  SELECT grams0.* FROM grams0
+      |  JOIN freq ON grams0.lang = freq.lang AND grams0.g = freq.g
+      |  WHERE freq.df <= 50),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY da, db),
+      |jpairs AS (
+      |  SELECT da, db, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
+      |  FROM common JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5)""".stripMargin
+
+  /** Spark twin of `jaccardCte`: (da, db, jac) with jac >= 0.5. Skew
+    * guard: shingles appearing in > 50 docs of a language are dropped
+    * BEFORE sizing and joining — at 100 TB one stop-word shingle would
+    * otherwise make its join key quadratic and serialise a shuffle
+    * partition; Jaccard is then over each doc's rare-shingle set.
+    */
+  private def jaccardPairs(s: SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
+    val grams0 = toks.repartition(s.sparkContext.defaultParallelism)
+      .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+      .distinct()
+      .persist() // feeds freq AND the capped join; Catalyst does not
+                 // reuse the explode+distinct exchange across branches
+    val freq = grams0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("lang").as("lang_f"), col("g").as("g_f"))
+    val grams = grams0.join(freq, expr("lang = lang_f AND g = g_f"))
+      .select("doc_id", "lang", "g")
+      .persist() // three consumers: sizes + both self-join sides
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = grams.toDF("da", "lang_a", "g")
+    val b = grams.toDF("db", "lang_b", "g2")
+    val common = a.join(b, expr("g = g2 AND lang_a = lang_b AND da < db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("da2", "na"), expr("da = da2"))
+      .join(sizes.toDF("db2", "nb"), expr("db = db2"))
+      .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
+      .select(col("da"), col("db"),
+        expr("cast(c as double) / (na + nb - c)").as("jac"))
+  }
 }

@@ -56,6 +56,26 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 15)
   }
 
+  test("dedup_cluster: pair endpoints co-cluster; one rep per cluster") {
+    val clusters = run("dedup_cluster").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+    // every doc appears exactly once
+    assert(clusters.size == run("scan_parquet").sparkSession
+      .read.parquet(s"$d/documents.parquet").count())
+    // each jaccard pair's endpoints must share a cluster id
+    run("dedup_ngram_jaccard").collect().foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      assert(clusters(da)._1 == clusters(db)._1, s"pair ($da,$db) split across clusters")
+    }
+    // exactly one representative per cluster, and it is the min doc_id
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._2._3) == 1, s"cluster $cid rep count != 1")
+      assert(members.keys.min == cid, s"cluster $cid id is not the min member")
+      members.foreach { case (_, (_, size, _)) => assert(size == members.size) }
+    }
+  }
+
   test("dedup_fuzzy: deterministic 500 identity + 28 organic pairs at sf0.001") {
     // seeded xxhash64 minhashes — unlike the MLlib rand-based sketch this
     // output is reproducible run to run, so pin it exactly

@@ -63,6 +63,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ConnectedComponents.minLabel: chains close transitively, islands stay apart") {
+    import graft.operators.ConnectedComponents
+    import s.implicits._
+    // component {1,2,3} via chain 1-2, 2-3 (1 and 3 never share an edge),
+    // component {5,6}, isolated node 9
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("node")
+    val got = ConnectedComponents.minLabel(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("dedup_fuzzy plans as banded equi-joins: no nested-loop, no cartesian") {
     val plan = SparkEntry.queries("dedup_fuzzy")(s, d)
       .queryExecution.executedPlan.toString
