@@ -141,11 +141,18 @@ object LlmOps {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.operators.ConnectedComponents
       val edges = jaccardPairs(s, d)
-        .select(col("da").as("a"), col("db").as("b"))
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+        .select(col("da").as("a"), col("db").as("b")).persist()
+      // only pair-connected docs need label propagation — every other doc
+      // is trivially its own singleton cluster, so the iterative rounds
+      // run on the (tiny) pair subgraph, not the corpus
+      val participants = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      val labels = ConnectedComponents.minLabel(participants, edges)
+        .withColumnRenamed("node", "p_id")
       val w = Window.partitionBy("cluster_id")
-      ConnectedComponents.minLabel(nodes, edges)
-        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("p_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
         .withColumn("is_rep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")
