@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.multimodal.Multimodal
-import TextSim.cosineExpr
 
 /** SURVEY.md §2.13 (north-star `[N]`) — the large-scale training-data
   * pipeline suite beyond the reference's own surface: deduplication
-  * (n-gram Jaccard, SimHash, embedding cosine), LSH-bucketed ANN, text
-  * analysis (language-ID heuristic, quality scoring, token counting,
-  * fingerprinting), and multimodal binary-column plumbing.
+  * (n-gram Jaccard pairs + connected-component clustering, SimHash,
+  * embedding cosine), LSH-bucketed ANN, text analysis (language-ID
+  * heuristic, quality scoring, token counting, fingerprinting), and
+  * multimodal binary-column plumbing.
   *
   * Scale design notes (100 TB):
   * - Pairwise dedups never materialise the full cross product: Jaccard
