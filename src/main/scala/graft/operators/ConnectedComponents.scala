@@ -47,6 +47,9 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
+    // labels was materialized by the convergence count; drop the cached
+    // edge list (recompute through lineage only on cache eviction)
+    sym.unpersist(blocking = false)
     labels
   }
 }
