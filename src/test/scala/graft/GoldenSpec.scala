@@ -60,8 +60,7 @@ class GoldenSpec extends AnyFunSuite {
     val clusters = run("dedup_cluster").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
     // every doc appears exactly once
-    assert(clusters.size == run("scan_parquet").sparkSession
-      .read.parquet(s"$d/documents.parquet").count())
+    assert(clusters.size == Tables.documents(s, d).count())
     // each jaccard pair's endpoints must share a cluster id
     run("dedup_ngram_jaccard").collect().foreach { r =>
       val (da, db) = (r.getLong(0), r.getLong(1))
