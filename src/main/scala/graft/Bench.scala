@@ -20,6 +20,10 @@ object Bench {
     val wb = spark.range(1000).selectExpr("id as k2", "id as v2")
     wa.join(wb, wa("k") === wb("k2")).groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
+    // the tiny build side auto-broadcasts above, so that join only warms
+    // BroadcastHashJoin — hint merge to load SortMergeJoinExec too
+    wa.join(wb.hint("merge"), wa("k") === wb("k2")).groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
     wa.selectExpr("k", "v",
         "row_number() over (partition by k order by v) as rn",
         "sum(v) over (partition by k order by v rows between 1 preceding and current row) as rs")
@@ -34,7 +38,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // some dedup queries persist() intermediates; drop them OUTSIDE the
+      // timed region so cached tables never skew a later query's timing
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val failed = results.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty) System.err.println(s"[bench] failed: ${failed.mkString(",")}")

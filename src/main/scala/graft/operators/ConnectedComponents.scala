@@ -24,7 +24,7 @@ object ConnectedComponents {
     * must cover every vertex (isolated ones included). Returns
     * (node, lbl) where lbl = min node id of the component.
     */
-  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
@@ -50,6 +50,11 @@ object ConnectedComponents {
     // labels was materialized by the convergence count; drop the cached
     // edge list (recompute through lineage only on cache eviction)
     sym.unpersist(blocking = false)
+    // returning unconverged labels would be SILENTLY wrong output (split
+    // components) — fail loudly instead; maxIter bounds diameter, not a
+    // best-effort budget
+    require(converged,
+      s"connected components did not converge within $maxIter rounds — component diameter exceeds maxIter")
     labels
   }
 }

@@ -96,8 +96,11 @@ class ScaleSpec extends AnyFunSuite {
   test("dedup_ngram_jaccard caps shingle doc-frequency before the pair join") {
     val plan = SparkEntry.queries("dedup_ngram_jaccard")(s, d)
       .queryExecution.optimizedPlan.toString
-    // the df <= 50 hot-shingle cap guards the quadratic join key
-    assert(plan.contains("50"), "doc-frequency cap must survive optimization")
+    // the df <= 50 hot-shingle cap guards the quadratic join key; match
+    // the actual filter condition, not a bare "50" (expression IDs make
+    // that substring vacuously present)
+    assert("df#\\d+L? <= 50".r.findFirstIn(plan).isDefined,
+      "doc-frequency cap must survive optimization")
     assert(!plan.contains("CartesianProduct"))
   }
 

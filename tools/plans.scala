@@ -5,7 +5,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "sim_cosine_topk", "dedup_embedding", "dedup_fuzzy", "dedup_ngram_jaccard",
   "join_theta_range", "stream_session")
 val sb = new StringBuilder
-sb.append("""# PLANS — physical-plan evidence at sf0.1
+sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
 What to check per plan (and what holds below, generated from the real
 executed plans):
@@ -15,11 +15,11 @@ executed plans):
   (e.g. flagship reads 5 of 16 lineitem columns with the shipdate range
   pushed to parquet).
 - **Join strategy**: dimension chains plan as `BroadcastHashJoin`
-  (customer/nation/region build sides), fact–fact joins as
+  (customer/nation/region build sides), fact-fact joins as
   `SortMergeJoin` on the equi key; the as-of rewrite shows ONE exchange +
   window, not a pair explosion; the band join keeps `user_id` as its equi
   key; `dedup_fuzzy` and `dedup_ngram_jaccard` are banded/shingle
-  EQUI-joins (hash-partitioned on band value / shingle — shuffle-parallel,
+  EQUI-joins (hash-partitioned on band value / shingle -- shuffle-parallel,
   no cross product). `BroadcastNestedLoopJoin` appears ONLY in the
   deliberately all-pairs similarity operators (`sim_cosine_topk` with its
   bounded broadcast probe side, `dedup_embedding` with its ENFORCED
@@ -28,7 +28,7 @@ executed plans):
 - **Whole-stage codegen**: projections/filters/hash aggregates sit inside
   `WholeStageCodegen` spans; `dot_d` (native expression) appears inline in
   the similarity projections.
-- **AQE**: `AdaptiveSparkPlan` wraps every query — post-shuffle coalesce
+- **AQE**: `AdaptiveSparkPlan` wraps every query -- post-shuffle coalesce
   and skew handling apply at scale without plan changes.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
