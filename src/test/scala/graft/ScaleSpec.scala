@@ -63,6 +63,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ConnectedComponents.minLabel matches reference union-find on random graphs") {
+    import graft.operators.ConnectedComponents
+    import s.implicits._
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: textbook union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val expected = (0 until n).map { v =>
+        v.toLong -> (0 until n).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+      val got = ConnectedComponents.minLabel(
+        (0L until n.toLong).toDF("node"), edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, edges=$edges)")
+    }
+  }
+
   test("ConnectedComponents.minLabel: chains close transitively, islands stay apart") {
     import graft.operators.ConnectedComponents
     import s.implicits._
