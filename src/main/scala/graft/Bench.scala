@@ -54,10 +54,21 @@ object Bench {
     // ... then the driver-contract total line LAST and COMPACT (2-decimal
     // values): the driver archives only the final ~2000 chars of stdout,
     // so this line must fit the tail in full to stay parseable
-    def f2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(x: Double, dec: Int) =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(x))
+    def render(dec: Int, withQueries: Boolean) = {
+      val qs =
+        if (withQueries) results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dec) }
+          .mkString("{", ",", "}")
+        else "{}"
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // tail truncation keeps the END of stdout: if this line outgrew the
+    // ~2000-char archive window its HEAD (the total) would be cut. Degrade
+    // per-query precision, then drop the map entirely (full precision
+    // always exists in the queries_full line above).
+    println(Seq(render(2, true), render(1, true), render(2, false))
+      .find(_.length <= 1950).getOrElse(render(2, false)))
     spark.stop()
   }
 }

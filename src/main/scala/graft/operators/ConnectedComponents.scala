@@ -3,20 +3,37 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by iterative min-label propagation:
-  * every node starts labelled with itself; each round takes the minimum
-  * label over its neighbourhood (self-loops included) until a fixpoint.
-  * Labels only ever decrease, so the loop converges in O(component
-  * diameter) rounds — for near-duplicate clusters the diameter is tiny
-  * (docs transitively chained through shared shingles), so 2-4 rounds in
-  * practice, with `maxIter` as a safety bound.
+/** Distributed connected components by min-label propagation WITH pointer
+  * jumping: every node starts labelled with itself; each round
+  * (1) propagates the minimum label across the neighbourhood (self-loops
+  * included), then (2) shortcuts by relabelling through the freshly
+  * propagated table (`lbl(u) := lbl(lbl(u))`). Labels only ever decrease
+  * and stay inside the component (every label is a member node's id), so
+  * the fixpoint is the component-minimum everywhere; the shortcut halves
+  * the distance to the minimum each round, giving O(log diameter) rounds
+  * instead of O(diameter) — a 200-node path converges in ~9 rounds (see
+  * ScaleSpec). This is the standard label-propagation + path-compression
+  * scheme; the large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") additionally rewires edges, which
+  * near-dup graphs never need.
   *
-  * Every round is one shuffle join + one aggregation on the edge list —
-  * shuffle-parallel on the node key, nothing driver-side except the
-  * convergence check (a count, not a collect). At extreme graph scale the
-  * published refinement is the large-star/small-star algorithm
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-  * which shortcuts long chains; near-dup graphs never need it.
+  * Cost shape per round: ONE shuffle join of the (cached) edge list with
+  * the label table + one aggregation, plus a label-table self-join (tiny:
+  * one row per node). The convergence check is folded into the same
+  * aggregation — the self-loop row carries each node's previous label, so
+  * "did anything change" is a filter-count on the round's own output, not
+  * an extra join: one substantive Spark action per round (plus a
+  * micro-job pinning the relabelled cache).
+  *
+  * Memory/lineage hygiene: each round's labels are re-wrapped as a
+  * `LogicalRDD` (`createDataFrame(df.rdd, schema)`), so the Catalyst plan
+  * stays O(1) deep across rounds instead of accreting one join+agg per
+  * iteration. Unlike `localCheckpoint` this keeps full recompute lineage
+  * (safe under cache eviction) and puts nothing in the block manager
+  * outside the SQL cache, so `spark.catalog.clearCache()` fully cleans up.
+  * Each round unpersists the previous round's cache; only the RETURNED
+  * label frame stays cached (it was materialized by the final convergence
+  * count) — callers should unpersist it after consuming the result.
   */
 object ConnectedComponents {
 
@@ -25,6 +42,7 @@ object ConnectedComponents {
     * (node, lbl) where lbl = min node id of the component.
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
@@ -34,16 +52,37 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = sym.join(labels, col("b") === col("node"))
-        .groupBy("a").agg(min("lbl").as("lbl"))
-        .withColumnRenamed("a", "node").persist()
-      // labels are monotonically non-increasing: any strict decrease
-      // means another round is needed
-      val changed = next.as("n")
-        .join(labels.as("o"), expr("n.node = o.node AND n.lbl < o.lbl"), "left_semi")
-        .count()
-      labels.unpersist()
-      labels = next
+      // propagate: min label over the neighbourhood; the (a, a) self-loop
+      // row doubles as the carrier of a's PREVIOUS label, so the change
+      // count below needs no join against the old table
+      val prop = sym.join(labels, col("b") === col("node"))
+        .groupBy("a").agg(
+          min("lbl").as("plbl"),
+          min(when(col("a") === col("b"), col("lbl"))).as("prev_lbl"))
+        .withColumnRenamed("a", "node")
+        .persist() // two consumers below (both sides of the shortcut join)
+      // shortcut (pointer jumping): lbl(u) := plbl(plbl(u)). Every plbl
+      // value is itself a node id present in `prop` (labels are always
+      // member ids), so the inner join is total.
+      val next = prop
+        .join(prop.select(col("node").as("l_node"), col("plbl").as("l_lbl")),
+          col("plbl") === col("l_node"))
+        .select(col("node"), col("l_lbl").as("lbl"), col("prev_lbl"))
+        .persist()
+      // the round's one substantive action: materializes the round's
+      // caches and counts strict decreases
+      val changed = next.filter(col("lbl") < col("prev_lbl")).count()
+      // re-wrap as LogicalRDD: O(1) plan depth regardless of round count.
+      // Pin the wrapped cache (a micro-job over `next`'s cache) BEFORE
+      // retiring the round's intermediates, or the next round would
+      // recompute the whole chain through the dropped caches.
+      val nextLabels = next.select("node", "lbl")
+      val wrapped = spark.createDataFrame(nextLabels.rdd, nextLabels.schema).persist()
+      wrapped.count()
+      prop.unpersist(blocking = false)
+      next.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      labels = wrapped
       converged = changed == 0
       iter += 1
     }
@@ -51,10 +90,10 @@ object ConnectedComponents {
     // edge list (recompute through lineage only on cache eviction)
     sym.unpersist(blocking = false)
     // returning unconverged labels would be SILENTLY wrong output (split
-    // components) — fail loudly instead; maxIter bounds diameter, not a
-    // best-effort budget
+    // components) — fail loudly instead; maxIter bounds log2(diameter),
+    // not a best-effort budget
     require(converged,
-      s"connected components did not converge within $maxIter rounds — component diameter exceeds maxIter")
+      s"connected components did not converge within $maxIter rounds — component diameter exceeds 2^$maxIter")
     labels
   }
 }

@@ -140,8 +140,8 @@ object LlmOps {
          |  CAST(node = min(r) AS BOOLEAN) AS is_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.operators.ConnectedComponents
-      val edges = jaccardPairs(s, d)
-        .select(col("da").as("a"), col("db").as("b")).persist()
+      val jp = jaccardPairs(s, d) // persisted + materialized by contract
+      val edges = jp.select(col("da").as("a"), col("db").as("b"))
       // only pair-connected docs need label propagation — every other doc
       // is trivially its own singleton cluster, so the iterative rounds
       // run on the (tiny) pair subgraph, not the corpus
@@ -149,6 +149,10 @@ object LlmOps {
         .union(edges.select(col("b").as("node"))).distinct()
       val labels = ConnectedComponents.minLabel(participants, edges)
         .withColumnRenamed("node", "p_id")
+      // the rounds materialized `labels`; the pair frame is fully
+      // consumed — retire it here, leaving only the (tiny) label cache
+      // behind the returned plan
+      jp.unpersist(blocking = false)
       val w = Window.partitionBy("cluster_id")
       Tables.documents(s, d).select(col("doc_id"))
         .join(labels, col("doc_id") === col("p_id"), "left_outer")
@@ -210,6 +214,9 @@ object LlmOps {
       val sig = shingles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), sigBits.reduce(_ + _).as("sig"))
         .persist() // two band-join branches below; tiny (one long per doc)
+      sig.count() // pin in one job — the two branches' map stages would
+                  // otherwise race to populate the cache, each re-running
+                  // the shingle pipeline
       val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("bi"))
         .withColumn("bv", expr("(shiftright(sig, bi * 8)) & 255"))
@@ -268,7 +275,13 @@ object LlmOps {
       val km = new KMeans().setK(nClusters).setSeed(42L)
         .setInitMode("random").setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cluster")
-      val model = km.fit(e)
+      // train on a bounded DETERMINISTIC subset (modulo filter, not
+      // sample(): engine-stable across runs/partitionings) — 16 centroids
+      // don't need Lloyd passes over the full corpus; at 100 TB the fit
+      // would otherwise re-scan everything 5 times. Assignment below still
+      // runs over the full corpus.
+      val fitSample = e.filter(col("vec_id") % 7 < 2)
+      val model = km.fit(fitSample)
       // bounded: nClusters x dim doubles
       val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
       val assigned = TextSim.withVecNorm(
@@ -354,32 +367,44 @@ object LlmOps {
     * BEFORE sizing and joining — at 100 TB one stop-word shingle would
     * otherwise make its join key quadratic and serialise a shuffle
     * partition; Jaccard is then over each doc's rare-shingle set.
+    *
+    * Shuffle shape (r7): the doc-frequency cap and the per-doc set size
+    * are WINDOW counts over the gram table, not a groupBy + join-back and
+    * a sizes aggregation + two joins — two fewer shuffles and two fewer
+    * joins of the (large) gram table; `n` rides through the pair join so
+    * the Jaccard needs no re-join. Cache contract: the returned pair
+    * frame is persisted and already materialized (so the single grams
+    * intermediate could be retired here, eagerly, in one place — no
+    * concurrent stages racing to populate its cache); callers unpersist
+    * the result when done (Verify/Bench do it via `clearCache`).
     */
-  private def jaccardPairs(s: SparkSession, d: String) = {
+  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
-    val grams0 = toks.repartition(s.sparkContext.defaultParallelism)
+    val grams = toks.repartition(s.sparkContext.defaultParallelism)
       .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
       .distinct()
-      .persist() // feeds freq AND the capped join; Catalyst does not
-                 // reuse the explode+distinct exchange across branches
-    val freq = grams0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50).select(col("lang").as("lang_f"), col("g").as("g_f"))
-    val grams = grams0.join(freq, expr("lang = lang_f AND g = g_f"))
-      .select("doc_id", "lang", "g")
-      .persist() // three consumers: sizes + both self-join sides
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = grams.toDF("da", "lang_a", "g")
-    val b = grams.toDF("db", "lang_b", "g2")
-    val common = a.join(b, expr("g = g2 AND lang_a = lang_b AND da < db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.toDF("da2", "na"), expr("da = da2"))
-      .join(sizes.toDF("db2", "nb"), expr("db = db2"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "g")))
+      .filter(col("df") <= 50)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "lang", "g", "n")
+      .persist() // both sides of the pair self-join below
+    grams.count() // pin the cache in ONE job before the join's two
+                  // map stages race to populate it concurrently
+    val a = grams.toDF("da", "lang_a", "g", "na")
+    val b = grams.toDF("db", "lang_b", "g2", "nb")
+    val jp = a.join(b, expr("g = g2 AND lang_a = lang_b AND da < db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"),
+        min("na").as("na"), min("nb").as("nb"))
       .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
       .select(col("da"), col("db"),
         expr("cast(c as double) / (na + nb - c)").as("jac"))
+      .persist()
+    jp.count() // materialize the (tiny) pair set while grams is cached...
+    grams.unpersist(blocking = false) // ...then retire the intermediate
+    jp
   }
 }

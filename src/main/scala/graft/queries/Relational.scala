@@ -175,17 +175,29 @@ object Relational {
         .orderBy("r_name", "n_name")
     },
 
-    // band join: equi on user_id keeps it shuffle-parallel at scale
+    // band join, time-bucketed: equi on (user_id, 10-min bucket) — a hot
+    // user (bot traffic at 100x) can no longer make one key group
+    // quadratic, because candidates are bounded per bucket. Each left row
+    // probes its own bucket AND bucket+1 (a (ts, ts+10min] band spans at
+    // most two 10-min buckets), band predicate stays as the residual; a
+    // given (a, b) pair matches in exactly one probed bucket, so the
+    // result set is identical to the plain equi-on-user plan and the
+    // oracle is unchanged.
     Q("join_theta_range",
       s"""SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
          |  (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
          |FROM events a JOIN events b
          |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
          |ORDER BY a_event_id, b_event_id""".stripMargin) { (s, d) =>
+      val bandUs = 600000000L // 10 min in micros = bucket width
       val e = Tables.events(s, d).select("event_id", "user_id", "ts_us")
       val a = e.toDF("a_event_id", "a_user", "a_ts")
+        .withColumn("probe_bkt",
+          explode(array(expr(s"a_ts div $bandUs"), expr(s"a_ts div $bandUs + 1"))))
       val b = e.toDF("b_event_id", "b_user", "b_ts")
-      a.join(b, expr("a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + 600000000"))
+        .withColumn("b_bkt", expr(s"b_ts div $bandUs"))
+      a.join(b, expr(
+          s"a_user = b_user AND probe_bkt = b_bkt AND b_ts > a_ts AND b_ts <= a_ts + $bandUs"))
         .select(col("a_event_id"), col("b_event_id"),
           expr("(b_ts - a_ts) div 1000000").as("gap_s"))
         .orderBy("a_event_id", "b_event_id")

@@ -164,8 +164,12 @@ object TextSim {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
       .distinct()
-      .persist() // four consumers (signature, sizes, both re-rank sides);
+      .persist() // three consumers (signature agg, both re-rank sides);
                  // Catalyst does not reuse the explode+distinct exchange
+    grams.count() // pin the cache in ONE job: the consumers' map stages
+                  // otherwise race to populate it concurrently, re-running
+                  // the explode+distinct per stage — the source of the
+                  // 2x run-to-run timing spread seen in rounds 5-6
     // 10 seeded minhashes AND the doc's shingle count in ONE
     // map-side-combinable aggregation; n rides through the bands so no
     // separate sizes aggregation/joins are needed later

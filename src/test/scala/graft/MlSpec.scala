@@ -7,9 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * near-duplicates, the LSH ANN keeps useful recall vs brute force, and an
   * MLlib pipeline learns a learnable target from the embeddings table.
   */
-class MlSpec extends AnyFunSuite {
+class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
 
   test("MinHashLSH finds planted near-duplicates (1-word perturbation)") {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}

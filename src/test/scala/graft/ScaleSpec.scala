@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Scale-mechanics proofs: salting preserves join semantics, bucketing
   * removes the join shuffle, and the flagship plan keeps pushdown/pruning.
   */
-class ScaleSpec extends AnyFunSuite {
+class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
 
   test("SaltedJoin.inner equals the plain join on skewed data") {
     import graft.operators.SaltedJoin
@@ -109,9 +110,12 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // the exact O(n^2) variant is only offered behind the vec_id < 4096
     // bound — the scan itself must be pre-filtered (pushdown), so the
-    // nested-loop can never see an unbounded corpus
-    assert(plan.contains("vec_id"), plan)
-    assert(plan.contains("4096"), "corpus bound must appear in the plan")
+    // nested-loop can never see an unbounded corpus. Anchor the match to
+    // the actual predicate/pushed-filter text: a bare "4096" could match
+    // an expression ID (#4096) vacuously.
+    val bound = "vec_id#\\d+L? < 4096".r.findFirstIn(plan).isDefined ||
+      plan.contains("LessThan(vec_id,4096)")
+    assert(bound, s"corpus bound predicate must appear in the plan:\n$plan")
   }
 
   test("dedup_ngram_jaccard caps shingle doc-frequency before the pair join") {
@@ -123,6 +127,51 @@ class ScaleSpec extends AnyFunSuite {
     assert("df#\\d+L? <= 50".r.findFirstIn(plan).isDefined,
       "doc-frequency cap must survive optimization")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("join_theta_range joins equi on (user, time bucket), band as residual") {
+    val plan = SparkEntry.queries("join_theta_range")(s, d)
+      .queryExecution.executedPlan.toString
+    // the 10-min bucket must be part of the join's EQUI keys (bounding
+    // candidates per bucket so a hot user can't go quadratic), not just a
+    // filter somewhere in the plan. At sf0.001 the side auto-broadcasts —
+    // any EQUI join form carries the same key structure at scale.
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .getOrElse(fail(s"no equi-join in plan:\n$plan"))
+    assert(joinLine.contains("probe_bkt") && joinLine.contains("b_bkt"),
+      s"bucket column must be an equi key: $joinLine")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("ConnectedComponents converges on a 200-node path (diameter >> rounds)") {
+    import graft.operators.ConnectedComponents
+    import s.implicits._
+    // a path graph 0-1-2-...-199: min-label PROPAGATION alone needs ~199
+    // rounds; pointer jumping must close it within the default maxIter=50
+    // (expected ~log2(200) + small constant)
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until 200L).toDF("node")
+    val got = ConnectedComponents.minLabel(nodes, edges).collect()
+    assert(got.length == 200)
+    assert(got.forall(_.getLong(1) == 0L), "all labels must collapse to 0")
+  }
+
+  test("dedup family leaves nothing behind that clearCache cannot clean") {
+    // operators persist intermediates (documented contract); the harness
+    // guarantee is that ONE clearCache call fully cleans the session — no
+    // RDD-level persists/localCheckpoints that survive the SQL cache.
+    // Baseline-relative: other suites share this session and may hold
+    // their own caches.
+    s.catalog.clearCache()
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_cluster", "dedup_fuzzy", "dedup_simhash")) {
+      SparkEntry.queries(q)(s, d).write.format("noop").mode("overwrite").save()
+    }
+    s.catalog.clearCache()
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD-level persistence: $leaked")
   }
 
   test("flagship plan: filter pushdown and column pruning reach the scan") {
