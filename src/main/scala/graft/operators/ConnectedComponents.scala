@@ -3,7 +3,10 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by min-label propagation WITH pointer
+/** Connected components. Small graphs (bounded edge count — see
+  * `minLabel`) are solved on the driver by union-find and broadcast back;
+  * the rest of this doc describes the distributed path for big graphs:
+  * min-label propagation WITH pointer
   * jumping: every node starts labelled with itself; each round
   * (1) propagates the minimum label across the neighbourhood (self-loops
   * included), then (2) shortcuts by relabelling through the freshly
@@ -42,27 +45,100 @@ object ConnectedComponents {
     * (node, lbl) where lbl = min node id of the component.
     *
     * `graphSizeHint` = edge count if the caller already knows it (e.g.
-    * from a materialized cache); -1 = count here. The size picks the
-    * loop's shuffle width: an iterative loop pays FIXED per-stage
-    * scheduling/AQE overhead every round, so running a 100-node label
-    * frame through 32-partition exchanges costs ~10x the actual work
-    * (measured: 5.2 s -> sub-second at sf0.1). One partition per ~200k
-    * edges, capped at default parallelism, keeps huge graphs fully
-    * parallel and tiny graphs overhead-free. The width is applied via
-    * `spark.sql.shuffle.partitions` for the duration of the loop and
-    * restored after (the session is assumed single-query during an
-    * action, which is how Verify/Bench/tests run).
+    * from a materialized cache); -1 = count here.
+    *
+    * Hybrid execution, decided by edge count — the same reasoning that
+    * makes Catalyst pick a broadcast join for a small build side:
+    *
+    *  - `m <= localSolveMaxEdges` (default 1M edges, tens of MB of boxed
+    *    rows — comparable to a generous broadcast build side): collect
+    *    the EDGE LIST ONLY (never `nodes`, which may be corpus-sized) to
+    *    the driver, run union-find there, and broadcast-join the label
+    *    map back onto `nodes`. An iterative distributed loop pays fixed
+    *    per-round scheduling + planning overhead — ~20 jobs and seconds
+    *    of wall clock for a graph that fits in a few KB (measured at
+    *    sf0.1: 79 edges, ~6 s of loop overhead) — while the local solve
+    *    is one collect + one broadcast join. Near-dup pair graphs are
+    *    almost always in this regime: even at 100 TB corpus scale the
+    *    >=0.5-Jaccard pair graph is sparse.
+    *  - larger graphs: the distributed min-label + pointer-jumping loop
+    *    below, whose shuffle width scales with the edge count (one
+    *    partition per ~200k edges, capped at default parallelism) so
+    *    huge graphs stay fully parallel while modest ones don't pay
+    *    32-partition exchanges per round. The width is applied via
+    *    `spark.sql.shuffle.partitions` for the duration of the loop and
+    *    restored after (the session is assumed single-query during an
+    *    action, which is how Verify/Bench/tests run).
+    *
+    * Pass `localSolveMaxEdges = -1` to force the distributed loop (tests
+    * do, to pin loop semantics on small fixtures).
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
-      graphSizeHint: Long = -1L): DataFrame = {
+      graphSizeHint: Long = -1L,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = nodes.sparkSession
     val m = if (graphSizeHint >= 0L) graphSizeHint else edges.count()
+    if (m <= localSolveMaxEdges) return localSolve(spark, nodes, edges)
     val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (m / 200000L).toInt + 1))
     val origParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     try minLabelLoop(spark, nodes, edges, maxIter, p)
     finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  /** Driver-side union-find over a BOUNDED edge list (caller guarantees
+    * the bound); `nodes` never leaves the cluster. Matches the loop's
+    * output contract exactly: (node, lbl = component-min node id),
+    * result persisted + materialized so consumers don't recompute
+    * through the caller's (possibly since-unpersisted) edge lineage.
+    */
+  private def localSolve(spark: org.apache.spark.sql.SparkSession,
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val collected = edges.select(col("a"), col("b")).collect()
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    collected.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // second pass: min member per root (boxed Long/Int/String are all
+    // Comparable, matching the loop's use of Spark's min())
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOfRoot = mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      val cur = minOfRoot.get(r)
+      if (cur.isEmpty || lt(v, cur.get)) minOfRoot(r) = v
+    }
+    val nodeField = nodes.schema.fields.head
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      nodeField.copy(name = "node"), nodeField.copy(name = "lbl")))
+    val labelRows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keys.foreach { v =>
+      labelRows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v))))
+    }
+    val labelDf = spark.createDataFrame(labelRows, schema)
+    // isolated nodes (no edge) label themselves, same as the loop's
+    // self-loop rows
+    val out = nodes.select(col("node"))
+      .join(broadcast(labelDf.withColumnRenamed("node", "e_node")),
+        col("node") === col("e_node"), "left_outer")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      .persist()
+    out.count()
+    out
   }
 
   private def minLabelLoop(spark: org.apache.spark.sql.SparkSession,

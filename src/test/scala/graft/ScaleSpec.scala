@@ -78,10 +78,17 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       val expected = (0 until n).map { v =>
         v.toLong -> (0 until n).filter(u => find(u) == find(v)).min.toLong
       }.toMap
-      val got = ConnectedComponents.minLabel(
+      // both execution paths must agree with the reference: the forced
+      // distributed loop AND the default (here: driver-local union-find)
+      val loop = ConnectedComponents.minLabel(
+        (0L until n.toLong).toDF("node"), edges.toDF("a", "b"),
+        localSolveMaxEdges = -1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loop == expected, s"loop path, trial $trial (n=$n, edges=$edges)")
+      val local = ConnectedComponents.minLabel(
         (0L until n.toLong).toDF("node"), edges.toDF("a", "b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial (n=$n, edges=$edges)")
+      assert(local == expected, s"local path, trial $trial (n=$n, edges=$edges)")
     }
   }
 
@@ -153,7 +160,8 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // (expected ~log2(200) + small constant)
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
     val nodes = (0L until 200L).toDF("node")
-    val got = ConnectedComponents.minLabel(nodes, edges).collect()
+    val got = ConnectedComponents.minLabel(nodes, edges,
+      localSolveMaxEdges = -1L).collect()
     assert(got.length == 200)
     assert(got.forall(_.getLong(1) == 0L), "all labels must collapse to 0")
   }
