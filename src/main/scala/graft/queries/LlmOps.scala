@@ -263,31 +263,42 @@ object LlmOps {
     // distribution (better recall on clustered corpora), LSH needs no
     // training. Seeded-training output => rows-only + MlSpec recall.
     Q("ann_ivf", { (s: SparkSession, d: String) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       graft.functions.DotProduct.register(s)
       val e = Tables.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
       val nClusters = 16
-      // coarse quantizer, not a clustering deliverable: random init + few
-      // Lloyd iterations is standard IVF practice (k-means|| init alone
-      // costs more passes than the whole fit needs); seeded => same
-      // centroids, deterministic output every run
-      val km = new KMeans().setK(nClusters).setSeed(42L)
-        .setInitMode("random").setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cluster")
-      // train on a bounded DETERMINISTIC subset (modulo filter, not
-      // sample(): engine-stable across runs/partitionings) — 16 centroids
-      // don't need Lloyd passes over the full corpus; at 100 TB the fit
-      // would otherwise re-scan everything 5 times. Assignment below still
-      // runs over the full corpus.
+      // coarse quantizer, not a clustering deliverable: train on a
+      // bounded DETERMINISTIC subset (modulo filter, not sample():
+      // engine-stable across runs/partitionings) with a hard row cap so
+      // the driver collect is bounded at any corpus size — 16 centroids
+      // don't need Lloyd passes over the full corpus; at 100 TB a
+      // distributed fit would re-scan everything 5 times to learn
+      // 16*64 doubles. The seeded local Lloyd (CoarseQuantizer) costs
+      // zero Spark jobs beyond the sample collect; ASSIGNMENT of the
+      // full corpus below stays distributed (one map-side pass).
       val fitSample = e.filter(col("vec_id") % 7 < 2)
-      val model = km.fit(fitSample)
-      // bounded: nClusters x dim doubles
-      val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+        .orderBy("vec_id").limit(65536) // deterministic hard cap
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val centroids = graft.operators.CoarseQuantizer
+        .fit(fitSample, nClusters, iters = 5, seed = 42L).zipWithIndex
+      // single-pass nearest-centroid assignment; closure captures the
+      // (tiny) centroid matrix — same shape MLlib's transform would plan,
+      // without the pipeline overhead
+      val centMat = centroids.map(_._1)
+      val assignU = udf((emb: Seq[Float]) => {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centMat.length) {
+          val cent = centMat(c); var d2 = 0.0; var j = 0
+          while (j < cent.length) { val df = emb(j) - cent(j); d2 += df * df; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      })
       val assigned = TextSim.withVecNorm(
-        model.transform(e).select(col("vec_id"), col("embedding"),
-          col("cluster")), "v")
+        e.select(col("vec_id"), col("embedding"),
+          assignU(col("embedding")).as("cluster")), "v")
       // per-probe: the 3 nearest centroids by cosine (computed via a small
       // exploded centroid table — no driver-side math on row data).
       // nProbe=3 measured round 7: recall@3 0.37 -> 0.44 for 1.5x the
