@@ -345,6 +345,115 @@ object LlmOps {
         .toDF()
         .orderBy("doc_id")
     }, None),
+
+    // PII-style scrubbing: chained global regexp_replace — emails and
+    // long digit runs (the production patterns; absent from the fixture
+    // by construction) plus a blocklisted-entity pattern that DOES fire
+    // on the fixture so the oracle exercises real replacement. Pure
+    // per-row expression work: no shuffle, scales linearly, stays inside
+    // whole-stage codegen.
+    Q("text_redact",
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+         |    '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g'),
+         |    '\\b(customer|supplier)\\b', '<ENT>', 'g') AS red_text,
+         |  CAST(len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) AS INT) AS n_ent
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"), lit("<EMAIL>")),
+          lit("[0-9][0-9][0-9][0-9]+"), lit("<NUM>")),
+          lit("\\b(customer|supplier)\\b"), lit("<ENT>")).as("red_text"),
+        expr("size(regexp_extract_all(text, '\\\\b(customer|supplier)\\\\b', 0))").as("n_ent"))
+        .orderBy("doc_id")
+    },
+
+    // per-stratum deterministic sampling: modulo on the stable key, not
+    // rand() — reproducible across engines, runs, and partitionings; the
+    // per-language rate map downsamples the dominant language (the
+    // standard mixture-rebalancing move). Pure filter: pushes to the
+    // scan, no shuffle.
+    Q("sample_stratified",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 10 < CASE WHEN lang = 'en' THEN 1 ELSE 5 END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(expr("doc_id % 10 < CASE WHEN lang = 'en' THEN 1 ELSE 5 END"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // training-sequence packing: assign each document to the fixed
+    // 512-token pack in which it STARTS, by running token count within a
+    // shard (shard = lang here; a production pipeline shards by file or
+    // hash bucket). The window partitions by shard so packing is
+    // shuffle-parallel across shards — no global single-partition
+    // ordering at 100 TB; within a shard the running sum is the same
+    // one-pass scan a streaming pack-loader does.
+    Q("pack_sequences",
+      s"""WITH sized AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents),
+         |cum AS (SELECT doc_id, lang, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+         |  FROM sized)
+         |SELECT doc_id, lang, n_tok, CAST(tok_before // 512 AS INT) AS pack_id
+         |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("size(split(text, ' '))").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("cast(tok_before div 512 as int)").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // end-to-end dedup RETENTION policy: cluster near-duplicates (same
+    // capped-Jaccard pair graph + connected components as dedup_cluster)
+    // and keep the longest member per cluster, ties to the smallest
+    // doc_id — what a real pipeline materializes before training.
+    // Oracled end-to-end incl. the transitive closure (recursive CTE).
+    Q("dedup_retention",
+      s"""WITH RECURSIVE $jaccardCte,
+         |sym AS (
+         |  SELECT da AS a, db AS b FROM jpairs
+         |  UNION SELECT db, da FROM jpairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+         |),
+         |comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |sized AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+         |  FROM documents)
+         |SELECT s.doc_id, c.cluster_id, s.n_tok,
+         |  (row_number() OVER (PARTITION BY c.cluster_id
+         |     ORDER BY s.n_tok DESC, s.doc_id)) = 1 AS keep
+         |FROM sized s JOIN comp c ON s.doc_id = c.doc_id
+         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.ConnectedComponents
+      val jp = jaccardPairs(s, d)
+      val edges = jp.select(col("da").as("a"), col("db").as("b"))
+      val participants = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      val labels = ConnectedComponents.minLabel(participants, edges)
+        .withColumnRenamed("node", "p_id")
+      jp.unpersist(blocking = false)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("size(split(text, ' '))").as("n_tok"))
+        .join(labels, col("doc_id") === col("p_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("n_tok"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "n_tok", "keep")
+        .orderBy("doc_id")
+    },
   )
 
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped

@@ -118,4 +118,43 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 1, 3))
     assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
   }
+
+  test("text_redact actually fires on the fixture (not a vacuous identity)") {
+    import org.apache.spark.sql.functions.col
+    val out = run("text_redact")
+    assert(out.filter(col("n_ent") > 0).count() > 0,
+      "blocklist pattern matched nothing — the oracle compare would pass vacuously")
+    assert(out.filter(col("red_text").contains("<ENT>")).count() > 0)
+    assert(out.filter(col("red_text").contains("customer")).count() == 0,
+      "a blocklisted term survived redaction")
+  }
+
+  test("dedup_retention keeps exactly one doc per cluster, the longest") {
+    import org.apache.spark.sql.functions._
+    val out = run("dedup_retention").persist()
+    val perCluster = out.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+        max("n_tok").as("max_tok"),
+        max(when(col("keep"), col("n_tok"))).as("kept_tok"))
+    assert(perCluster.filter(col("kept") =!= 1).count() == 0,
+      "every cluster must retain exactly one member")
+    assert(perCluster.filter(col("kept_tok") =!= col("max_tok")).count() == 0,
+      "the retained member must be a longest one")
+    // non-vacuous: the fixture has real multi-doc clusters to prune
+    assert(out.filter(!col("keep")).count() > 0)
+  }
+
+  test("pack_sequences: packs are contiguous per shard and respect the running budget") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = run("pack_sequences")
+    // within a shard, pack_id is non-decreasing in doc order and a doc's
+    // pack equals floor(tokens-before / 512) — re-derive independently
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val re = out.withColumn("expect",
+      floor(coalesce(sum("n_tok").over(w), lit(0L)) / 512).cast("int"))
+    assert(re.filter(col("pack_id") =!= col("expect")).count() == 0)
+    assert(out.select("pack_id").distinct().count() > 1, "must produce multiple packs")
+  }
 }
