@@ -67,8 +67,9 @@ object Bench {
     // ~2000-char archive window its HEAD (the total) would be cut. Degrade
     // per-query precision, then drop the map entirely (full precision
     // always exists in the queries_full line above).
+    // the no-map render is ~120 chars, so the last element always fits
     println(Seq(render(2, true), render(1, true), render(2, false))
-      .find(_.length <= 1950).getOrElse(render(2, false)))
+      .find(_.length <= 1950).get)
     spark.stop()
   }
 }

@@ -111,10 +111,22 @@ object ConnectedComponents {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra) = rb
     }
-    // second pass: min member per root (boxed Long/Int/String are all
-    // Comparable, matching the loop's use of Spark's min())
-    def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // second pass: min member per root. The ordering MUST match what the
+    // distributed loop's Spark min() would produce, or the two hybrid
+    // paths return different representatives for the same graph: numeric
+    // types agree with Comparable, but Spark orders strings by UTF-8
+    // BYTES (UTF8String), which differs from Java String.compareTo for
+    // supplementary characters — so strings go through UTF8String.
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case (a: java.lang.Number, b: java.lang.Number)
+          if a.getClass == b.getClass =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      case _ => throw new IllegalArgumentException(
+        s"unsupported node id type for connected components: ${x.getClass}")
+    }
     val minOfRoot = mutable.HashMap.empty[Any, Any]
     parent.keys.foreach { v =>
       val r = find(v)

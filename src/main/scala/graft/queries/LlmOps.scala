@@ -139,20 +139,7 @@ object LlmOps {
          |  CAST(count(*) OVER (PARTITION BY min(r)) AS INT) AS cluster_size,
          |  CAST(node = min(r) AS BOOLEAN) AS is_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import graft.operators.ConnectedComponents
-      val jp = jaccardPairs(s, d) // persisted + materialized by contract
-      val edges = jp.select(col("da").as("a"), col("db").as("b"))
-      // only pair-connected docs need label propagation — every other doc
-      // is trivially its own singleton cluster, so the iterative rounds
-      // run on the (tiny) pair subgraph, not the corpus
-      val participants = edges.select(col("a").as("node"))
-        .union(edges.select(col("b").as("node"))).distinct()
-      val labels = ConnectedComponents.minLabel(participants, edges)
-        .withColumnRenamed("node", "p_id")
-      // the rounds materialized `labels`; the pair frame is fully
-      // consumed — retire it here, leaving only the (tiny) label cache
-      // behind the returned plan
-      jp.unpersist(blocking = false)
+      val labels = clusterLabels(s, d)
       val w = Window.partitionBy("cluster_id")
       Tables.documents(s, d).select(col("doc_id"))
         .join(labels, col("doc_id") === col("p_id"), "left_outer")
@@ -267,16 +254,19 @@ object LlmOps {
       val e = Tables.embeddings(s, d)
       val nClusters = 16
       // coarse quantizer, not a clustering deliverable: train on a
-      // bounded DETERMINISTIC subset (modulo filter, not sample():
-      // engine-stable across runs/partitionings) with a hard row cap so
-      // the driver collect is bounded at any corpus size — 16 centroids
-      // don't need Lloyd passes over the full corpus; at 100 TB a
-      // distributed fit would re-scan everything 5 times to learn
-      // 16*64 doubles. The seeded local Lloyd (CoarseQuantizer) costs
-      // zero Spark jobs beyond the sample collect; ASSIGNMENT of the
-      // full corpus below stays distributed (one map-side pass).
-      val fitSample = e.filter(col("vec_id") % 7 < 2)
-        .orderBy("vec_id").limit(65536) // deterministic hard cap
+      // bounded DETERMINISTIC corpus-spread sample — bottom-k by hash:
+      // the 65536 rows with the smallest xxhash64(vec_id) are a uniform
+      // sample of the WHOLE id space (a vec_id-prefix cap would fit the
+      // quantizer to the oldest shard only), engine-stable across runs
+      // and partitionings, and plan as TakeOrdered (per-partition top-k,
+      // no global sort). 16 centroids don't need Lloyd passes over the
+      // full corpus; at 100 TB a distributed fit would re-scan
+      // everything 5 times to learn 16*64 doubles. The seeded local
+      // Lloyd (CoarseQuantizer) costs zero Spark jobs beyond the sample
+      // scan; ASSIGNMENT of the full corpus below stays distributed
+      // (one map-side pass).
+      val fitSample = e
+        .orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(65536)
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toArray)
       val centroids = graft.operators.CoarseQuantizer
@@ -435,14 +425,7 @@ object LlmOps {
          |     ORDER BY s.n_tok DESC, s.doc_id)) = 1 AS keep
          |FROM sized s JOIN comp c ON s.doc_id = c.doc_id
          |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
-      import graft.operators.ConnectedComponents
-      val jp = jaccardPairs(s, d)
-      val edges = jp.select(col("da").as("a"), col("db").as("b"))
-      val participants = edges.select(col("a").as("node"))
-        .union(edges.select(col("b").as("node"))).distinct()
-      val labels = ConnectedComponents.minLabel(participants, edges)
-        .withColumnRenamed("node", "p_id")
-      jp.unpersist(blocking = false)
+      val labels = clusterLabels(s, d)
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("n_tok").desc, col("doc_id"))
       Tables.documents(s, d)
@@ -501,6 +484,25 @@ object LlmOps {
     * concurrent stages racing to populate its cache); callers unpersist
     * the result when done (Verify/Bench do it via `clearCache`).
     */
+  /** Shared clustering preamble for `dedup_cluster` / `dedup_retention`:
+    * capped-Jaccard pair graph -> connected components over the
+    * pair-connected subgraph ONLY (every other doc is trivially its own
+    * singleton cluster, handled by the callers' left join + coalesce).
+    * Returns (p_id, lbl); the pair frame is retired here — the labels
+    * the CC solver returns are persisted + materialized by its contract,
+    * so consumers never recompute through the unpersisted pipeline.
+    */
+  private def clusterLabels(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val jp = jaccardPairs(s, d) // persisted + materialized by contract
+    val edges = jp.select(col("da").as("a"), col("db").as("b"))
+    val participants = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val labels = graft.operators.ConnectedComponents.minLabel(participants, edges)
+      .withColumnRenamed("node", "p_id")
+    jp.unpersist(blocking = false)
+    labels
+  }
+
   private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
