@@ -3,7 +3,8 @@ import java.nio.file.{Files, Paths}
 val d = "/root/testdata/sf0.1"
 val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum",
   "sim_cosine_topk", "dedup_embedding", "dedup_fuzzy", "dedup_ngram_jaccard",
-  "join_theta_range", "stream_session")
+  "join_theta_range", "stream_session",
+  "text_redact", "sample_stratified", "pack_sequences", "ann_ivf")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -30,6 +31,14 @@ executed plans):
   the similarity projections.
 - **AQE**: `AdaptiveSparkPlan` wraps every query -- post-shuffle coalesce
   and skew handling apply at scale without plan changes.
+- **r7 pipeline ops**: `text_redact` is pure codegen'd projection (no
+  exchange); `sample_stratified`'s modulo predicate reaches the scan as
+  a data filter (non-pushable to parquet stats, but evaluated pre-shuffle
+  -- the plan has NO exchange before the filter); `pack_sequences` shows
+  ONE `Exchange hashpartitioning(lang, ...)` feeding the running-sum
+  window (shard-parallel, no global sort before the final presentation
+  ORDER BY); `ann_ivf`'s quantizer sample plans as `TakeOrderedAndProject`
+  and full-corpus assignment is map-side (no join for cluster ids).
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
