@@ -336,6 +336,33 @@ object LlmOps {
         .orderBy("doc_id")
     }, None),
 
+    // multimodal frame sampling: uniformly sample at most 32 frames per
+    // media item from its metadata (duration stand-in = byte length,
+    // 10 ms per frame step) — the standard video-training subsample.
+    // Pure integer math over the meta struct + one explode: no decode
+    // needed to PLAN frames, no shuffle beyond the presentation sort,
+    // scales linearly. The byte-level frame decode remains the
+    // mm_decode_features stub (no media libs in this image).
+    Q("mm_frame_sample",
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS INT) AS dur_ms FROM documents),
+         |n AS (SELECT doc_id, dur_ms,
+         |    least(32, dur_ms // 10 + 1) AS n_frames FROM m),
+         |f AS (SELECT doc_id, dur_ms, n_frames,
+         |    unnest(generate_series(0, n_frames - 1)) AS i FROM n)
+         |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |  CAST((i * dur_ms) // n_frames AS BIGINT) AS frame_ts_ms
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.withMedia(Tables.documents(s, d))
+        .select(col("doc_id"), col("media_meta.n_bytes").as("dur_ms"))
+        .withColumn("n_frames", least(lit(32), expr("dur_ms div 10 + 1")))
+        .select(col("doc_id"), col("dur_ms"), col("n_frames"),
+          explode(expr("sequence(0, n_frames - 1)")).as("i"))
+        .select(col("doc_id"), col("i").cast("int").as("frame_idx"),
+          expr("cast((i * dur_ms) div n_frames as bigint)").as("frame_ts_ms"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // PII-style scrubbing: chained global regexp_replace — emails and
     // long digit runs (the production patterns; absent from the fixture
     // by construction) plus a blocklisted-entity pattern that DOES fire

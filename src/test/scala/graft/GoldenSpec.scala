@@ -144,6 +144,23 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(out.filter(!col("keep")).count() > 0)
   }
 
+  test("mm_frame_sample covers both regimes: capped at 32 and duration-bound") {
+    import org.apache.spark.sql.functions._
+    val out = run("mm_frame_sample")
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("frame_ts_ms").as("max_ts"))
+    assert(perDoc.count() == 500L, "every doc must emit at least one frame")
+    assert(perDoc.filter(col("n") > 32).count() == 0, "cap must hold")
+    assert(perDoc.filter(col("n") === 32).count() > 0,
+      "no doc hit the 32-frame cap — the cap branch is untested")
+    assert(perDoc.filter(col("n") < 32).count() > 0,
+      "no doc below the cap — the uniform-stride branch is untested")
+    // a frame timestamp never reaches the duration (i < n ensures it)
+    val dur = TestSpark.spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "length(text) as dur")
+    assert(perDoc.join(dur, "doc_id").filter(col("max_ts") >= col("dur")).count() == 0)
+  }
+
   test("pack_sequences: packs are contiguous per shard and respect the running budget") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
