@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * the distance to the minimum each round, giving O(log diameter) rounds
   * instead of O(diameter) — a 200-node path converges in ~9 rounds (see
   * ScaleSpec). This is the standard label-propagation + path-compression
-  * scheme; the large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") additionally rewires edges, which
-  * near-dup graphs never need.
+  * scheme; for hub-heavy graphs the edge-rewiring large-star/small-star
+  * variant (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond") is implemented as `alternatingStars` below.
   *
   * Cost shape per round: ONE shuffle join of the (cached) edge list with
   * the label table + one aggregation, plus a label-table self-join (tiny:
@@ -209,5 +209,72 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge within $maxIter rounds — component diameter exceeds 2^$maxIter")
     labels
+  }
+
+  /** Alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the extreme-scale
+    * variant for graphs where min-label propagation's per-round join
+    * would concentrate a hub node's whole neighbourhood in one task:
+    * both star operations REWIRE edges toward per-neighbourhood minima,
+    * so hub degrees shrink as the graph contracts, and the edge set
+    * converges to stars rooted at each component's minimum in
+    * O(log n) rounds.
+    *
+    * Per round: two groupBy(min)+join passes (each shuffle-parallel on
+    * node id, map-side combinable) plus a symmetric-difference
+    * convergence check. Same output contract as `minLabel`; validated
+    * against reference union-find in ScaleSpec. `minLabel` remains the
+    * default path — this one trades a costlier round for hub-proof
+    * degree contraction.
+    */
+  def alternatingStars(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def rewrap(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema) // O(1) plan depth per round
+    var e = canon(edges).persist()
+    e.count()
+    var iter = 0
+    var converged = e.isEmpty // an edgeless graph is already all singletons
+    while (!converged && iter < maxIter) {
+      // large-star: every node connects its strictly LARGER neighbours to
+      // the minimum of its neighbourhood (incl. itself)
+      val sym = e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = sym.groupBy("a")
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val ls = canon(sym.join(lsMin, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")))
+      // small-star: orient edges high -> low; every node connects its
+      // smaller neighbours (and itself) to their minimum
+      val o = ls.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val ssMin = o.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = canon(
+        o.join(ssMin, "u").select(col("v").as("a"), col("m").as("b"))
+          .union(ssMin.select(col("u").as("a"), col("m").as("b"))))
+      val next = rewrap(ss).persist()
+      // converged when the round was a no-op (same undirected edge set)
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e.unpersist(blocking = false)
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"alternating stars did not converge within $maxIter rounds")
+    // fixpoint edges are stars (member, component-min); add roots and
+    // isolated nodes (label = self)
+    val member = e.select(col("b").as("e_node"), col("a").as("e_lbl"))
+      .union(e.select(col("a").as("e_node"), col("a").as("e_lbl")))
+      .distinct()
+    val out = nodes.select(col("node"))
+      .join(member, col("node") === col("e_node"), "left_outer")
+      .select(col("node"), coalesce(col("e_lbl"), col("node")).as("lbl"))
+      .persist()
+    out.count()
+    e.unpersist(blocking = false)
+    out
   }
 }

@@ -89,6 +89,10 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         (0L until n.toLong).toDF("node"), edges.toDF("a", "b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(local == expected, s"local path, trial $trial (n=$n, edges=$edges)")
+      val stars = ConnectedComponents.alternatingStars(
+        (0L until n.toLong).toDF("node"), edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == expected, s"alternating-stars path, trial $trial (n=$n, edges=$edges)")
     }
   }
 
@@ -164,6 +168,16 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       localSolveMaxEdges = -1L).collect()
     assert(got.length == 200)
     assert(got.forall(_.getLong(1) == 0L), "all labels must collapse to 0")
+    // the hub-proof large-star/small-star variant must close the same
+    // path within its O(log n) round budget, and a star graph (maximal
+    // hub) must converge immediately
+    val stars = ConnectedComponents.alternatingStars(nodes, edges).collect()
+    assert(stars.length == 200 && stars.forall(_.getLong(1) == 0L))
+    import s.implicits._
+    val hubEdges = (1L until 100L).map(i => (0L, i)).toDF("a", "b")
+    val hubNodes = (0L until 100L).toDF("node")
+    val hub = ConnectedComponents.alternatingStars(hubNodes, hubEdges).collect()
+    assert(hub.length == 100 && hub.forall(_.getLong(1) == 0L))
   }
 
   test("dedup family leaves nothing behind that clearCache cannot clean") {
