@@ -9,6 +9,30 @@ class PropertySpec extends AnyFunSuite {
   private val d = TestSpark.sf
   private def run(key: String) = SparkEntry.queries(key)(s, d)
 
+  test("dedup_retention and dedup_cluster agree on every doc's cluster") {
+    // both run the shared clusterLabels preamble — if they ever drift
+    // (the r7 refactor's reason to exist), this catches it
+    val ret = run("dedup_retention").select(col("doc_id"), col("cluster_id").as("c1"))
+    val clu = run("dedup_cluster").select(col("doc_id"), col("cluster_id").as("c2"))
+    assert(ret.join(clu, "doc_id").filter(col("c1") =!= col("c2")).count() == 0)
+    assert(ret.count() == clu.count())
+  }
+
+  test("sample_stratified is a deterministic subset of documents") {
+    val a = run("sample_stratified")
+    val b = run("sample_stratified")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "two runs must be identical")
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+    assert(a.exceptAll(docs).isEmpty, "sample must be a subset of the corpus")
+  }
+
+  test("text_redact leaves a doc unchanged exactly when it has no hits") {
+    val out = run("text_redact")
+      .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+    assert(out.filter(col("n_ent") === 0 && col("red_text") =!= col("text")).count() == 0)
+    assert(out.filter(col("n_ent") > 0 && col("red_text") === col("text")).count() == 0)
+  }
+
   test("dedup_exact is idempotent") {
     val once = run("dedup_exact")
     assert(once.count() == once.distinct().count())
