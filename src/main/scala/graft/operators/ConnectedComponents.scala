@@ -142,16 +142,33 @@ object ConnectedComponents {
       labelRows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v))))
     }
     val labelDf = spark.createDataFrame(labelRows, schema)
-    // isolated nodes (no edge) label themselves, same as the loop's
-    // self-loop rows
+    attachLabels(nodes, labelDf, broadcastLabels = true)
+  }
+
+  /** Attach a (node, lbl) label frame to `nodes`; nodes the labels don't
+    * cover (isolated vertices) label themselves — same semantics as the
+    * loop's self-loop rows. Result persisted + materialized per the
+    * operator's output contract (consumers must not recompute through
+    * the caller's possibly-retired lineage).
+    */
+  private def attachLabels(nodes: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean): DataFrame = {
+    val l = labels.toDF("e_node", "e_lbl")
     val out = nodes.select(col("node"))
-      .join(broadcast(labelDf.withColumnRenamed("node", "e_node")),
+      .join(if (broadcastLabels) broadcast(l) else l,
         col("node") === col("e_node"), "left_outer")
-      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      .select(col("node"), coalesce(col("e_lbl"), col("node")).as("lbl"))
       .persist()
     out.count()
     out
   }
+
+  /** Re-wrap a DataFrame as a LogicalRDD so iterative loops keep O(1)
+    * plan depth (see the object scaladoc for why this beats
+    * localCheckpoint here).
+    */
+  private def rewrap(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   private def minLabelLoop(spark: org.apache.spark.sql.SparkSession,
       nodes: DataFrame, edges: DataFrame, maxIter: Int, p: Int): DataFrame = {
@@ -191,7 +208,7 @@ object ConnectedComponents {
       // retiring the round's intermediates, or the next round would
       // recompute the whole chain through the dropped caches.
       val nextLabels = next.select("node", "lbl")
-      val wrapped = spark.createDataFrame(nextLabels.rdd, nextLabels.schema).persist()
+      val wrapped = rewrap(nextLabels).persist()
       wrapped.count()
       prop.unpersist(blocking = false)
       next.unpersist(blocking = false)
@@ -232,48 +249,53 @@ object ConnectedComponents {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    def rewrap(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema) // O(1) plan depth per round
     var e = canon(edges).persist()
-    e.count()
+    val m = e.count()
+    // same width rule as minLabel: the loop's shuffles sized to the edge
+    // count (restored before the corpus-sized label attachment below)
+    val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (m / 200000L).toInt + 1))
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     var iter = 0
-    var converged = e.isEmpty // an edgeless graph is already all singletons
-    while (!converged && iter < maxIter) {
-      // large-star: every node connects its strictly LARGER neighbours to
-      // the minimum of its neighbourhood (incl. itself)
-      val sym = e.select(col("a"), col("b"))
-        .union(e.select(col("b").as("a"), col("a").as("b")))
-      val lsMin = sym.groupBy("a")
-        .agg(least(min(col("b")), first(col("a"))).as("m"))
-      val ls = canon(sym.join(lsMin, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")))
-      // small-star: orient edges high -> low; every node connects its
-      // smaller neighbours (and itself) to their minimum
-      val o = ls.select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v"))
-      val ssMin = o.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = canon(
-        o.join(ssMin, "u").select(col("v").as("a"), col("m").as("b"))
-          .union(ssMin.select(col("u").as("a"), col("m").as("b"))))
-      val next = rewrap(ss).persist()
-      // converged when the round was a no-op (same undirected edge set)
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
-      e.unpersist(blocking = false)
-      e = next
-      iter += 1
-    }
+    var converged = m == 0L // an edgeless graph is already all singletons
+    try {
+      while (!converged && iter < maxIter) {
+        // large-star: every node connects its strictly LARGER neighbours
+        // to the minimum of its neighbourhood (incl. itself)
+        val sym = e.select(col("a"), col("b"))
+          .union(e.select(col("b").as("a"), col("a").as("b")))
+        val lsMin = sym.groupBy("a")
+          .agg(least(min(col("b")), first(col("a"))).as("m"))
+        val ls = canon(sym.join(lsMin, "a").filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b")))
+        // small-star: orient edges high -> low; every node connects its
+        // smaller neighbours (and itself) to their minimum
+        val o = ls.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        val ssMin = o.groupBy("u").agg(min(col("v")).as("m"))
+        val ss = canon(
+          o.join(ssMin, "u").select(col("v").as("a"), col("m").as("b"))
+            .union(ssMin.select(col("u").as("a"), col("m").as("b"))))
+        val next = rewrap(ss).persist()
+        // converged when the round was a no-op: both sets are distinct by
+        // canon, so equal cardinality + empty one-way difference suffices
+        // (ONE anti-join, not two)
+        converged = next.count() == e.count() && next.except(e).isEmpty
+        e.unpersist(blocking = false)
+        e = next
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
     require(converged,
       s"alternating stars did not converge within $maxIter rounds")
-    // fixpoint edges are stars (member, component-min); add roots and
-    // isolated nodes (label = self)
-    val member = e.select(col("b").as("e_node"), col("a").as("e_lbl"))
-      .union(e.select(col("a").as("e_node"), col("a").as("e_lbl")))
+    // fixpoint edges are stars (member, component-min); add roots; the
+    // attachment join runs at the restored session width (nodes may be
+    // corpus-sized even when the pair graph is tiny)
+    val member = e.select(col("b").as("node"), col("a").as("lbl"))
+      .union(e.select(col("a").as("node"), col("a").as("lbl")))
       .distinct()
-    val out = nodes.select(col("node"))
-      .join(member, col("node") === col("e_node"), "left_outer")
-      .select(col("node"), coalesce(col("e_lbl"), col("node")).as("lbl"))
-      .persist()
-    out.count()
+    val out = attachLabels(nodes, member, broadcastLabels = false)
     e.unpersist(blocking = false)
     out
   }

@@ -155,10 +155,15 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "no doc hit the 32-frame cap — the cap branch is untested")
     assert(perDoc.filter(col("n") < 32).count() > 0,
       "no doc below the cap — the uniform-stride branch is untested")
-    // a frame timestamp never reaches the duration (i < n ensures it)
+    // a frame timestamp never reaches the duration (i < n ensures it for
+    // dur > 0; a zero-duration item emits exactly frame 0 at ts 0).
+    // Duration is UTF-8 BYTES (what the query uses), not char count —
+    // they coincide on the ASCII fixture but the test must not bake the
+    // wrong unit in.
     val dur = TestSpark.spark.read.parquet(s"$d/documents.parquet")
-      .selectExpr("doc_id", "length(text) as dur")
-    assert(perDoc.join(dur, "doc_id").filter(col("max_ts") >= col("dur")).count() == 0)
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) as dur")
+    assert(perDoc.join(dur, "doc_id")
+      .filter(col("max_ts") >= greatest(col("dur"), lit(1))).count() == 0)
   }
 
   test("pack_sequences: packs are contiguous per shard and respect the running budget") {

@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SURVEY §5.3 — algebraic invariants across operators at sf0.001. */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
   private def run(key: String) = SparkEntry.queries(key)(s, d)
+  // the dedup family persists intermediates by contract; don't let them
+  // accumulate across tests in the shared session
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
 
   test("dedup_retention and dedup_cluster agree on every doc's cluster") {
     // both run the shared clusterLabels preamble — if they ever drift

@@ -173,7 +173,6 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // hub) must converge immediately
     val stars = ConnectedComponents.alternatingStars(nodes, edges).collect()
     assert(stars.length == 200 && stars.forall(_.getLong(1) == 0L))
-    import s.implicits._
     val hubEdges = (1L until 100L).map(i => (0L, i)).toDF("a", "b")
     val hubNodes = (0L until 100L).toDF("node")
     val hub = ConnectedComponents.alternatingStars(hubNodes, hubEdges).collect()
