@@ -231,6 +231,34 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // weekly cohort retention matrix over the event stream: cohort =
+    // ISO week of each user's first event; count distinct active users
+    // per (cohort week, week offset). Scale shape: one shuffle on
+    // user_id for the first-event aggregate, the join back is on the
+    // SAME key (exchange-reusable / co-partitioned at scale), then a
+    // bounded (weeks x offsets) aggregate. Dates go through the
+    // micro-truncated ts (SURVEY §1.2) so both engines see identical
+    // days; both date_trunc('week') are ISO-Monday.
+    Q("events_cohort",
+      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         |c AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
+         |SELECT CAST(date_trunc('week', cohort_d) AS DATE) AS cohort_wk,
+         |  CAST((d - cohort_d) // 7 AS INT) AS wk_offset,
+         |  count(DISTINCT e.user_id) AS users
+         |FROM e JOIN c ON e.user_id = c.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts_ntz")).as("d"))
+      val cohorts = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+      ev.join(cohorts, "user_id")
+        .select(expr("cast(date_trunc('week', cohort_d) as date)").as("cohort_wk"),
+          expr("cast(datediff(d, cohort_d) div 7 as int)").as("wk_offset"),
+          col("user_id"))
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+
     // correlated scalar subquery — exercises Catalyst's
     // RewriteCorrelatedScalarSubquery decorrelation into a left outer
     // aggregate join (zero-order customers get 0, not a per-row probe)
