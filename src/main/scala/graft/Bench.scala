@@ -68,7 +68,7 @@ object Bench {
     // per-query precision, then drop the map entirely (full precision
     // always exists in the queries_full line above).
     // the no-map render is ~120 chars, so the last element always fits
-    println(Seq(render(2, true), render(1, true), render(2, false))
+    println(Seq(render(2, true), render(1, true), render(0, true), render(2, false))
       .find(_.length <= 1950).get)
     spark.stop()
   }

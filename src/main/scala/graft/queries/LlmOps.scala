@@ -108,6 +108,42 @@ object LlmOps {
       ).orderBy("doc_id")
     },
 
+    // repetition quality signal (the Gopher-style "fraction of duplicate
+    // n-grams" filter): per doc, the duplicate-word and duplicate-bigram
+    // fractions. Pure per-row expression pipeline — higher-order
+    // functions only, zero shuffles besides the output sort, so at
+    // 100 TB this is a map-only pass that fuses into whatever scan
+    // feeds it. Ratio arithmetic is written with the IDENTICAL
+    // shape/order on both engines (IEEE double ops are deterministic
+    // when parenthesised identically, §7.3).
+    Q("text_repetition",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, t, CASE WHEN len(t) >= 2 THEN
+         |    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+         |  ELSE [] END AS bg FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tok,
+         |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_word_ratio,
+         |  round(CASE WHEN len(bg) = 0 THEN 0.0
+         |        ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 6) AS dup_bigram_ratio
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("bg", expr(
+          """case when size(t) >= 2 then transform(sequence(1, size(t) - 1),
+            |  i -> concat(element_at(t, i), ' ', element_at(t, i+1)))
+            |else cast(array() as array<string>) end""".stripMargin))
+        .select(col("doc_id"),
+          expr("size(t)").as("n_tok"),
+          expr("round(1.0 - cast(size(array_distinct(t)) as double) / size(t), 6)")
+            .as("dup_word_ratio"),
+          expr(
+            """round(case when size(bg) = 0 then 0.0
+              |  else 1.0 - cast(size(array_distinct(bg)) as double) / size(bg) end, 6)""".stripMargin)
+            .as("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+
     // exact n-gram Jaccard near-dup pairs via shared-shingle equi-join
     // (pair generator + skew guard factored into jaccardPairs below)
     Q("dedup_ngram_jaccard",
@@ -462,6 +498,46 @@ object LlmOps {
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"), col("n_tok"))
         .withColumn("keep", row_number().over(w) === 1)
         .select("doc_id", "cluster_id", "n_tok", "keep")
+        .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: flag training docs sharing any 4-gram
+    // (word-level, lang-blocked) with an eval-benchmark set — here a
+    // deterministic modulo slice of `documents` stands in for the
+    // benchmark. Scale shape: the benchmark side is SMALL BY
+    // CONSTRUCTION (eval sets are MBs; a 100 TB corpus is not), so its
+    // distinct-shingle set is broadcast and the contamination check is a
+    // map-side hash probe over the training shingle stream — zero
+    // shuffle until the tiny per-doc aggregate keyed on doc_id. The
+    // distinct-per-doc shingling (array_distinct BEFORE explode) bounds
+    // each doc's contribution to its shingle count.
+    Q("decontaminate",
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, lang, unnest(list_distinct(CASE WHEN len(t) >= 4 THEN
+         |    list_transform(generate_series(1, len(t) - 3),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         |  ELSE [] END)) AS gram FROM toks),
+         |bench AS (SELECT doc_id AS b_id, lang, gram FROM g WHERE doc_id % 41 = 0),
+         |train AS (SELECT doc_id, lang, gram FROM g WHERE doc_id % 41 <> 0)
+         |SELECT train.doc_id,
+         |  CAST(count(DISTINCT train.gram) AS INT) AS n_shared,
+         |  CAST(count(DISTINCT bench.b_id) AS INT) AS n_bench_docs
+         |FROM train JOIN bench
+         |  ON train.gram = bench.gram AND train.lang = bench.lang
+         |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """array_distinct(case when size(t) >= 4 then transform(sequence(1, size(t) - 3),
+            |  i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ',
+            |              element_at(t, i+2), ' ', element_at(t, i+3)))
+            |else cast(array() as array<string>) end)""".stripMargin)).as("gram"))
+      val bench = grams.filter("doc_id % 41 = 0").withColumnRenamed("doc_id", "b_id")
+      val train = grams.filter("doc_id % 41 <> 0")
+      train.join(broadcast(bench), Seq("gram", "lang"))
+        .groupBy("doc_id")
+        .agg(countDistinct("gram").cast("int").as("n_shared"),
+          countDistinct("b_id").cast("int").as("n_bench_docs"))
         .orderBy("doc_id")
     },
   )

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, SaltedJoin}
 import Sqlh._
 
 /** SURVEY.md §2.1–2.4, §2.6, §2.7 — scans, projection/filter, the full join
@@ -231,6 +231,31 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // skew-proof equi-join via explicit salting (operators/SaltedJoin):
+    // the big side gains a deterministic salt in [0, 8) — pmod(hash(row)),
+    // no rand(), so retries and both engines see the same rows — and the
+    // small side is replicated once per salt, so ONE hot customer's
+    // orders spread over 8 shuffle partitions instead of serialising into
+    // one. Result set is provably identical to the plain inner join (each
+    // big row matches exactly its own salt replica), so the oracle IS the
+    // plain join; the salted shape is pinned by a ScaleSpec plan test.
+    // This is the explicit fallback for joins AQE's skew splitting can't
+    // touch; the post-join aggregate re-keys on c_nationkey as usual.
+    Q("join_skew_salted",
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val big = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val small = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      SaltedJoin.inner(big, small, key = "custkey", salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), expr(dsum("o_totalprice")).as("sum_price"))
+        .orderBy("c_nationkey")
+    },
+
     // weekly cohort retention matrix over the event stream: cohort =
     // ISO week of each user's first event; count distinct active users
     // per (cohort week, week offset). Scale shape: one shuffle on
@@ -257,6 +282,51 @@ object Relational {
         .groupBy("cohort_wk", "wk_offset")
         .agg(countDistinct("user_id").as("users"))
         .orderBy("cohort_wk", "wk_offset")
+    },
+
+    // 3-step conversion funnel (view -> click -> purchase) with a 24 h
+    // step window and earliest-completion semantics: t1 = first view,
+    // t2 = first click in (t1, t1+24h], t3 = first purchase in
+    // (t2, t2+24h]. Scale shape: the step-1 aggregate shuffles ONCE on
+    // user_id; every later join + aggregate keys on the SAME user_id
+    // (co-partitioned / exchange-reusable) over frames that only shrink
+    // as the funnel narrows, and the final per-step counts are scalar
+    // aggregates. Funnel depth k = k bounded same-key passes — never a
+    // global ts sort and never a per-user collect_list (which a hot user
+    // would blow up at 100 TB).
+    Q("events_funnel",
+      s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         |  JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > v.t1
+         |    AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         |  JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+         |    AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+         |SELECT CAST(1 AS INT) AS step, 'view' AS step_name, count(*) AS users FROM v
+         |UNION ALL SELECT CAST(2 AS INT), 'click', count(*) FROM c
+         |UNION ALL SELECT CAST(3 AS INT), 'purchase', count(*) FROM p
+         |ORDER BY step""".stripMargin) { (s, d) =>
+      val winUs = 86400000000L // 24 h in micros (events compare in the µs domain, SURVEY §1.2)
+      val e = Tables.events(s, d).select("user_id", "ts_us", "event_type")
+      def nextStep(prev: DataFrame, prevT: String, typ: String, outT: String): DataFrame =
+        e.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("ts_us") > col(prevT) && col("ts_us") <= col(prevT) + winUs)
+          .groupBy("user_id").agg(min("ts_us").as(outT))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val c = nextStep(v, "t1", "click", "t2")
+      val p = nextStep(c, "t2", "purchase", "t3")
+      def stepCount(df: DataFrame, step: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(step).as("step"), lit(name).as("step_name"), col("users"))
+      stepCount(v, 1, "view")
+        .unionByName(stepCount(c, 2, "click"))
+        .unionByName(stepCount(p, 3, "purchase"))
+        .orderBy("step")
     },
 
     // correlated scalar subquery — exercises Catalyst's

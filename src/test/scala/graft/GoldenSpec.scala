@@ -179,4 +179,42 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(re.filter(col("pack_id") =!= col("expect")).count() == 0)
     assert(out.select("pack_id").distinct().count() > 1, "must produce multiple packs")
   }
+
+  test("events_funnel: 24h-window funnel decays 15 -> 6 -> 3 (DuckDB golden)") {
+    val rows = run("events_funnel").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, "view", 15L), (2, "click", 6L), (3, "purchase", 3L)))
+  }
+
+  test("text_repetition: ratios in [0,1]; the ~40-word vocab makes word repetition pervasive") {
+    val rows = run("text_repetition").collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val (w, b) = (r.getDouble(2), r.getDouble(3))
+      w >= 0.0 && w <= 1.0 && b >= 0.0 && b <= 1.0
+    })
+    // non-vacuous both ways: most docs repeat words, bigram repetition
+    // exists but is rare (431 and ~tens of docs respectively in DuckDB)
+    assert(rows.count(_.getDouble(2) > 0.3) == 431)
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+
+  test("decontaminate: 7 flagged train docs incl. one strong near-dup of the benchmark") {
+    val rows = run("decontaminate").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 7)
+    assert(rows.forall { case (id, nShared, nBench) =>
+      id % 41 != 0 && nShared >= 1 && nBench >= 1
+    }, "benchmark members must never flag themselves")
+    // doc 428 is an organic near-duplicate of a benchmark doc: 37 shared
+    // 4-grams — the signal the op exists to catch; the rest are 1-gram
+    // incidental collisions from the small fixture vocabulary
+    assert(rows.find(_._1 == 428L).map(_._2).contains(37))
+  }
+
+  test("join_skew_salted equals the unsalted join: 25 nations, 1500 orders total") {
+    val rows = run("join_skew_salted").collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getLong(1)).sum == 1500L)
+  }
 }

@@ -195,6 +195,45 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(leaked.isEmpty, s"leaked RDD-level persistence: $leaked")
   }
 
+  test("join_skew_salted actually joins through the salt key") {
+    val plan = SparkEntry.queries("join_skew_salted")(s, d)
+      .queryExecution.executedPlan.toString
+    // the salted shape: big side carries __salt, small side is exploded
+    // once per salt, and the join condition includes __salt — without it
+    // the query silently degrades to the plain (skew-prone) join
+    assert(plan.contains("__salt"), s"salt key must reach the join:\n$plan")
+    assert(plan.contains("explode"), "small side must replicate via explode")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("decontaminate broadcasts the benchmark side and stays an equi-join") {
+    val plan = SparkEntry.queries("decontaminate")(s, d)
+      .queryExecution.executedPlan.toString
+    // the benchmark shingle set is small by construction — the train
+    // stream must probe it map-side, never shuffle-join against it
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_repetition is a map-only pass: no aggregate or join shuffle") {
+    val plan = SparkEntry.queries("text_repetition")(s, d)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning — a hashpartitioning exchange would mean the quality
+    // signal stopped fusing into the scan
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), "per-row signal must not join")
+  }
+
+  test("events_funnel keys every stage on user_id — no cartesian, no ts sort") {
+    val plan = SparkEntry.queries("events_funnel")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // earliest-completion semantics must come from min-aggregates, not a
+    // per-user global sort (which a hot user would serialise)
+    assert(!plan.toLowerCase.contains("window"), "funnel must not use a window sort")
+  }
+
   test("flagship plan: filter pushdown and column pruning reach the scan") {
     val plan = queries.Relational.flagship(s, d).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
