@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Round-8 data-curation / pipeline-analytics suite (SURVEY.md §2.13).
+  *
+  * Design rules shared by every op here (they are what keep the DuckDB
+  * hash-compare deterministic, SURVEY §7.3):
+  *   - no rand(): sampling keys derive from stable ids via integer
+  *     arithmetic, so results are reproducible across engines, runs and
+  *     partitionings;
+  *   - doubles never cross an aggregation boundary: sums/moments are taken
+  *     over exact integers (floor-scaled), and any double math happens
+  *     AFTER aggregation with the identical expression structure on both
+  *     engines (IEEE ops on identical inputs are bit-identical);
+  *   - rounding uses floor(x + 0.5) / floor(x * 10^k), never round(),
+  *     because round()'s half-case tie-breaking is engine-specific while
+  *     floor is exact on both;
+  *   - double literals in the oracle SQL are written CAST(k AS DOUBLE):
+  *     DuckDB parses a bare `127.0` as DECIMAL(3,1), and FLOAT/DECIMAL
+  *     division rounds differently from FLOAT/DOUBLE by 1 ULP — enough to
+  *     flip a floor() (caught live on embedding_quantize row 6).
+  *
+  * Scale notes are per-op; none of these queries collects to the driver and
+  * every shuffle is keyed on a high-cardinality column or reduced map-side.
+  */
+object Curation {
+
+  /** SCD Type-2 history from the event stream: one validity interval per
+    * event, closed by the user's next event (lead window). The window
+    * partitions by user_id, so at 100 TB the sort is per-user-key inside a
+    * hash-partitioned shuffle — no global ordering anywhere. Output stays
+    * in the µs domain (ts_ntz ↔ DuckDB's µs-truncated TIMESTAMP,
+    * SURVEY §1.2).
+    */
+  private val scdType2 = Q("scd_type2",
+    s"""SELECT user_id, event_id, event_type, ts AS valid_from,
+       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_ntz").as("valid_from"), col("ts_us"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("ts_us")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Merged-interval activity coverage (gaps-and-islands): each event opens
+    * a 5-minute interval; overlapping/touching intervals merge and the op
+    * reports per-user session count and total covered time. Two windows
+    * over the same (user_id) partitioning — one exchange, reused — then a
+    * per-user aggregate. Everything is exact bigint µs arithmetic.
+    */
+  private val intervalCoverage = Q("interval_coverage",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    epoch_us(ts) + 300000000 AS end_us FROM events),
+       |m AS (SELECT user_id, ts_us, end_us,
+       |    max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM e),
+       |isl AS (SELECT user_id, ts_us, end_us,
+       |    sum(CASE WHEN prev_end IS NULL OR ts_us > prev_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM m),
+       |g AS (SELECT user_id, island, min(ts_us) AS s, max(end_us) AS e2
+       |  FROM isl GROUP BY user_id, island)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  CAST(sum(e2 - s) AS BIGINT) AS covered_us
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val sessUs = 300000000L // 5 min in µs
+    val ordered = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val prevW = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val runW = Window.partitionBy("user_id").orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") + sessUs).as("end_us"))
+      .withColumn("prev_end", max("end_us").over(prevW))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("ts_us") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum("new_island").over(runW))
+      .groupBy("user_id", "island")
+      .agg(min("ts_us").as("s"), max("end_us").as("e2"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("e2") - col("s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** Corpus vocabulary: term frequency + document frequency per
+    * (lang, token), global top-100 by tf. explode → groupBy is fully
+    * map-side combinable (partial HashAggregate before the shuffle), and
+    * the top-k plans TakeOrderedAndProject — at 100 TB the shuffle carries
+    * one row per distinct (lang, token), not one per token occurrence.
+    * (lang, token) is unique per group so the ORDER BY is total.
+    */
+  private val tokenVocab = Q("token_vocab",
+    s"""WITH toks AS (SELECT lang, doc_id,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents)
+       |SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM toks GROUP BY lang, tok
+       |ORDER BY tf DESC, lang, tok LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("lang"), col("tok"))
+      .limit(100)
+  }
+
+  /** Boilerplate detection by shared leading 8-token prefix: a cheap,
+    * fully-parallel screen for template headers / mirrored documents that a
+    * curation pipeline runs before the (much costlier) near-dup join. One
+    * map-side-combinable aggregate keyed on (lang, prefix); no joins.
+    */
+  private val textBoilerplate = Q("text_boilerplate",
+    s"""WITH p AS (SELECT lang, doc_id,
+       |    array_to_string((string_split(text, ' '))[1:8], ' ') AS prefix
+       |  FROM documents)
+       |SELECT lang, prefix, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM p GROUP BY lang, prefix HAVING count(*) >= 2
+       |ORDER BY lang, prefix""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("prefix"))
+      .groupBy("lang", "prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("lang", "prefix")
+  }
+
+  /** Deterministic size-weighted sampling: a multiplicative-hash uniform
+    * h(doc_id) scaled DOWN by the document's size gives a priority key
+    * whose bottom-100 favors long documents (priority sampling — the
+    * engine-portable stand-in for Efraimidis–Sampaios u^(1/w) keys, which
+    * would need pow() and therefore libm parity). The key is pure bigint
+    * arithmetic — reproducible on any engine, any partitioning — and the
+    * top-k plans TakeOrderedAndProject, so at 100 TB each task keeps a
+    * 100-row heap and only those spill to the driver-side merge.
+    */
+  private val sampleWeighted = Q("sample_weighted",
+    s"""WITH k AS (SELECT doc_id, lang, n_chars,
+       |    ((doc_id * 2654435761) % 1000000) * 100000 // n_chars AS priority
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, CAST(priority AS BIGINT) AS priority
+       |FROM k ORDER BY priority, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("((doc_id * 2654435761L) % 1000000) * 100000 div n_chars").as("priority"))
+      .orderBy("priority", "doc_id")
+      .limit(100)
+  }
+
+  /** Per-vector int8 symmetric quantization of the embedding column — the
+    * storage/serving compression step of an embedding pipeline. scale =
+    * max|x|/127; q_i = floor(x_i/scale + 0.5) (floor, not round: round()'s
+    * half-tie mode is engine-specific, floor(x+0.5) is the same IEEE op
+    * everywhere). Outputs are integer-exact (floor-scaled scale, |q| and
+    * q² sums) so the hash compare never sees an aggregated double. Pure
+    * per-row higher-order-function work: no shuffle, scales linearly, and
+    * the real pipeline writes `q` itself as array<tinyint> (4× smaller at
+    * rest) — here we emit its checksums for the oracle.
+    */
+  private val embeddingQuantize = Q("embedding_quantize",
+    s"""WITH sc AS (SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(x)))
+       |      / CAST(127 AS DOUBLE) AS scale,
+       |    embedding FROM embeddings),
+       |q AS (SELECT vec_id, scale,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
+       |  FROM sc)
+       |SELECT vec_id, CAST(floor(scale * 1000000000) AS BIGINT) AS scale_e9,
+       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+       |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq_q
+       |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as int))"))
+      .select(col("vec_id"),
+        expr("cast(floor(scale * 1000000000d) as bigint)").as("scale_e9"),
+        expr("cast(aggregate(qv, 0L, (a, x) -> a + abs(x)) as bigint)").as("sum_abs_q"),
+        expr("cast(aggregate(qv, 0L, (a, x) -> a + cast(x as bigint) * x) as bigint)").as("sum_sq_q"))
+      .orderBy("vec_id")
+  }
+
+  /** Deterministic z-score outlier screen over the event stream: per
+    * event_type moments computed from floor-scaled-integer values (×10³ —
+    * exact bigint sums, so the parallel aggregation order can never change
+    * a bit), variance/threshold derived AFTER aggregation with the same
+    * expression tree on both engines, then a broadcast join of the 5-row
+    * stats table back onto events counts |v−μ|>3σ rows. Two passes over
+    * events but zero wide shuffles: the stats side aggregates map-side to
+    * 5 rows and broadcasts.
+    */
+  private val eventsZscore = Q("events_zscore",
+    s"""WITH v AS (SELECT event_type,
+       |    CAST(floor(value * 1000) AS BIGINT) AS sv FROM events),
+       |st AS (SELECT event_type, count(*) AS n,
+       |    sum(sv) AS s1, sum(sv * sv) AS s2 FROM v GROUP BY event_type),
+       |m AS (SELECT event_type, n,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var FROM st)
+       |SELECT v.event_type, CAST(m.n AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN (CAST(v.sv AS DOUBLE) - m.mean)
+       |      * (CAST(v.sv AS DOUBLE) - m.mean) > CAST(9 AS DOUBLE) * m.var
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM v JOIN m ON v.event_type = m.event_type
+       |GROUP BY v.event_type, m.n ORDER BY v.event_type""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(floor(value * 1000d) as bigint)").as("sv"))
+    val st = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("sv").as("s1"), sum(expr("sv * sv")).as("s2"))
+      .withColumn("mean", expr("cast(s1 as double) / cast(n as double)"))
+      .withColumn("var", expr(
+        "cast(s2 as double) / cast(n as double) - " +
+          "(cast(s1 as double) / cast(n as double)) * (cast(s1 as double) / cast(n as double))"))
+      .select("event_type", "n", "mean", "var")
+    v.join(broadcast(st), "event_type")
+      .groupBy("event_type", "n")
+      .agg(sum(when(
+        expr("(cast(sv as double) - mean) * (cast(sv as double) - mean) > 9.0d * var"),
+        1).otherwise(0)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textBoilerplate,
+    sampleWeighted, embeddingQuantize, eventsZscore)
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 curation/analytics suite (queries/Curation.scala) at sf0.001.
+  * Expected values computed INDEPENDENTLY with DuckDB 1.0.0 on the same
+  * parquet (SURVEY §5.2 discipline) — these catch engine regressions
+  * without DuckDB in the loop. Plan-shape tests pin the scale contracts
+  * the scaladoc claims (broadcast stats join, top-k via TakeOrdered).
+  */
+class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private def run(key: String) = SparkEntry.queries(key)(s, d)
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
+
+  test("scd_type2: one interval per event; exactly one open interval per user") {
+    val rows = run("scd_type2").collect()
+    assert(rows.length == 1000) // every event opens an interval
+    val current = rows.filter(_.isNullAt(4))
+    assert(current.length == 15, "one is_current row per user")
+    assert(current.forall(_.getBoolean(5)), "is_current flags the open interval")
+    // intervals tile: within a user, valid_to of row i == valid_from of i+1
+    // (timestamp_ntz surfaces as java.time.LocalDateTime in Row)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      def ns(l: java.time.LocalDateTime): Long =
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + l.getNano
+      val sorted = rs.sortBy(r => (ns(r.getAs[java.time.LocalDateTime](3)), r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.time.LocalDateTime](4) ==
+            b.getAs[java.time.LocalDateTime](3))
+        case _ =>
+      }
+    }
+  }
+
+  test("interval_coverage: 15 users, 990 merged sessions (DuckDB golden)") {
+    val rows = run("interval_coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 15)
+    assert(rows.map(_._2).sum == 990L)
+    assert(rows.head == ((0L, 60L, 18000000000L)))
+    // coverage can never exceed sessions x 5 min and is at least one
+    // interval's worth per session
+    assert(rows.forall { case (_, n, cov) =>
+      cov >= n * 300000000L && cov <= n * 600000000L
+    })
+  }
+
+  test("token_vocab: top-100, headed by en/column tf=386 df=154 (DuckDB golden)") {
+    val rows = run("token_vocab").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 100)
+    assert(rows(0) == (("en", "column", 386L, 154L)))
+    assert(rows(1) == (("en", "sort", 376L, 156L)))
+    // tf is non-increasing and df <= tf throughout
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    assert(rows.forall { case (_, _, tf, df) => df <= tf && df >= 1 })
+  }
+
+  test("token_vocab plans a map-side partial aggregate + TakeOrdered top-k") {
+    val df = run("token_vocab")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "vocab counting must partial-aggregate before the shuffle")
+  }
+
+  test("text_boilerplate: 8 shared prefixes covering 16 docs (DuckDB golden)") {
+    val rows = run("text_boilerplate").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(2)).sum == 16L)
+    assert(rows.forall(_.getLong(2) >= 2L))
+  }
+
+  test("sample_weighted: deterministic bottom-100 priorities, doc 0 then 179") {
+    val rows = run("sample_weighted").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.length == 100)
+    assert(rows(0) == ((0L, 0L)))      // h(0)=0 -> priority 0
+    assert(rows(1) == ((179L, 249795L))) // DuckDB golden
+    // priorities are sorted ascending (ties by doc_id)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2; case _ => true })
+    // identical on a second run: the key is pure integer arithmetic
+    assert(run("sample_weighted").collect().map(_.getLong(0)).toSeq ==
+      rows.map(_._1).toSeq)
+  }
+
+  test("embedding_quantize: integer-exact checksums for vec 0/1 (DuckDB golden)") {
+    val rows = run("embedding_quantize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    assert(rows(0) == ((0L, 2380653L, 2776L, 176632L)))
+    assert(rows(1) == ((1L, 2941965L, 2127L, 115521L)))
+    // symmetric int8 range: max |q| is exactly 127 for the max element
+    // (q_max = floor(max/ (max/127) + .5) = 127) and never above
+    val q = s.sql(
+      s"""SELECT max(array_max(transform(qv, x -> abs(x)))) FROM (
+         |  SELECT transform(embedding, x -> cast(floor(cast(x as double) /
+         |    (array_max(transform(embedding, x2 -> abs(cast(x2 as double)))) / 127.0d)
+         |    + 0.5d) as int)) AS qv
+         |  FROM parquet.`$d/embeddings.parquet`)""".stripMargin).head.getInt(0)
+    assert(q == 127)
+  }
+
+  test("events_zscore: 5 types, outlier counts 3/5/4/3/3 (DuckDB golden)") {
+    val rows = run("events_zscore").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("click", 210L, 3L), ("error", 201L, 5L), ("purchase", 202L, 4L),
+      ("signup", 199L, 3L), ("view", 188L, 3L)))
+  }
+
+  test("events_zscore plans the 5-row stats side as a broadcast join") {
+    val df = run("events_zscore")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join must broadcast, not shuffle events:\n$plan")
+  }
+}

@@ -194,8 +194,11 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       w >= 0.0 && w <= 1.0 && b >= 0.0 && b <= 1.0
     })
     // non-vacuous both ways: most docs repeat words, bigram repetition
-    // exists but is rare (431 and ~tens of docs respectively in DuckDB)
-    assert(rows.count(_.getDouble(2) > 0.3) == 431)
+    // exists but is rare. 430, not 431: doc 472's raw ratio is
+    // 0.30000000000000004 (> 0.3) but the QUERY rounds to 6 decimals, so
+    // its output value is exactly 0.3 — both engines agree on 430 over the
+    // rounded column (DuckDB verified)
+    assert(rows.count(_.getDouble(2) > 0.3) == 430)
     assert(rows.exists(_.getDouble(3) > 0.0))
   }
 
