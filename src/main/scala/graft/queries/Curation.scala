@@ -235,6 +235,84 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** CDC/merge apply — the reference lifecycle's "incremental append of
+    * completed runs" as a MERGE INTO: a deterministic change-set (updates
+    * for custkey % 7, inserts above the key space for custkey % 13) full-
+    * outer-joins the base on the key and each row resolves to update /
+    * insert / keep. Spark has no MERGE INTO sink on plain parquet, but the
+    * full-outer + coalesce rewrite IS the engine-level plan a lakehouse
+    * merge executes (join on the merge key, both sides hash-partitioned —
+    * full outer cannot broadcast, so the shape is one SortMergeJoin and it
+    * scales with the shuffle). The +100.0 balance bump is double-exact on
+    * both engines (inputs are 2-dp money values).
+    */
+  private val mergeUpsert = Q("merge_upsert",
+    s"""WITH chg AS (
+       |  SELECT c_custkey AS k, c_acctbal + 100 AS bal FROM customer
+       |  WHERE c_custkey % 7 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000 AS k, c_acctbal AS bal FROM customer
+       |  WHERE c_custkey % 13 = 0),
+       |m AS (SELECT coalesce(b.c_custkey, chg.k) AS c_custkey,
+       |    coalesce(chg.bal, b.c_acctbal) AS acctbal,
+       |    CASE WHEN b.c_custkey IS NULL THEN 'I'
+       |         WHEN chg.k IS NULL THEN 'K' ELSE 'U' END AS op
+       |  FROM customer b FULL OUTER JOIN chg ON b.c_custkey = chg.k)
+       |SELECT c_custkey, acctbal, op FROM m
+       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+    val chg = base.filter(expr("c_custkey % 7 = 0"))
+      .select(col("c_custkey").as("k"), (col("c_acctbal") + 100).as("bal"))
+      .unionByName(base.filter(expr("c_custkey % 13 = 0"))
+        .select((col("c_custkey") + 1000000L).as("k"), col("c_acctbal").as("bal")))
+    base.join(chg, col("c_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        coalesce(col("bal"), col("c_acctbal")).as("acctbal"),
+        when(col("c_custkey").isNull, "I")
+          .when(col("k").isNull, "K").otherwise("U").as("op"))
+      .orderBy("c_custkey")
+  }
+
+  /** Last-touch attribution: each purchase is attributed to the same
+    * user's LATEST strictly-earlier view/click within 24 h — a direct
+    * reuse of the AsofJoin operator (union-merge rewrite: ONE shuffle of
+    * |purchases|+|touches| rows, never the O(pairs) equi+rank explosion),
+    * with the 24 h window applied as a residual filter on the attached
+    * touch timestamp. The oracle twin is a LATERAL top-1 (DuckDB's native
+    * ASOF JOIN rejects the extra window bound — "Multiple ASOF JOIN
+    * inequalities" — even when the bound is written as an outer filter,
+    * because the optimizer folds it back into the join); ORDER BY ts DESC,
+    * event_id DESC LIMIT 1 reproduces AsofJoin's greatest-tie-wins rule.
+    */
+  private val attributionLastTouch = Q("attribution_last_touch",
+    s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+       |  WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+       |  FROM events WHERE event_type IN ('view', 'click'))
+       |SELECT tt.event_type AS touch_type, count(*) AS n_purchases,
+       |  count(DISTINCT p.user_id) AS n_users
+       |FROM p, LATERAL (SELECT event_type, ts_us FROM t
+       |  WHERE t.user_id = p.user_id AND t.ts_us < p.ts_us
+       |  ORDER BY ts_us DESC, event_id DESC LIMIT 1) AS tt
+       |WHERE tt.ts_us >= p.ts_us - 86400000000
+       |GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    graft.operators.AsofJoin.lastEarlier(purchases, touches,
+      key = "user_id", ts = "ts_us",
+      payload = Seq("ts_us", "event_type"), rightTie = "event_id")
+      .filter(col("asof_ts_us").isNotNull &&
+        col("asof_ts_us") >= col("ts_us") - 86400000000L)
+      .groupBy(col("asof_event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), countDistinct("user_id").as("n_users"))
+      .orderBy("touch_type")
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textBoilerplate,
-    sampleWeighted, embeddingQuantize, eventsZscore)
+    sampleWeighted, embeddingQuantize, eventsZscore, mergeUpsert,
+    attributionLastTouch)
 }

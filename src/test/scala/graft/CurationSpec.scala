@@ -114,6 +114,36 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       ("signup", 199L, 3L), ("view", 188L, 3L)))
   }
 
+  test("merge_upsert: 150 base + 12 inserts; op mix I=12 K=128 U=22 (DuckDB golden)") {
+    val rows = run("merge_upsert").collect()
+    assert(rows.length == 162)
+    val byOp = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byOp == Map("I" -> 12, "K" -> 128, "U" -> 22))
+    // updates actually moved the balance: +100 exactly, for every U row
+    val base = Tables.customer(s, d).select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getString(2) == "U").foreach { r =>
+      assert(r.getDouble(1) == base(r.getLong(0)) + 100.0)
+    }
+  }
+
+  test("attribution_last_touch: click 60/14, view 59/15 (DuckDB golden)") {
+    val rows = run("attribution_last_touch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("click", 60L, 14L), ("view", 59L, 15L)))
+  }
+
+  test("attribution_last_touch plans ONE exchange for the asof union-merge") {
+    val df = run("attribution_last_touch")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the union-merge asof rewrite shuffles once on user_id (plus the
+    // later tiny agg exchanges); a pairwise equi+rank rewrite would show
+    // a join — assert none appears before the aggregate
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      s"asof must be the union-merge rewrite, not a join:\n$plan")
+  }
+
   test("events_zscore plans the 5-row stats side as a broadcast join") {
     val df = run("events_zscore")
     df.collect()

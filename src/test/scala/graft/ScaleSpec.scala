@@ -241,4 +241,25 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(!readSchema.contains("l_comment") || readSchema == "",
       "lineitem scan must not read unused wide columns")
   }
+
+  test("partitioned write + partition pruning: lang filter prunes to one directory") {
+    // the cluster path for a 100 TB corpus: partition the table at rest
+    // on a low-cardinality routing column so per-lang readers touch 1/Nth
+    // of the files. Write via the library's sink, then prove the filter
+    // becomes a PartitionFilter (metadata pruning), not a row filter.
+    val out = "/tmp/graft_part_docs"
+    graft.sources.Sources.writeParquet(
+      Tables.documents(s, d), out, partitionBy = Seq("lang"))
+    val read = s.read.parquet(out).filter(col("lang") === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter must prune partitions at plan time:\n$plan")
+    // pruning is real: only the en directory's rows are read, and the
+    // count matches the unpartitioned filter
+    val expected = Tables.documents(s, d).filter(col("lang") === "en").count()
+    assert(read.count() == expected && expected > 0)
+    val enOnly = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(enOnly.toLowerCase.contains("isnotnull(lang") ||
+      enOnly.contains("lang#") , s"unexpected PartitionFilters line: $enOnly")
+  }
 }

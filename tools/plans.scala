@@ -4,7 +4,9 @@ val d = "/root/testdata/sf0.1"
 val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum",
   "sim_cosine_topk", "dedup_embedding", "dedup_fuzzy", "dedup_ngram_jaccard",
   "join_theta_range", "stream_session",
-  "text_redact", "sample_stratified", "pack_sequences", "ann_ivf")
+  "text_redact", "sample_stratified", "pack_sequences", "ann_ivf",
+  "interval_coverage", "token_vocab", "events_zscore", "merge_upsert",
+  "attribution_last_touch", "embedding_quantize")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -39,6 +41,14 @@ executed plans):
   window (shard-parallel, no global sort before the final presentation
   ORDER BY); `ann_ivf`'s quantizer sample plans as `TakeOrderedAndProject`
   and full-corpus assignment is map-side (no join for cluster ids).
+- **r8 curation ops**: `interval_coverage`'s two user_id windows reuse ONE
+  exchange; `token_vocab` partial-aggregates the exploded tokens map-side
+  and tops out in `TakeOrderedAndProject`; `events_zscore` broadcasts the
+  5-row stats side (`BroadcastHashJoin`, events never shuffles wide);
+  `merge_upsert` is the full-outer `SortMergeJoin` a lakehouse MERGE
+  executes; `attribution_last_touch` shows the asof union-merge shape --
+  exchange + window, NO join operator before the final aggregate;
+  `embedding_quantize` is a zero-exchange codegen projection.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
