@@ -178,4 +178,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(last == Map("u1" -> 3L, "u2" -> 1L))
   }
+
+  test("stream-stream interval join: purchases x views within 1h, batch parity") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // both sides watermarked; the interval condition bounds the state each
+    // side retains (Spark derives the retention window from it) — the
+    // streaming analog of join_interval/attribution. Out-of-window and
+    // wrong-user rows must not match.
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    val joined = p.join(v,
+      expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts < p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_stream")
+      .outputMode(OutputMode.Append()).start()
+    val vRows = Seq(
+      (1L, ts(10, 0)),  // in window for u1 purchase @10:30
+      (1L, ts(8, 0)),   // too old — outside 1h
+      (2L, ts(10, 20)), // in window for u2 purchase @10:40
+      (3L, ts(10, 25))) // wrong user for every purchase
+    val pRows = Seq((1L, ts(10, 30)), (2L, ts(10, 40)))
+    views.addData(vRows)
+    purchases.addData(pRows)
+    q.processAllAvailable()
+    // advance both watermarks so pending state flushes
+    views.addData(Seq((9L, ts(23, 0))))
+    purchases.addData(Seq((9L, ts(23, 0))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("ssj_stream").select("p_user", "p_ts", "v_ts")
+    // batch parity: the identical join expression over the same rows
+    val batch = pRows.toDF("p_user", "p_ts").join(vRows.toDF("v_user", "v_ts"),
+      expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts < p_ts"))
+      .select("p_user", "p_ts", "v_ts")
+    assert(streamed.count() == 2L)
+    assert(streamed.except(batch).count() == 0L &&
+      batch.except(streamed).count() == 0L)
+  }
 }
