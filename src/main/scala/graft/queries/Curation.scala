@@ -57,29 +57,21 @@ object Curation {
     * over the same (user_id) partitioning — one exchange, reused — then a
     * per-user aggregate. Everything is exact bigint µs arithmetic.
     */
-  private val intervalCoverage = Q("interval_coverage",
-    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-       |    epoch_us(ts) + 300000000 AS end_us FROM events),
-       |m AS (SELECT user_id, ts_us, end_us,
-       |    max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-       |  FROM e),
-       |isl AS (SELECT user_id, ts_us, end_us,
-       |    sum(CASE WHEN prev_end IS NULL OR ts_us > prev_end THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY user_id ORDER BY ts_us
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |  FROM m),
-       |g AS (SELECT user_id, island, min(ts_us) AS s, max(end_us) AS e2
-       |  FROM isl GROUP BY user_id, island)
-       |SELECT user_id, count(*) AS n_sessions,
-       |  CAST(sum(e2 - s) AS BIGINT) AS covered_us
-       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val sessUs = 300000000L // 5 min in µs
+  /** Reusable gaps-and-islands kernel: merge each user's [ts, ts+sessUs)
+    * intervals and report (user_id, n_sessions, covered_us). Input needs
+    * (user_id, event_id, ts_us). One user_id exchange feeds both windows
+    * AND both aggregates (subset-clustering satisfies them — PLANS.md);
+    * the only other exchange is the caller's presentation sort.
+    */
+  def mergedCoverage(events: DataFrame, sessUs: Long): DataFrame = {
+    // BOTH windows order by (ts_us, event_id): with a ROWS frame a bare
+    // ts_us ordering is ambiguous on tied timestamps — the island flag is
+    // computed against the first tied row, so the running sum must process
+    // that row first or tied rows can split across islands
     val ordered = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val prevW = ordered.rowsBetween(Window.unboundedPreceding, -1)
-    val runW = Window.partitionBy("user_id").orderBy("ts_us")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val runW = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
       .select(col("user_id"), col("event_id"), col("ts_us"),
         (col("ts_us") + sessUs).as("end_us"))
       .withColumn("prev_end", max("end_us").over(prevW))
@@ -90,7 +82,26 @@ object Curation {
       .agg(min("ts_us").as("s"), max("end_us").as("e2"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("e2") - col("s")).as("covered_us"))
-      .orderBy("user_id")
+  }
+
+  private val intervalCoverage = Q("interval_coverage",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    epoch_us(ts) + 300000000 AS end_us FROM events),
+       |m AS (SELECT user_id, event_id, ts_us, end_us,
+       |    max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM e),
+       |isl AS (SELECT user_id, ts_us, end_us,
+       |    sum(CASE WHEN prev_end IS NULL OR ts_us > prev_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM m),
+       |g AS (SELECT user_id, island, min(ts_us) AS s, max(end_us) AS e2
+       |  FROM isl GROUP BY user_id, island)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  CAST(sum(e2 - s) AS BIGINT) AS covered_us
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    mergedCoverage(Tables.events(s, d), sessUs = 300000000L).orderBy("user_id")
   }
 
   /** Corpus vocabulary: term frequency + document frequency per
@@ -246,6 +257,19 @@ object Curation {
     * scales with the shuffle). The +100.0 balance bump is double-exact on
     * both engines (inputs are 2-dp money values).
     */
+  /** Reusable MERGE INTO kernel: resolve a keyed change-set against a base
+    * table. base: (c_custkey, c_acctbal); changes: (k, bal). Output tags
+    * each row U (updated), I (inserted) or K (kept). Full-outer SMJ on the
+    * merge key — the engine plan a lakehouse merge executes.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame): DataFrame =
+    base.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        coalesce(col("bal"), col("c_acctbal")).as("acctbal"),
+        when(col("c_custkey").isNull, "I")
+          .when(col("k").isNull, "K").otherwise("U").as("op"))
+
   private val mergeUpsert = Q("merge_upsert",
     s"""WITH chg AS (
        |  SELECT c_custkey AS k, c_acctbal + 100 AS bal FROM customer
@@ -265,13 +289,7 @@ object Curation {
       .select(col("c_custkey").as("k"), (col("c_acctbal") + 100).as("bal"))
       .unionByName(base.filter(expr("c_custkey % 13 = 0"))
         .select((col("c_custkey") + 1000000L).as("k"), col("c_acctbal").as("bal")))
-    base.join(chg, col("c_custkey") === col("k"), "full_outer")
-      .select(
-        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
-        coalesce(col("bal"), col("c_acctbal")).as("acctbal"),
-        when(col("c_custkey").isNull, "I")
-          .when(col("k").isNull, "K").otherwise("U").as("op"))
-      .orderBy("c_custkey")
+    applyChanges(base, chg).orderBy("c_custkey")
   }
 
   /** Last-touch attribution: each purchase is attributed to the same

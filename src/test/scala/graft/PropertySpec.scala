@@ -97,4 +97,48 @@ class PropertySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .limit(10).collect().map(_.getAs[Long]("o_orderkey")).toSeq
     assert(top == full)
   }
+
+  test("mergedCoverage equals brute-force interval union on random event sets") {
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val sess = 100L
+    // dense ts range so overlaps, touching intervals and duplicates all occur
+    val events = (0 until 2000).map { i =>
+      (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(3000).toLong)
+    }
+    val got = queries.Curation
+      .mergedCoverage(events.toDF("user_id", "event_id", "ts_us"), sess)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: merge sorted intervals per user in plain Scala
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val iv = es.map(e => (e._3, e._3 + sess)).sortBy(_._1)
+      val merged = iv.tail.foldLeft(List(iv.head)) { case (acc @ (s0, e0) :: rest, (s1, e1)) =>
+        if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+      }
+      u -> ((merged.length.toLong, merged.map(m => m._2 - m._1).sum))
+    }
+    assert(got == expected)
+  }
+
+  test("applyChanges equals the in-memory upsert on random base/change sets") {
+    import s.implicits._
+    val rnd = new scala.util.Random(11L)
+    val base = (0 until 500).map(i => (i.toLong, rnd.nextInt(1000).toDouble))
+    val changes = (0 until 300).map { _ =>
+      (rnd.nextInt(700).toLong, rnd.nextInt(1000).toDouble) // keys beyond 499 = inserts
+    }.distinctBy(_._1) // MERGE semantics require unique change keys
+    val got = queries.Curation.applyChanges(
+      base.toDF("c_custkey", "c_acctbal"), changes.toDF("k", "bal"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val baseM = base.toMap
+    val chgM = changes.toMap
+    val expected = (baseM.keySet ++ chgM.keySet).map { k =>
+      k -> (chgM.get(k) match {
+        case Some(v) if baseM.contains(k) => (v, "U")
+        case Some(v)                      => (v, "I")
+        case None                         => (baseM(k), "K")
+      })
+    }.toMap
+    assert(got == expected)
+  }
 }
