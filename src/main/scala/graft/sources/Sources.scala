@@ -29,4 +29,20 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Export sinks for the reference's spreadsheet/JSON interchange surface.
+    * Each task writes its own part file — no driver round-trip, no
+    * coalesce(1): at cluster scale a single-file export is a downstream
+    * concatenation concern, not the engine's. Ingest twins above
+    * round-trip them schema-first (SourcesSpec).
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      delimiter: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

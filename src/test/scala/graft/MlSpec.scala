@@ -126,4 +126,21 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(j.count() == 2)
     assert(j.agg(sum("mw")).head.getDouble(0) == 159.18)
   }
+
+  test("CSV and JSON-lines SINKS round-trip through their ingest twins") {
+    import graft.sources.Sources
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val csvOut = "target/tmp/sources_spec/docs_csv"
+    val jsnOut = "target/tmp/sources_spec/docs_jsonl"
+    Sources.writeCsv(docs, csvOut)
+    Sources.writeJsonLines(docs, jsnOut)
+    val backCsv = Sources.readCsv(s, csvOut, docs.schema)
+    val backJsn = Sources.readJsonLines(s, jsnOut, docs.schema)
+    assert(backCsv.count() == 500 && backJsn.count() == 500)
+    // exact content parity, not just counts
+    assert(backCsv.except(docs).count() == 0 && docs.except(backCsv).count() == 0)
+    assert(backJsn.except(docs).count() == 0 && docs.except(backJsn).count() == 0)
+    // multi-part output: no hidden coalesce(1) in the sink
+    assert(new java.io.File(csvOut).listFiles().exists(_.getName.endsWith(".csv")))
+  }
 }
