@@ -179,6 +179,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map("u1" -> 3L, "u2" -> 1L))
   }
 
+  test("incremental SCD2: stateful stream closes the same intervals as batch scd_type2") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the streaming twin of the batch lead() window: per-user state holds
+    // the OPEN interval; each arriving event closes it and emits the
+    // finished SCD2 row. Replays the real sf0.001 events in event-time
+    // order split across two triggers (state must survive the boundary).
+    val rows = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._2)).toSeq
+    val closer = (user: Long, es: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long)]) => {
+      // sort within the trigger: micro-batch iterator order is arrival
+      // order, which a shuffle could permute
+      val sorted = es.toSeq.sortBy(t => (t._3, t._2))
+      val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+      var open = state.getOption
+      sorted.foreach { case (_, eid, ts) =>
+        open.foreach { case (pid, pts) => out += ((user, pid, pts, ts)) }
+        open = Some((eid, ts))
+      }
+      open.foreach(state.update)
+      out.iterator
+    }
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(closer)
+      .toDF("user_id", "event_id", "valid_from_us", "valid_to_us")
+      .writeStream.format("memory").queryName("scd_stream")
+      .outputMode(OutputMode.Update()).start()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    ms.addData(first)
+    q.processAllAvailable()
+    ms.addData(second)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("scd_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: every CLOSED interval of scd_type2 (valid_to != null)
+    def us(l: java.time.LocalDateTime): Long =
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+    val batch = SparkEntry.queries("scd_type2")(s, d).collect()
+      .filter(!_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(1),
+        us(r.getAs[java.time.LocalDateTime](3)), us(r.getAs[java.time.LocalDateTime](4))))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && streamed.size == 985) // 1000 events - 15 open intervals
+  }
+
   test("stream-stream interval join: purchases x views within 1h, batch parity") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
