@@ -157,13 +157,19 @@ object Curation {
     */
   private val sampleWeighted = Q("sample_weighted",
     s"""WITH k AS (SELECT doc_id, lang, n_chars,
-       |    ((doc_id * 2654435761) % 1000000) * 100000 // n_chars AS priority
+       |    (((doc_id % 1000003) * 2654435761) % 1000000) * 100000 // n_chars AS priority
        |  FROM documents)
        |SELECT doc_id, lang, n_chars, CAST(priority AS BIGINT) AS priority
        |FROM k ORDER BY priority, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    // doc_id % 1000003 (prime) BEFORE the Knuth multiply: with ANSI mode
+    // on, doc_id * 2654435761 overflows bigint once doc_id > ~3.5e9 —
+    // i.e. exactly at the corpus sizes this op exists for. The pre-mod
+    // bounds the product at ~2.7e15 for ANY doc_id and is the identity
+    // on every test fixture (doc_id < 1e6), so goldens are unchanged.
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr("((doc_id * 2654435761L) % 1000000) * 100000 div n_chars").as("priority"))
+        expr("(((doc_id % 1000003) * 2654435761L) % 1000000) * 100000 div n_chars")
+          .as("priority"))
       .orderBy("priority", "doc_id")
       .limit(100)
   }
@@ -180,8 +186,8 @@ object Curation {
     */
   private val embeddingQuantize = Q("embedding_quantize",
     s"""WITH sc AS (SELECT vec_id,
-       |    list_max(list_transform(embedding, x -> abs(x)))
-       |      / CAST(127 AS DOUBLE) AS scale,
+       |    greatest(list_max(list_transform(embedding, x -> abs(x)))
+       |      / CAST(127 AS DOUBLE), 1e-30) AS scale,
        |    embedding FROM embeddings),
        |q AS (SELECT vec_id, scale,
        |    list_transform(embedding, x ->
@@ -191,9 +197,14 @@ object Curation {
        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq_q
        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    // greatest(…, 1e-30): an all-zero vector yields scale = 0, x/scale =
+    // Infinity, and ANSI cast(floor(Inf) as int) is a runtime ERROR — the
+    // floor guard maps zero vectors to q = 0 instead (both engines; 1e-30
+    // is scientific notation, which DuckDB parses as DOUBLE, not DECIMAL).
+    // No fixture vector is all-zero, so goldens are unchanged.
     Tables.embeddings(s, d)
       .withColumn("scale",
-        expr("array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"))
+        expr("greatest(array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D, 1e-30d)"))
       .withColumn("qv",
         expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as int))"))
       .select(col("vec_id"),
@@ -260,7 +271,9 @@ object Curation {
   /** Reusable MERGE INTO kernel: resolve a keyed change-set against a base
     * table. base: (c_custkey, c_acctbal); changes: (k, bal). Output tags
     * each row U (updated), I (inserted) or K (kept). Full-outer SMJ on the
-    * merge key — the engine plan a lakehouse merge executes.
+    * merge key — the engine plan a lakehouse merge executes. Precondition
+    * (standard MERGE semantics): change keys are unique — duplicates would
+    * fan out the base row, exactly the error ANSI MERGE rejects.
     */
   def applyChanges(base: DataFrame, changes: DataFrame): DataFrame =
     base.join(changes, col("c_custkey") === col("k"), "full_outer")
