@@ -343,7 +343,36 @@ object Curation {
       .orderBy("touch_type")
   }
 
+  /** Near-dup graph degree per document: how many neighbors each doc has
+    * in the capped-Jaccard pair graph (isolated docs report 0) — the
+    * diagnostic a dedup pipeline reads before choosing cluster retention
+    * policy (a fat-tailed degree histogram means boilerplate families).
+    * Reuses LlmOps.jaccardPairs — same df-capped shingle equi-join, no
+    * all-pairs anywhere — then one symmetric union + count and a hash
+    * left join back onto documents. The degree table is O(|docs with a
+    * neighbor|), so it is NOT broadcast — the join shuffles on doc_id
+    * like any fact-fact equi-join.
+    */
+  private val graphDegree = Q("graph_degree",
+    s"""WITH ${LlmOps.jaccardCte},
+       |sym AS (SELECT da AS a, db AS b FROM jpairs
+       |  UNION ALL SELECT db, da FROM jpairs),
+       |deg AS (SELECT a AS doc_id, count(*) AS degree FROM sym GROUP BY a)
+       |SELECT d.doc_id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
+       |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val jp = LlmOps.jaccardPairs(s, d)
+    val sym = jp.select(col("da").as("a"))
+      .unionByName(jp.select(col("db").as("a")))
+    val deg = sym.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
+      .withColumnRenamed("doc_id", "g_id")
+    Tables.documents(s, d).select("doc_id")
+      .join(deg, col("doc_id") === col("g_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textBoilerplate,
     sampleWeighted, embeddingQuantize, eventsZscore, mergeUpsert,
-    attributionLastTouch)
+    attributionLastTouch, graphDegree)
 }

@@ -549,7 +549,7 @@ object LlmOps {
     */
   // a def, not a val: `all` above references it during object init, and a
   // forward val reference would still be null at that point
-  private def jaccardCte: String =
+  private[queries] def jaccardCte: String =
     """toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
       |grams0 AS (
       |  SELECT DISTINCT doc_id, lang,

@@ -144,6 +144,16 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"asof must be the union-merge rewrite, not a join:\n$plan")
   }
 
+  test("graph_degree: 484 isolated docs + 16 of degree 1 (DuckDB golden)") {
+    val rows = run("graph_degree").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 500)
+    val hist = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(hist == Map(0L -> 484, 1L -> 16))
+    // degree parity with the pair list itself: sum of degrees = 2|E|
+    val e = run("dedup_ngram_jaccard").count()
+    assert(rows.map(_._2).sum == 2 * e)
+  }
+
   test("events_zscore plans the 5-row stats side as a broadcast join") {
     val df = run("events_zscore")
     df.collect()
