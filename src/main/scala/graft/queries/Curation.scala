@@ -372,7 +372,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** User-journey transition matrix: per-user consecutive event pairs
+    * (lag window) counted into the 5×5 Markov transition table — the
+    * funnel/cohort sibling that answers "what do users do NEXT". The lag
+    * window partitions by user_id (per-key sort in one hash exchange) and
+    * the count is map-side combinable to ≤ |types|² rows.
+    */
+  private val eventsTransitions = Q("events_transitions",
+    s"""WITH o AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events)
+       |SELECT prev, event_type AS next, count(*) AS n
+       |FROM o WHERE prev IS NOT NULL
+       |GROUP BY prev, next ORDER BY prev, next""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev", "next")
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textBoilerplate,
     sampleWeighted, embeddingQuantize, eventsZscore, mergeUpsert,
-    attributionLastTouch, graphDegree)
+    attributionLastTouch, graphDegree, eventsTransitions)
 }
