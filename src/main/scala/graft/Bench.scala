@@ -65,17 +65,27 @@ object Bench {
     // tail. Hard-cap the contract line at 1400 chars by keeping only the
     // SLOWEST queries that fit (they are the ones worth reading in a bench
     // summary); full precision for every query is on the queries_full line.
+    // "failed" makes crashed queries visible in the archived tail: "n"
+    // counts ALL declared queries while "value" sums only successes, so
+    // without it a bench round with a crashed query reads as faster-than-
+    // real (failure names go to stderr + the queries_full line as -1.0)
     val budget = 1400
     val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","n":${results.size},"failed":${failed.size},"queries":{"""
     val tailStr = s"""},"sf":"$sfDir"}"""
     val sb = new StringBuilder(head)
+    // strict prefix fill: STOP at the first entry that doesn't fit, so the
+    // map is exactly "the slowest k queries" — continuing past an overflow
+    // would let shorter-named faster queries displace slower ones
     var first = true
-    slowestFirst.foreach { case (k, v) =>
+    val it = slowestFirst.iterator
+    var fits = true
+    while (fits && it.hasNext) {
+      val (k, v) = it.next()
       val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v, 2)
       if (sb.length + entry.length + tailStr.length <= budget) {
         sb.append(entry); first = false
-      }
+      } else fits = false
     }
     sb.append(tailStr)
     val line = sb.toString

@@ -154,11 +154,13 @@ object ConnectedComponents {
   private def attachLabels(nodes: DataFrame, labels: DataFrame,
       broadcastLabels: Boolean): DataFrame = {
     val l = labels.toDF("e_node", "e_lbl")
-    val out = nodes.select(col("node"))
+    // ensureCached: composed queries (dedup_retention then dedup_cluster)
+    // re-derive the same label plan in one session — re-persisting an
+    // already-cached plan is a CacheManager warning (graft.Caching)
+    val out = graft.Caching.ensureCached(nodes.select(col("node"))
       .join(if (broadcastLabels) broadcast(l) else l,
         col("node") === col("e_node"), "left_outer")
-      .select(col("node"), coalesce(col("e_lbl"), col("node")).as("lbl"))
-      .persist()
+      .select(col("node"), coalesce(col("e_lbl"), col("node")).as("lbl")))
     out.count()
     out
   }

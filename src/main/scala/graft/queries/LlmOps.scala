@@ -234,9 +234,10 @@ object LlmOps {
         sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sv$b"))
       val sigBits = (0 until 64).map(b =>
         expr(s"CASE WHEN sv$b >= 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END"))
-      val sig = shingles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sigBits.reduce(_ + _).as("sig"))
-        .persist() // two band-join branches below; tiny (one long per doc)
+      val sig = graft.Caching.ensureCached(
+        shingles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), sigBits.reduce(_ + _).as("sig"))
+      ) // persisted: two band-join branches below; tiny (one long per doc)
       sig.count() // pin in one job — the two branches' map stages would
                   // otherwise race to populate the cache, each re-running
                   // the shingle pipeline
@@ -258,26 +259,39 @@ object LlmOps {
     // for similarity search (recall vs brute force asserted in MlSpec;
     // band shape measured in round 7 — see lshSignatureUdf scaladoc).
     Q("ann_lsh_bucket", { (s: SparkSession, d: String) =>
-      graft.functions.DotProduct.register(s)
-      val sigU = Multimodal.lshSignatureUdf
-      val e = Tables.embeddings(s, d).withColumn("sig", sigU(col("embedding")))
-      val bands = e.select(col("vec_id"), col("embedding"), col("sig"),
-        explode(expr("array(0, 1, 2, 3, 4, 5)")).as("bi"))
-        .withColumn("bv", expr("(shiftright(sig, bi * 4)) & 15"))
-      val probes = TextSim.withVecNorm(bands.filter(col("vec_id") < 50)
-        .toDF("a_id", "embedding", "sig_a", "bi_a", "bv_a"), "a")
-      val corpus = TextSim.withVecNorm(
-        bands.toDF("b_id", "embedding", "sig_b", "bi_b", "bv_b"), "b")
-      val cands = broadcast(probes)
-        .join(corpus, expr("bi_a = bi_b AND bv_a = bv_b AND a_id <> b_id"))
-        .select("a_id", "a_d", "a_n2", "b_id", "b_d", "b_n2").distinct()
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-      cands.withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
+      lshCandidates(s, d, probeLimit = 50)
+        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
           col("rnk"), round(col("sim"), 3).as("sim3"))
         .orderBy("vec_id", "rnk")
+    }, None),
+
+    // the 100 TB form of knn_label: majority label over the LSH candidate
+    // set instead of the brute-force all-pairs scan — same vote windows as
+    // knn_label, candidates from the same banded join as ann_lsh_bucket.
+    // A probe whose buckets surface fewer than 5 candidates votes over
+    // what it has (standard ANN behavior). Engine-specific hash in the
+    // bucketing => rows-only; label agreement vs brute-force knn_label is
+    // gated in MlSpec.
+    Q("knn_label_ann", { (s: SparkSession, d: String) =>
+      val wTop = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      val wVote = Window.partitionBy("a_id").orderBy(col("votes").desc, col("b_lbl"))
+      // wider bands than ann_lsh_bucket (8×3-bit vs 6×4-bit from the same
+      // 24-bit signature): a LABEL vote needs the top-5 neighbor set to be
+      // near-exact, so the candidate join trades more collisions for the
+      // recall the vote requires
+      lshCandidates(s, d, probeLimit = 50, nBands = 8, bandBits = 3)
+        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .groupBy("a_id", "b_lbl").agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("a_id").as("vec_id"), col("b_lbl").as("pred_label"), col("votes"))
+        .orderBy("vec_id")
     }, None),
 
     // ANN variant 2 — IVF: seeded KMeans coarse quantizer, probe the
@@ -606,33 +620,80 @@ object LlmOps {
     labels
   }
 
+  /** Shared LSH candidate generator for `ann_lsh_bucket` / `knn_label_ann`:
+    * 24 deterministic hyperplanes -> 6×4-bit band buckets -> banded
+    * equi-join of the bounded probe set (vec_id < probeLimit, broadcast)
+    * against the full corpus. Returns one row per DISTINCT (probe,
+    * candidate) pair with both sides' pre-cast double vectors + norms and
+    * the candidate's label — never an all-pairs product: a pair appears
+    * only if some 4-bit band collides, and the join is shuffle-parallel on
+    * (band index, band value) with the probe side broadcast.
+    */
+  private def lshCandidates(s: SparkSession, d: String, probeLimit: Int,
+      nBands: Int = 6, bandBits: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(nBands * bandBits <= 24, "signature is 24 bits")
+    graft.functions.DotProduct.register(s)
+    val sigU = Multimodal.lshSignatureUdf
+    val e = Tables.embeddings(s, d).withColumn("sig", sigU(col("embedding")))
+    val bands = e.select(col("vec_id"), col("embedding"), col("label"), col("sig"),
+      explode(expr(s"array(${(0 until nBands).mkString(", ")})")).as("bi"))
+      .withColumn("bv", expr(s"(shiftright(sig, bi * $bandBits)) & ${(1 << bandBits) - 1}"))
+    val probes = TextSim.withVecNorm(bands.filter(col("vec_id") < probeLimit)
+      .drop("label")
+      .toDF("a_id", "embedding", "sig_a", "bi_a", "bv_a"), "a")
+    val corpus = TextSim.withVecNorm(
+      bands.toDF("b_id", "embedding", "b_lbl", "sig_b", "bi_b", "bv_b"), "b")
+    // b_lbl is functionally dependent on b_id, so carrying it through the
+    // distinct does not change the candidate-pair cardinality
+    broadcast(probes)
+      .join(corpus, expr("bi_a = bi_b AND bv_a = bv_b AND a_id <> b_id"))
+      .select("a_id", "a_d", "a_n2", "b_id", "b_d", "b_n2", "b_lbl").distinct()
+  }
+
   private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
+    // shingles are xxhash64'd to int64 INSIDE the transform lambda, so the
+    // ~20-char gram strings never leave the expression: the distinct, both
+    // window counts, the persisted table, and both sides of the pair join
+    // all carry 8-byte keys (r8 bench: the string-gram pipeline was 25.8 s
+    // of the 107.6 s total and the source of a 4x run-to-run swing).
+    // Semantics: exact-Jaccard only ever compares grams for EQUALITY, so a
+    // result changes only on an intra-language 64-bit collision between two
+    // DISTINCT grams — p ~ n_grams²/2^65, negligible at any corpus size
+    // where per-doc distinct sets matter (and the df cap bounds the blast
+    // radius of a collision to one merged df count).
     val grams = toks.repartition(s.sparkContext.defaultParallelism)
       .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+        explode(expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))")).as("gh"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "g")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "gh")))
       .filter(col("df") <= 50)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "lang", "g", "n")
-      .persist() // both sides of the pair self-join below
-    grams.count() // pin the cache in ONE job before the join's two
-                  // map stages race to populate it concurrently
-    val a = grams.toDF("da", "lang_a", "g", "na")
-    val b = grams.toDF("db", "lang_b", "g2", "nb")
-    val jp = a.join(b, expr("g = g2 AND lang_a = lang_b AND da < db"))
+      .select("doc_id", "lang", "gh", "n")
+    val a = grams.toDF("da", "lang_a", "gh", "na")
+    val b = grams.toDF("db", "lang_b", "gh2", "nb")
+    val jp = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"),
         min("na").as("na"), min("nb").as("nb"))
       .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
       .select(col("da"), col("db"),
         expr("cast(c as double) / (na + nb - c)").as("jac"))
-      .persist()
-    jp.count() // materialize the (tiny) pair set while grams is cached...
-    grams.unpersist(blocking = false) // ...then retire the intermediate
+    // warm re-entry (graph_degree then dedup_ngram_jaccard in one session
+    // builds the IDENTICAL plan): the pair frame is already in the
+    // plan-keyed SQL cache — return it without touching, let alone
+    // re-materializing, the gram pipeline. See graft.Caching's ownership
+    // contract: the RETURNED jp is the caller's to retire.
+    if (jp.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      graft.Caching.ensureCached(grams)
+      grams.count() // pin the cache in ONE job before the pair join's two
+                    // map stages race to populate it concurrently
+      jp.persist()
+      jp.count() // materialize the (tiny) pair set while grams is cached...
+      grams.unpersist(blocking = false) // ...then retire the intermediate
+    }
     jp
   }
 }

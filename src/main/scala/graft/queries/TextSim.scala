@@ -154,7 +154,14 @@ object TextSim {
     * planted-pair test so the test exercises the production path.
     */
   def minhashNearDupPairs(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val grams = docs0
+    // shingles are xxhash64'd to int64 INSIDE the transform lambda (see
+    // LlmOps.jaccardPairs for the collision argument): the distinct, the
+    // persisted table, the signature aggregation and both exact-Jaccard
+    // re-rank sides carry 8-byte keys instead of ~20-char strings — the
+    // string materialization was the source of dedup_fuzzy's 4x driver-run
+    // timing swing in round 8. Minhashes become seeded hashes OF the gram
+    // hash: equally uniform, still deterministic.
+    val grams = graft.Caching.ensureCached(docs0
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3) // sequence(1,0) DESCENDS on Spark — drop short docs
       // the sf fixture is ONE parquet file = one partition; spread the
@@ -162,10 +169,13 @@ object TextSim {
       // already partitioned)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
+        explode(expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))")).as("gh"))
       .distinct()
-      .persist() // three consumers (signature agg, both re-rank sides);
-                 // Catalyst does not reuse the explode+distinct exchange
+    ) // persisted: three consumers (signature agg, both re-rank sides);
+      // Catalyst does not reuse the explode+distinct exchange. Cached via
+      // ensureCached so a same-session re-entry never double-persists
+      // (graft.Caching ownership contract — the harness clearCache or the
+      // caller retires it)
     grams.count() // pin the cache in ONE job: the consumers' map stages
                   // otherwise race to populate it concurrently, re-running
                   // the explode+distinct per stage — the source of the
@@ -175,7 +185,7 @@ object TextSim {
     // separate sizes aggregation/joins are needed later
     val k = 10
     val aggCols = count(lit(1)).as("n") +:
-      (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+      (0 until k).map(i => min(xxhash64(lit(i), col("gh"))).as(s"m$i"))
     val sig = grams.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     // 5 bands x 2 rows: recall at J=0.7 is 1-(1-0.49)^5 ≈ 0.97
     val bands = sig.select(col("doc_id"), col("n"), explode(array(
@@ -191,8 +201,8 @@ object TextSim {
           " AND cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
       .select("da", "db", "na", "nb").distinct()
     val common = guarded.select("da", "db")
-      .join(grams.toDF("da3", "g"), expr("da = da3"))
-      .join(grams.toDF("db3", "g2"), expr("db = db3 AND g = g2"))
+      .join(grams.toDF("da3", "gh"), expr("da = da3"))
+      .join(grams.toDF("db3", "gh2"), expr("db = db3 AND gh = gh2"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
     guarded.join(common, Seq("da", "db"))
       .withColumn("dist", expr("1.0d - cast(c as double) / (na + nb - c)"))

@@ -69,6 +69,46 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "vocab counting must partial-aggregate before the shuffle")
   }
 
+  test("text_tfidf: top-100 headed by en/line 336·135 → 119348300 (DuckDB golden)") {
+    val rows = run("text_tfidf").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 100)
+    assert(rows(0) == (("en", "line", 336L, 135L, 119348300L)))
+    assert(rows(1) == (("en", "order", 342L, 137L, 116486730L)))
+    // score is non-increasing and rarer-than-average terms outscore ubiquitous ones
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 >= b._5; case _ => true })
+    assert(rows.forall(_._5 > 0L), "a df=N term (idf<ln1=0) must never reach the top-100")
+  }
+
+  test("text_tfidf's floored score sits far from every floor boundary (ln parity guard)") {
+    // JVM Math.log and DuckDB ln disagree by 1 ulp on ~0.1% of the idf
+    // domain (measured round 9: 7/8980 probed (N, df) triples), so the
+    // oracle compare is only safe because the floor(·×10⁶ + 0.5) argument
+    // never lands within a few ulps of an integer boundary. Assert a
+    // 1000-ulp margin so a fixture change that erodes it fails HERE with a
+    // diagnostic instead of as an opaque driver hash mismatch.
+    val nd = Tables.documents(s, d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("text_tfidf").collect().foreach { r =>
+      val (lang, tf, df, e6) = (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      val raw = tf.toDouble * math.log((nd(lang) + 1.0) / (df + 1.0)) * 1000000.0 + 0.5
+      assert(math.floor(raw).toLong == e6, s"engine/test floor disagree on $r")
+      val frac = raw - math.floor(raw)
+      val marginUlps = math.min(frac, 1.0 - frac) / math.ulp(raw)
+      assert(marginUlps > 1000.0,
+        s"$r: floor argument $raw is $marginUlps ulps from a boundary")
+    }
+  }
+
+  test("text_tfidf plans TakeOrdered top-k over a broadcast doc-count join") {
+    val df = run("text_tfidf")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 5-row per-lang doc-count side must broadcast:\n$plan")
+  }
+
   test("text_boilerplate: 8 shared prefixes covering 16 docs (DuckDB golden)") {
     val rows = run("text_boilerplate").collect()
     assert(rows.length == 8)

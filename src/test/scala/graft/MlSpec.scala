@@ -70,6 +70,24 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(recall >= 0.45, s"recall@3 $recall")
   }
 
+  test("knn_label_ann agrees with brute-force knn_label on >= 80% of probes") {
+    // the ANN-candidate vote must reproduce the exact-scan vote for most
+    // probes: neighbor SETS differ (LSH recall@3 ~0.59) but the majority
+    // LABEL is far more stable than the neighbor list. 80% is ~the
+    // round-9 measured agreement less a safety margin — a regression to
+    // random bucketing (~1/|labels| agreement) fails loudly.
+    val ann = SparkEntry.queries("knn_label_ann")(s, d)
+      .select(col("vec_id"), col("pred_label").as("ann_lbl"))
+    val brute = SparkEntry.queries("knn_label")(s, d)
+      .select(col("vec_id"), col("pred_label").as("bf_lbl"))
+    val joined = brute.join(ann, "vec_id")
+    val n = joined.count().toDouble
+    assert(n >= 45, s"ANN vote must cover ~every probe, got $n")
+    val agree = joined.filter(col("ann_lbl") === col("bf_lbl")).count() / n
+    info(f"knn_label_ann vs brute-force agreement: $agree%.3f over ${n.toInt} probes")
+    assert(agree >= 0.8, s"label agreement $agree")
+  }
+
   test("IVF ANN keeps recall >= 0.35 vs brute-force top-3") {
     val ivf = SparkEntry.queries("ann_ivf")(s, d)
       .select("vec_id", "neighbor_id")

@@ -195,6 +195,26 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(leaked.isEmpty, s"leaked RDD-level persistence: $leaked")
   }
 
+  test("re-entering the pair-graph kernel in one session neither double-caches nor leaks") {
+    // graph_degree and dedup_ngram_jaccard build the IDENTICAL pair graph;
+    // running them back-to-back without clearCache is the library-user
+    // composition graft.Caching's contract covers: the second entry must
+    // reuse the cached pair frame (no new persistent RDDs) and one
+    // clearCache must still clean the whole session
+    s.catalog.clearCache()
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("graph_degree")(s, d)
+      .write.format("noop").mode("overwrite").save()
+    val after1 = s.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("dedup_ngram_jaccard")(s, d)
+      .write.format("noop").mode("overwrite").save()
+    val after2 = s.sparkContext.getPersistentRDDs.keySet
+    assert((after2 -- after1).isEmpty,
+      s"re-entry created new persistent RDDs: ${after2 -- after1}")
+    s.catalog.clearCache()
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("join_skew_salted actually joins through the salt key") {
     val plan = SparkEntry.queries("join_skew_salted")(s, d)
       .queryExecution.executedPlan.toString
@@ -247,19 +267,33 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // on a low-cardinality routing column so per-lang readers touch 1/Nth
     // of the files. Write via the library's sink, then prove the filter
     // becomes a PartitionFilter (metadata pruning), not a row filter.
-    val out = "/tmp/graft_part_docs"
-    graft.sources.Sources.writeParquet(
-      Tables.documents(s, d), out, partitionBy = Seq("lang"))
-    val read = s.read.parquet(out).filter(col("lang") === "en")
-    val plan = read.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
-      s"lang filter must prune partitions at plan time:\n$plan")
-    // pruning is real: only the en directory's rows are read, and the
-    // count matches the unpartitioned filter
-    val expected = Tables.documents(s, d).filter(col("lang") === "en").count()
-    assert(read.count() == expected && expected > 0)
-    val enOnly = plan.linesIterator.find(_.contains("PartitionFilters")).get
-    assert(enOnly.toLowerCase.contains("isnotnull(lang") ||
-      enOnly.contains("lang#") , s"unexpected PartitionFilters line: $enOnly")
+    // project-local tmp dir (not a fixed /tmp path): concurrent or
+    // multi-user runs must not collide, and stale prior-run data must
+    // never be read
+    val tmpBase = java.nio.file.Paths.get("target/tmp").toAbsolutePath
+    java.nio.file.Files.createDirectories(tmpBase)
+    val outDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft_part_docs")
+    val out = outDir.toString
+    try {
+      graft.sources.Sources.writeParquet(
+        Tables.documents(s, d), out, partitionBy = Seq("lang"))
+      val read = s.read.parquet(out).filter(col("lang") === "en")
+      val plan = read.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+        s"lang filter must prune partitions at plan time:\n$plan")
+      // pruning is real: only the en directory's rows are read, and the
+      // count matches the unpartitioned filter
+      val expected = Tables.documents(s, d).filter(col("lang") === "en").count()
+      assert(read.count() == expected && expected > 0)
+      // the en-EQUALITY predicate itself must be a partition filter — an
+      // attribute-reference fallback (lang#…) would pass vacuously
+      val enOnly = plan.linesIterator.find(_.contains("PartitionFilters")).get
+      assert("lang#\\d+\\s*=\\s*en\\b".r.findFirstIn(enOnly).isDefined,
+        s"(lang = en) must be pushed as a partition filter: $enOnly")
+    } finally {
+      java.nio.file.Files.walk(outDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
