@@ -170,6 +170,74 @@ object Curation {
       .limit(100)
   }
 
+  /** BM25 document relevance against a fixed probe-term set — the retrieval
+    * scoring a training-data pipeline runs to rank documents against a
+    * query (k1 = 1.2, b = 0.75; idf = ln(1 + (N − df + 0.5)/(df + 0.5))).
+    * The probe terms are FIXED COLUMNS, not rows: the score is a single
+    * per-row expression summing the three term contributions in source
+    * order, so no double ever crosses an aggregation boundary (a
+    * sum()-over-term-rows would be aggregation-order-sensitive). Stats (N,
+    * df per term, avgdl) are exact-integer per-lang aggregates; avgdl's
+    * division and every other double op happen per-row AFTER the join with
+    * the identical expression tree on both engines. ln parity: same 1-ulp
+    * story as text_tfidf; fixture margins here are ≥ 2.5M ulps from any
+    * floor boundary.
+    *
+    * Scale shape: tf extraction is map-only; the stats side aggregates to
+    * one row per lang and broadcasts; top-100 plans TakeOrderedAndProject
+    * on the exact integer score.
+    */
+  private val textBm25 = {
+    val terms = Seq("fast", "merge", "column")
+    def tfO(i: Int) =
+      s"len(list_filter(string_split(lower(text), ' '), x -> x = '${terms(i - 1)}')) AS tf$i"
+    def tfS(i: Int) =
+      s"size(filter(split(lower(text), ' '), x -> x = '${terms(i - 1)}')) AS tf$i"
+    // one term's BM25 contribution; identical text on both engines except
+    // the double-literal spelling (DuckDB parses bare decimals as DECIMAL)
+    def term(i: Int, c: String => String) =
+      s"""ln(${c("1")} + (cast(n_docs as double) - cast(df$i as double) + ${c("0.5")})
+         |  / (cast(df$i as double) + ${c("0.5")}))
+         |* (cast(tf$i as double) * ${c("2.2")})
+         |/ (cast(tf$i as double) + ${c("1.2")} * (${c("0.25")} + ${c("0.75")} * cast(dl as double) / avgdl))""".stripMargin
+    def score(c: String => String) =
+      s"cast(floor((${term(1, c)} + ${term(2, c)} + ${term(3, c)}) * ${c("1000000")} + ${c("0.5")}) as bigint)"
+    val duck: String => String = k => s"CAST($k AS DOUBLE)"
+    val spark: String => String = k => s"${k}d"
+    Q("text_bm25",
+      s"""WITH f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS dl,
+         |    ${tfO(1)}, ${tfO(2)}, ${tfO(3)} FROM documents),
+         |st AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+         |  FROM f GROUP BY lang)
+         |SELECT doc_id, f.lang AS lang, CAST(dl AS INT) AS dl,
+         |  CAST(tf1 AS INT) AS tf1, CAST(tf2 AS INT) AS tf2, CAST(tf3 AS INT) AS tf3,
+         |  ${score(duck)} AS bm25_e6
+         |FROM f JOIN st ON f.lang = st.lang
+         |WHERE tf1 + tf2 + tf3 > 0
+         |ORDER BY bm25_e6 DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d).selectExpr("doc_id", "lang",
+        "size(split(text, ' ')) AS dl", tfS(1), tfS(2), tfS(3))
+      val st = f.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        expr("cast(sum(dl) as double) / count(1)").as("avgdl"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
+      f.join(broadcast(st), "lang")
+        .filter(expr("tf1 + tf2 + tf3 > 0"))
+        .select(col("doc_id"), col("lang"), col("dl").cast("int").as("dl"),
+          col("tf1").cast("int").as("tf1"), col("tf2").cast("int").as("tf2"),
+          col("tf3").cast("int").as("tf3"),
+          expr(score(spark)).as("bm25_e6"))
+        .orderBy(col("bm25_e6").desc, col("doc_id"))
+        .limit(100)
+    }
+  }
+
   /** Boilerplate detection by shared leading 8-token prefix: a cheap,
     * fully-parallel screen for template headers / mirrored documents that a
     * curation pipeline runs before the (much costlier) near-dup join. One
@@ -441,6 +509,7 @@ object Curation {
   }
 
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
-    textBoilerplate, sampleWeighted, embeddingQuantize, eventsZscore,
-    mergeUpsert, attributionLastTouch, graphDegree, eventsTransitions)
+    textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
+    eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
+    eventsTransitions)
 }

@@ -109,6 +109,31 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"the 5-row per-lang doc-count side must broadcast:\n$plan")
   }
 
+  test("text_bm25: top-100 headed by doc 97 de 1326687 (DuckDB golden)") {
+    val rows = run("text_bm25").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+    assert(rows.length == 100)
+    assert(rows(0) == ((97L, "de", 61, 3, 5, 4, 1326687L)))
+    assert(rows(1) == ((410L, "de", 98, 7, 4, 6, 1319002L)))
+    // score is non-increasing; every scored doc contains a probe term
+    assert(rows.sliding(2).forall { case Array(a, b) => a._7 >= b._7; case _ => true })
+    assert(rows.forall { case (_, _, _, t1, t2, t3, _) => t1 + t2 + t3 > 0 })
+  }
+
+  test("text_bm25 plans TakeOrdered over a broadcast stats join (and no row explosion)") {
+    val df = run("text_bm25")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-lang stats side must broadcast:\n$plan")
+    // probe terms are fixed COLUMNS: no explode/unnest anywhere — a
+    // term-rows formulation would sum doubles across an aggregation
+    // boundary (order-sensitive) and explode the token stream
+    assert(!plan.toLowerCase.contains("generate"), "term tf must not explode rows")
+  }
+
   test("text_boilerplate: 8 shared prefixes covering 16 docs (DuckDB golden)") {
     val rows = run("text_boilerplate").collect()
     assert(rows.length == 8)

@@ -179,31 +179,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map("u1" -> 3L, "u2" -> 1L))
   }
 
-  test("incremental SCD2: stateful stream closes the same intervals as batch scd_type2") {
-    import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    // the streaming twin of the batch lead() window: per-user state holds
-    // the OPEN interval; each arriving event closes it and emits the
-    // finished SCD2 row. Replays the real sf0.001 events in event-time
-    // order split across two triggers (state must survive the boundary).
-    val rows = Tables.events(s, d)
+  /** sf0.001 events as (user_id, event_id, ts_us) in event-time order —
+    * the replay feed for the incremental-SCD2 tests.
+    */
+  private def eventRows: Seq[(Long, Long, Long)] =
+    Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts_us")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._3, t._2)).toSeq
-    val closer = (user: Long, es: Iterator[(Long, Long, Long)],
-        state: GroupState[(Long, Long)]) => {
-      // sort within the trigger: micro-batch iterator order is arrival
-      // order, which a shuffle could permute
-      val sorted = es.toSeq.sortBy(t => (t._3, t._2))
-      val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
-      var open = state.getOption
-      sorted.foreach { case (_, eid, ts) =>
-        open.foreach { case (pid, pts) => out += ((user, pid, pts, ts)) }
-        open = Some((eid, ts))
-      }
-      open.foreach(state.update)
-      out.iterator
+
+  /** Per-user SCD2 interval closer shared by the incremental-SCD2 tests:
+    * state holds the OPEN interval; each arriving event closes it and
+    * emits the finished (user, event_id, valid_from_us, valid_to_us) row.
+    */
+  private val scdCloser = (user: Long, es: Iterator[(Long, Long, Long)],
+      state: GroupState[(Long, Long)]) => {
+    // sort within the trigger: micro-batch iterator order is arrival
+    // order, which a shuffle could permute
+    val sorted = es.toSeq.sortBy(t => (t._3, t._2))
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+    var open = state.getOption
+    sorted.foreach { case (_, eid, ts) =>
+      open.foreach { case (pid, pts) => out += ((user, pid, pts, ts)) }
+      open = Some((eid, ts))
     }
+    open.foreach(state.update)
+    out.iterator
+  }
+
+  /** Batch scd_type2's CLOSED intervals (valid_to != null) in µs — the
+    * oracle both incremental tests compare against.
+    */
+  private def closedIntervalsBatch: Set[(Long, Long, Long, Long)] = {
+    def us(l: java.time.LocalDateTime): Long =
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+    SparkEntry.queries("scd_type2")(s, d).collect()
+      .filter(!_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(1),
+        us(r.getAs[java.time.LocalDateTime](3)), us(r.getAs[java.time.LocalDateTime](4))))
+      .toSet
+  }
+
+  test("incremental SCD2: stateful stream closes the same intervals as batch scd_type2") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the streaming twin of the batch lead() window. Replays the real
+    // sf0.001 events split across two triggers (state must survive the
+    // boundary).
+    val rows = eventRows
+    val closer = scdCloser
     val ms = MemoryStream[(Long, Long, Long)]
     val q = ms.toDS()
       .groupByKey(_._1)
@@ -220,15 +244,76 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = s.table("scd_stream").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // batch twin: every CLOSED interval of scd_type2 (valid_to != null)
-    def us(l: java.time.LocalDateTime): Long =
-      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
-    val batch = SparkEntry.queries("scd_type2")(s, d).collect()
-      .filter(!_.isNullAt(4))
-      .map(r => (r.getLong(0), r.getLong(1),
-        us(r.getAs[java.time.LocalDateTime](3)), us(r.getAs[java.time.LocalDateTime](4))))
-      .toSet
+    val batch = closedIntervalsBatch
     assert(streamed == batch)
     assert(batch.nonEmpty && streamed.size == 985) // 1000 events - 15 open intervals
+  }
+
+  test("exactly-once SCD2 sink: checkpoint recovery replays a batch idempotently") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // The exactly-once recipe a real pipeline runs: a checkpointed
+    // stateful query + a foreachBatch sink that is IDEMPOTENT BY batchId
+    // (a replayed micro-batch overwrites its own output, never appends).
+    // The crash window Spark's contract leaves open is "offsets written,
+    // commit marker not yet" — simulate it deterministically by deleting
+    // the checkpoint's commits/0 after a clean stop: the restarted query
+    // MUST re-execute batch 0 with the same batchId and the same data,
+    // and per-user state recovered from the state store (version 0) must
+    // reproduce byte-identical output, so the sink converges instead of
+    // duplicating.
+    val tmpBase = java.nio.file.Paths.get("target/tmp").toAbsolutePath
+    java.nio.file.Files.createDirectories(tmpBase)
+    val ckpt = java.nio.file.Files.createTempDirectory(tmpBase, "scd_ckpt")
+    val sink = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, Seq[(Long, Long, Long, Long)]]()
+    val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (df, id) => {
+        sink.put(id, df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+        ()
+      }
+    val ms = MemoryStream[(Long, Long, Long)]
+    def start() = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(scdCloser)
+      .toDF("user_id", "event_id", "valid_from_us", "valid_to_us")
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Update())
+      .foreachBatch(writeBatch)
+      .start()
+    val (first, second) = eventRows.splitAt(eventRows.length / 2)
+    val q1 = start()
+    ms.addData(first)
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination() // fully release the checkpoint before restarting
+    val rowsAfterRun1 = sink.values().stream().mapToInt(_.size).sum()
+    assert(sink.containsKey(0L) && rowsAfterRun1 > 0)
+    // crash simulation: batch 0 ran but its commit marker is lost (the
+    // local ChecksumFileSystem's shadow .crc must go too, or the replay's
+    // atomic rename sees a stale destination and reports a concurrent
+    // writer)
+    java.nio.file.Files.delete(ckpt.resolve("commits").resolve("0"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+    ms.addData(second)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // the replay reused batchId 0 (idempotence had something to absorb)
+    // and batch 1 carried the rest — no third batch, no skipped id
+    assert(sink.keySet().size() == 2 &&
+      sink.containsKey(0L) && sink.containsKey(1L),
+      s"unexpected batch ids: ${sink.keySet()}")
+    // exactly-once end state: across the crash + replay the sink holds
+    // every batch-twin interval exactly once (state survived the restart:
+    // intervals spanning the trigger boundary close correctly)
+    val all = sink.values().stream().toArray().toSeq
+      .flatMap(_.asInstanceOf[Seq[(Long, Long, Long, Long)]])
+    assert(all.size == all.toSet.size, "a replayed row was duplicated")
+    assert(all.toSet == closedIntervalsBatch)
+    assert(all.size == 985)
   }
 
   test("stream-stream interval join: purchases x views within 1h, batch parity") {

@@ -6,7 +6,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "join_theta_range", "stream_session",
   "text_redact", "sample_stratified", "pack_sequences", "ann_ivf",
   "interval_coverage", "token_vocab", "events_zscore", "merge_upsert",
-  "attribution_last_touch", "embedding_quantize")
+  "attribution_last_touch", "embedding_quantize",
+  "text_tfidf", "knn_label_ann", "graph_degree")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -49,6 +50,13 @@ executed plans):
   executes; `attribution_last_touch` shows the asof union-merge shape --
   exchange + window, NO join operator before the final aggregate;
   `embedding_quantize` is a zero-exchange codegen projection.
+- **r9 ops**: the gram kernels (`dedup_fuzzy`, `dedup_ngram_jaccard`,
+  `graph_degree`) join on int64 `xxhash64` shingle keys -- the exchanges
+  carry 8-byte longs, never the gram strings; `text_tfidf` shows the
+  map-side partial aggregate, a `BroadcastHashJoin` against the 5-row
+  per-lang doc-count side, and `TakeOrderedAndProject` on the exact
+  integer score; `knn_label_ann` is the same banded LSH equi-join as
+  `ann_lsh_bucket` (wider 8x3-bit bands) feeding the vote windows.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
