@@ -28,6 +28,15 @@ object Bench {
         "row_number() over (partition by k order by v) as rn",
         "sum(v) over (partition by k order by v rows between 1 preceding and current row) as rs")
       .filter("rn <= 2").write.format("noop").mode("overwrite").save()
+    // warm the gram-pipeline operator classes too (higher-order transform +
+    // explode + distinct + window + cached self-join + CC): whichever dedup
+    // query ran first otherwise absorbed their one-time JIT — measured 8.8 s
+    // first-touch vs 2.2 s steady-state for the identical cold query (r9).
+    // sf0.001 keeps the warmup itself ~1 s; caches are cleared before timing.
+    try SparkEntry.queries("dedup_cluster")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () } // warmup must never fail the bench
+    spark.catalog.clearCache()
     // drive each query through a noop SINK, not .count(): count() lets
     // Catalyst drop the final sort and prune every computed column, so it
     // would time a bare row-count scan instead of the query's actual work
