@@ -220,13 +220,15 @@ object LlmOps {
     // Engine-specific hash ⇒ rows-only (organic near-dup docs guarantee
     // rows; selectivity asserted in MlSpec).
     Q("dedup_simhash", { (s: SparkSession, d: String) =>
+      // the shingle is hashed INSIDE the lambda (same xxhash64 of the same
+      // string, so signatures are bit-identical) — the explode emits longs,
+      // never materializing per-row gram strings (r9, same as jaccardPairs)
       val shingles = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 3) // see dedup_ngram_jaccard: sequence(1,0) descends
         .select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")).as("g"))
-        .withColumn("h", xxhash64(col("g")))
+          explode(expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))")).as("h"))
       // single-pass signature: 64 map-side-combinable sign-sums (one agg
       // column per bit) instead of exploding 64 rows per shingle — same
       // sums, same bits, 1/64th the rows through the shuffle
@@ -261,7 +263,6 @@ object LlmOps {
     Q("ann_lsh_bucket", { (s: SparkSession, d: String) =>
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       lshCandidates(s, d, probeLimit = 50)
-        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
@@ -284,7 +285,6 @@ object LlmOps {
       // near-exact, so the candidate join trades more collisions for the
       // recall the vote requires
       lshCandidates(s, d, probeLimit = 50, nBands = 8, bandBits = 3)
-        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5)
         .groupBy("a_id", "b_lbl").agg(count(lit(1)).as("votes"))
@@ -621,13 +621,22 @@ object LlmOps {
   }
 
   /** Shared LSH candidate generator for `ann_lsh_bucket` / `knn_label_ann`:
-    * 24 deterministic hyperplanes -> 6×4-bit band buckets -> banded
-    * equi-join of the bounded probe set (vec_id < probeLimit, broadcast)
-    * against the full corpus. Returns one row per DISTINCT (probe,
-    * candidate) pair with both sides' pre-cast double vectors + norms and
-    * the candidate's label — never an all-pairs product: a pair appears
-    * only if some 4-bit band collides, and the join is shuffle-parallel on
+    * 24 deterministic hyperplanes -> banded buckets -> banded equi-join of
+    * the bounded probe set (vec_id < probeLimit, broadcast) against the
+    * full corpus. Returns one row per DISTINCT (probe, candidate) pair as
+    * (a_id, b_id, b_lbl, sim) — never an all-pairs product: a pair appears
+    * only if some band collides, and the join is shuffle-parallel on
     * (band index, band value) with the probe side broadcast.
+    *
+    * The exact cosine is computed MAP-SIDE, in the broadcast join's output
+    * projection, and the multi-band duplicates are then collapsed by an
+    * aggregate on the 24-byte (a_id, b_id) key: a pair colliding in k
+    * bands costs k cheap `dot_d` evaluations instead of shuffling two
+    * 64-double vectors (~1 KB/row) through a distinct — at corpus scale
+    * the exchange shrinks ~40× and compute stays where the data is.
+    * min(sim) is the identity: every duplicate evaluates the identical
+    * expression on identical inputs, so the collapsed value is THE value,
+    * deterministically.
     */
   private def lshCandidates(s: SparkSession, d: String, probeLimit: Int,
       nBands: Int = 6, bandBits: Int = 4): org.apache.spark.sql.DataFrame = {
@@ -644,10 +653,12 @@ object LlmOps {
     val corpus = TextSim.withVecNorm(
       bands.toDF("b_id", "embedding", "b_lbl", "sig_b", "bi_b", "bv_b"), "b")
     // b_lbl is functionally dependent on b_id, so carrying it through the
-    // distinct does not change the candidate-pair cardinality
+    // pair-collapse aggregate does not change the candidate cardinality
     broadcast(probes)
       .join(corpus, expr("bi_a = bi_b AND bv_a = bv_b AND a_id <> b_id"))
-      .select("a_id", "a_d", "a_n2", "b_id", "b_d", "b_n2", "b_lbl").distinct()
+      .select(col("a_id"), col("b_id"), col("b_lbl"),
+        expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)").as("sim"))
+      .groupBy("a_id", "b_id", "b_lbl").agg(min("sim").as("sim"))
   }
 
   private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
