@@ -121,6 +121,61 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows.forall { case (_, _, _, t1, t2, t3, _) => t1 + t2 + t3 > 0 })
   }
 
+  test("text_tfidf is monotonically decreasing in df at equal tf (idf sanity)") {
+    // two tokens of the same language with identical tf must rank by
+    // rarity: higher df ⇒ strictly smaller idf ⇒ lower-or-equal score
+    val rows = run("text_tfidf").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byLangTf = rows.groupBy(t => (t._1, t._2)).filter(_._2.length >= 2)
+    assert(byLangTf.nonEmpty, "fixture has no equal-tf pair in the top-100 — vacuous")
+    byLangTf.values.foreach { g =>
+      g.sortBy(_._3).sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._4 >= hi._4, s"df ${lo._3} scored ${lo._4} < df ${hi._3} scored ${hi._4}")
+        case _ =>
+      }
+    }
+  }
+
+  test("text_bm25's floored score re-derives independently (ln parity guard)") {
+    // same discipline as text_tfidf: recompute the score from raw
+    // fixture stats in plain scala (JVM Math.log) and assert the engine's
+    // floored integer matches AND sits ≥ 1000 ulps from a floor boundary,
+    // so the 1-ulp JVM/DuckDB ln divergence can never flip the oracle.
+    import org.apache.spark.sql.functions._
+    val terms = Seq("fast", "merge", "column")
+    val f = Tables.documents(s, d).selectExpr("doc_id", "lang",
+      "size(split(text, ' ')) AS dl",
+      s"size(filter(split(lower(text), ' '), x -> x = '${terms(0)}')) AS tf1",
+      s"size(filter(split(lower(text), ' '), x -> x = '${terms(1)}')) AS tf2",
+      s"size(filter(split(lower(text), ' '), x -> x = '${terms(2)}')) AS tf3").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    val byLang = f.groupBy(_._2)
+    val stats = byLang.map { case (lang, docs) =>
+      lang -> (docs.length,
+        docs.map(_._3.toLong).sum.toDouble / docs.length,
+        Seq(docs.count(_._4 > 0), docs.count(_._5 > 0), docs.count(_._6 > 0)))
+    }
+    val expected = f.map { case (id, lang, dl, tf1, tf2, tf3) =>
+      val (n, avgdl, dfs) = stats(lang)
+      def term(tf: Int, df: Int) =
+        math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) *
+          (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+      val raw = (term(tf1, dfs(0)) + term(tf2, dfs(1)) + term(tf3, dfs(2))) * 1000000.0 + 0.5
+      (id, raw)
+    }.toMap
+    val out = run("text_bm25").collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (id, e6) = (r.getLong(0), r.getLong(6))
+      val raw = expected(id)
+      assert(math.floor(raw).toLong == e6, s"doc $id: engine $e6 vs rederived $raw")
+      val frac = raw - math.floor(raw)
+      assert(math.min(frac, 1.0 - frac) / math.ulp(raw) > 1000.0,
+        s"doc $id: floor argument $raw too close to a boundary")
+    }
+  }
+
   test("text_bm25 plans TakeOrdered over a broadcast stats join (and no row explosion)") {
     val df = run("text_bm25")
     df.collect()
