@@ -8,19 +8,22 @@ import org.apache.spark.storage.StorageLevel
   * Several operators (`LlmOps.jaccardPairs`, `TextSim.minhashNearDupPairs`,
   * `ConnectedComponents.minLabel` / `alternatingStars`) persist DataFrames:
   *
-  *   - INTERMEDIATES (gram tables, per-round label frames) are owned by the
-  *     operator — it materializes them in one job (so concurrent consumer
-  *     stages never race to populate the cache) and unpersists them before
-  *     returning. Callers never see these.
-  *   - RETURNED frames (the pair graph, the component labels) stay
-  *     persisted: they were materialized as a side effect of the operator's
-  *     own convergence/retirement logic, and consumers must not recompute
-  *     them through lineage whose cached inputs the operator already
-  *     retired. These are owned by the CALLER: unpersist the result when
-  *     done, or call `spark.catalog.clearCache()` between queries the way
-  *     `Verify`/`Bench` do. Nothing uses RDD-level persistence or
-  *     checkpoints, so one `clearCache()` always cleans the whole session
-  *     (asserted in ScaleSpec "dedup family leaves nothing behind").
+  *   - INTERMEDIATES the returned frame no longer needs (jaccardPairs'
+  *     gram table, CC's per-round label frames) are owned by the operator —
+  *     it materializes them in one job (so concurrent consumer stages never
+  *     race to populate the cache) and unpersists them before returning.
+  *     Callers never see these.
+  *   - Everything the RETURNED result still depends on is the CALLER's to
+  *     retire. That is the returned frame itself where the operator
+  *     materialized it (jaccardPairs' pair graph, minLabel's labels), and
+  *     ALSO any cache the returned frame still reads lazily:
+  *     `minhashNearDupPairs` returns an UNEXECUTED plan over its cached
+  *     gram table, so that cache must outlive the caller's consumption of
+  *     the result. Unpersist per-frame when done, or call
+  *     `spark.catalog.clearCache()` between queries the way `Verify`/
+  *     `Bench` do — nothing uses RDD-level persistence or checkpoints, so
+  *     one `clearCache()` always cleans the whole session (asserted in
+  *     ScaleSpec "dedup family leaves nothing behind").
   *
   * Composed queries re-enter these operators with identical plans (e.g.
   * `dedup_cluster` after `graph_degree` both build the same pair graph in

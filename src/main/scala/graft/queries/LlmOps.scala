@@ -280,10 +280,13 @@ object LlmOps {
     Q("knn_label_ann", { (s: SparkSession, d: String) =>
       val wTop = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       val wVote = Window.partitionBy("a_id").orderBy(col("votes").desc, col("b_lbl"))
-      // wider bands than ann_lsh_bucket (8×3-bit vs 6×4-bit from the same
-      // 24-bit signature): a LABEL vote needs the top-5 neighbor set to be
-      // near-exact, so the candidate join trades more collisions for the
-      // recall the vote requires
+      // COARSER bands than ann_lsh_bucket (8×3-bit vs 6×4-bit from the
+      // same 24-bit signature — FEWER bits per band ⇒ more collisions per
+      // band ⇒ a wider candidate set): a LABEL vote needs the top-5
+      // neighbor set to be near-exact, so the candidate join trades more
+      // candidates for the recall the vote requires. To tune recall UP,
+      // reduce bits per band or add bands; adding bits per band collapses
+      // recall (see lshSignatureUdf's measurements).
       lshCandidates(s, d, probeLimit = 50, nBands = 8, bandBits = 3)
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5)
@@ -605,19 +608,21 @@ object LlmOps {
     * capped-Jaccard pair graph -> connected components over the
     * pair-connected subgraph ONLY (every other doc is trivially its own
     * singleton cluster, handled by the callers' left join + coalesce).
-    * Returns (p_id, lbl); the pair frame is retired here — the labels
-    * the CC solver returns are persisted + materialized by its contract,
-    * so consumers never recompute through the unpersisted pipeline.
+    * Returns (p_id, lbl), persisted + materialized by the CC solver's
+    * contract. The pair frame is deliberately NOT retired here: on warm
+    * re-entry the cache entry belongs to an earlier caller (graph_degree
+    * before dedup_cluster is the composition graft.Caching documents),
+    * and the pair set is small by construction (jac >= 0.5 pairs), so it
+    * stays cached for the next composed query — dedup_retention after
+    * dedup_cluster reuses it — until the session owner's clearCache().
     */
   private def clusterLabels(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val jp = jaccardPairs(s, d) // persisted + materialized by contract
     val edges = jp.select(col("da").as("a"), col("db").as("b"))
     val participants = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
-    val labels = graft.operators.ConnectedComponents.minLabel(participants, edges)
+    graft.operators.ConnectedComponents.minLabel(participants, edges)
       .withColumnRenamed("node", "p_id")
-    jp.unpersist(blocking = false)
-    labels
   }
 
   /** Shared LSH candidate generator for `ann_lsh_bucket` / `knn_label_ann`:

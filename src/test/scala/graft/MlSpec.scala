@@ -73,9 +73,10 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   test("knn_label_ann agrees with brute-force knn_label on >= 80% of probes") {
     // the ANN-candidate vote must reproduce the exact-scan vote for most
     // probes: neighbor SETS differ (LSH recall@3 ~0.59) but the majority
-    // LABEL is far more stable than the neighbor list. 80% is ~the
-    // round-9 measured agreement less a safety margin — a regression to
-    // random bucketing (~1/|labels| agreement) fails loudly.
+    // LABEL is far more stable than the neighbor list. 0.80 is the
+    // round-9 measured agreement (0.90, with the coarser 8×3-bit vote
+    // bands) less a safety margin — a regression to random bucketing
+    // (~1/|labels| agreement) fails loudly.
     val ann = SparkEntry.queries("knn_label_ann")(s, d)
       .select(col("vec_id"), col("pred_label").as("ann_lbl"))
     val brute = SparkEntry.queries("knn_label")(s, d)

@@ -265,6 +265,7 @@ class StreamingSpec extends AnyFunSuite {
     val tmpBase = java.nio.file.Paths.get("target/tmp").toAbsolutePath
     java.nio.file.Files.createDirectories(tmpBase)
     val ckpt = java.nio.file.Files.createTempDirectory(tmpBase, "scd_ckpt")
+    try {
     val sink = new java.util.concurrent.ConcurrentHashMap[
       java.lang.Long, Seq[(Long, Long, Long, Long)]]()
     val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
@@ -314,6 +315,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.size == all.toSet.size, "a replayed row was duplicated")
     assert(all.toSet == closedIntervalsBatch)
     assert(all.size == 985)
+    } finally { // checkpoints accumulate state-store deltas — don't leak them
+      java.nio.file.Files.walk(ckpt)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("stream-stream interval join: purchases x views within 1h, batch parity") {
