@@ -565,8 +565,11 @@ object LlmOps {
     * agree on the same pair set.
     */
   // a def, not a val: `all` above references it during object init, and a
-  // forward val reference would still be null at that point
-  private[queries] def jaccardCte: String =
+  // forward val reference would still be null at that point.
+  // pairStatsCte ends at `common(da, db, c)` + `sizes(doc_id, n)` so other
+  // pair predicates (containment in Pipeline) share the identical gram
+  // pipeline; jaccardCte adds the jac >= 0.5 pair filter on top.
+  private[queries] def pairStatsCte: String =
     """toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
       |grams0 AS (
       |  SELECT DISTINCT doc_id, lang,
@@ -582,7 +585,10 @@ object LlmOps {
       |common AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
       |  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |  GROUP BY da, db),
+      |  GROUP BY da, db)""".stripMargin
+
+  private[queries] def jaccardCte: String =
+    s"""$pairStatsCte,
       |jpairs AS (
       |  SELECT da, db, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
       |  FROM common JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
@@ -666,7 +672,13 @@ object LlmOps {
       .groupBy("a_id", "b_id", "b_lbl").agg(min("sim").as("sim"))
   }
 
-  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  /** Shared gram kernel: per-doc DISTINCT xxhash64'd 3-gram shingles with
+    * the df <= 50 skew cap applied and the per-doc rare-shingle set size
+    * `n` riding along — (doc_id, lang, gh, n). Spark twin of the SQL
+    * `pairStatsCte` prefix; consumed by `jaccardPairs` (jac >= 0.5) and
+    * `Pipeline.dedup_containment` (containment >= 0.8).
+    */
+  private[queries] def gramTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
@@ -680,7 +692,7 @@ object LlmOps {
     // DISTINCT grams — p ~ n_grams²/2^65, negligible at any corpus size
     // where per-doc distinct sets matter (and the df cap bounds the blast
     // radius of a collision to one merged df count).
-    val grams = toks.repartition(s.sparkContext.defaultParallelism)
+    toks.repartition(s.sparkContext.defaultParallelism)
       .filter(size(col("w")) >= 3) // Spark sequence(1,0) DESCENDS (-> element_at(w,0) throws); DuckDB generate_series(1,0)=[] — drop short docs explicitly on both paths
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))")).as("gh"))
@@ -689,6 +701,10 @@ object LlmOps {
       .filter(col("df") <= 50)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "lang", "gh", "n")
+  }
+
+  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val grams = gramTable(s, d)
     val a = grams.toDF("da", "lang_a", "gh", "na")
     val b = grams.toDF("db", "lang_b", "gh2", "nb")
     val jp = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import Sqlh.{dsum, revenue}
+
+/** Round-9 pipeline-analytics suite (SURVEY.md §2.13): the remaining
+  * operations a production training-data pipeline runs between ingest and
+  * export — composite quality gating, chunk- and containment-level near-dup
+  * detection, source rebalancing, bloom-prefiltered joins, skyline/outlier
+  * analytics and column profiling.
+  *
+  * Every op follows the Curation parity rules (no rand(), doubles never
+  * cross an aggregation boundary, thresholds compared in exact integer
+  * arithmetic, floor not round) and the 100 TB shuffle discipline (notes
+  * per op; nothing here collects to the driver).
+  */
+object Pipeline {
+
+  /** Gopher/C4-style composite quality gate. All four gates are exact
+    * integer comparisons (a ratio threshold `x/y >= a/b` is written
+    * `b*x >= a*y`), so no double ever reaches a comparison. Map-only —
+    * at 100 TB this fuses into the scan that feeds it; the output sort is
+    * presentation only.
+    */
+  private val qualityGate = Q("quality_gate",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    length(text) - (len(string_split(text, ' ')) - 1) AS n_wchar,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        x -> x IN ('the', 'fast', 'slow'))) AS n_stop,
+       |    len(list_distinct(string_split(text, ' '))) AS n_dist
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(w) BETWEEN 30 AND 70 AS g_len,
+       |  4 * len(w) <= n_wchar AND n_wchar <= 5 * len(w) AS g_wlen,
+       |  12 * n_stop >= len(w) AS g_stop,
+       |  2 * (len(w) - n_dist) <= len(w) AS g_rep,
+       |  (len(w) BETWEEN 30 AND 70)
+       |    AND (4 * len(w) <= n_wchar AND n_wchar <= 5 * len(w))
+       |    AND (12 * n_stop >= len(w))
+       |    AND (2 * (len(w) - n_dist) <= len(w)) AS kept
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tok", expr("size(split(text, ' '))"))
+      .withColumn("n_wchar", expr("length(text) - (n_tok - 1)"))
+      .withColumn("n_stop",
+        expr("size(filter(split(lower(text), ' '), x -> x IN ('the', 'fast', 'slow')))"))
+      .withColumn("n_dist", expr("size(array_distinct(split(text, ' ')))"))
+      .select(col("doc_id"),
+        expr("n_tok BETWEEN 30 AND 70").as("g_len"),
+        expr("4 * n_tok <= n_wchar AND n_wchar <= 5 * n_tok").as("g_wlen"),
+        expr("12 * n_stop >= n_tok").as("g_stop"),
+        expr("2 * (n_tok - n_dist) <= n_tok").as("g_rep"))
+      .withColumn("kept", col("g_len") && col("g_wlen") && col("g_stop") && col("g_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style chunk-level duplicate detection: docs are cut into aligned
+    * 6-token chunks and chunks appearing in >= 2 distinct docs are ranked.
+    * Shuffle shape: explode -> one hash aggregation keyed on the chunk
+    * (count + count distinct plan a single Expand + aggregate), then
+    * TakeOrderedAndProject for the top-100 — a bounded heap per partition,
+    * never a global sort. A pathologically hot chunk ("lorem lorem ...")
+    * is one aggregation key — counts combine map-side, so no partition
+    * serializes on it.
+    */
+  private val dedupChunk = Q("dedup_chunk",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |chunks AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, (len(w) + 5) // 6),
+       |      i -> array_to_string(w[(i-1)*6+1 : i*6], ' '))) AS chunk
+       |  FROM toks)
+       |SELECT chunk, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+       |FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_occ DESC, chunk LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, (size(w) + 5) div 6), i -> concat_ws(' ', slice(w, (i-1)*6+1, 6)))"))
+          .as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("chunk"))
+      .limit(100)
+  }
+
+  /** Containment near-dup pairs (doc-inside-doc detection): over the same
+    * capped rare-shingle sets as exact Jaccard, containment
+    * |A∩B| / min(|A|,|B|) >= 0.8 catches a short doc embedded in a long
+    * one that Jaccard's union denominator dilutes below threshold. The
+    * threshold is the exact integer predicate 5*c >= 4*min(na,nb); the
+    * reported double is one division of those same ints (bit-identical on
+    * both engines). Same 100 TB shape as jaccardPairs: shared-shingle
+    * equi-join with the df <= 50 cap IN the gram table — never all-pairs.
+    */
+  private val dedupContainment = Q("dedup_containment",
+    s"""WITH ${LlmOps.pairStatsCte},
+       |cpairs AS (
+       |  SELECT da, db, CAST(c AS DOUBLE) / least(na.n, nb.n) AS containment
+       |  FROM common JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
+       |  WHERE 5 * c >= 4 * least(na.n, nb.n))
+       |SELECT da, db, containment FROM cpairs ORDER BY da, db""".stripMargin) { (s, d) =>
+    val grams = LlmOps.gramTable(s, d)
+    val a = grams.toDF("da", "lang_a", "gh", "na")
+    val b = grams.toDF("db", "lang_b", "gh2", "nb")
+    graft.Caching.ensureCached(grams)
+    grams.count() // pin the cache in one job before the self-join's two map stages race
+    val pairs = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"),
+        min("na").as("na"), min("nb").as("nb"))
+      .filter(expr("5 * c >= 4 * least(na, nb)"))
+      .select(col("da"), col("db"),
+        expr("cast(c as double) / least(na, nb)").as("containment"))
+      .orderBy("da", "db")
+    if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      pairs.persist()
+      pairs.count() // materialize the (tiny) pair set while grams is cached...
+      grams.unpersist(blocking = false) // ...then retire the intermediate
+    }
+    pairs
+  }
+
+  /** Deterministic source rebalancing: every language is downsampled to
+    * the smallest language's document count (uniform target mix), keeping
+    * the lowest doc_ids. The min count is a one-row broadcast. The exact
+    * per-lang rank is a window over a 5-key partitioning — fine here, but
+    * at 100 TB a 5-key window serializes per-key; the scale form swaps the
+    * exact rank for hash-rate sampling (keep iff
+    * pmod(xxhash64(doc_id), 2^20) < 2^20 * mn / n_lang, rates broadcast),
+    * one map pass with binomially-tight counts. The rank-exact variant is
+    * kept because the oracle needs an exactly reproducible kept-set.
+    */
+  private val domainMix = Q("domain_mix",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |m AS (SELECT min(n) AS mn FROM c),
+       |r AS (SELECT doc_id, lang, source,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang, r.source FROM r, m
+       |WHERE r.rn <= m.mn ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val m = docs.groupBy("lang").agg(count(lit(1)).as("n")).agg(min("n").as("mn"))
+    docs.withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+      .crossJoin(broadcast(m))
+      .filter(col("rn") <= col("mn"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered join: the selective dimension's keys are folded
+    * into a bloom filter by Spark's internal `BloomFilterAggregate`
+    * (registered as `bloom_agg` — partial aggregation merges sketches
+    * map-side, so the build shuffles one sketch per partition, never
+    * keys), delivered to the fact scan as an uncorrelated scalar subquery,
+    * and probed by `bloom_might_contain` BEFORE the join shuffle. With
+    * ~10% of orders qualifying, the fact side sheds ~90% of its rows
+    * pre-exchange; false positives are removed by the exact join, so the
+    * result is identical to the plain join the oracle runs. The MERGE hint
+    * pins the shuffle-join regime the op exists for (a dim small enough to
+    * broadcast would get Spark's own runtime filtering instead; at 100 TB
+    * the interesting dim is the one that fits a bloom but not a broadcast).
+    */
+  private val joinBloomPrefilter = Q("join_bloom_prefilter",
+    s"""SELECT d.o_orderpriority, ${dsum(revenue)} AS revenue, count(*) AS n_items
+       |FROM lineitem f
+       |JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+       |      WHERE o_totalprice > 450000) d
+       |  ON f.l_orderkey = d.o_orderkey
+       |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin) { (s, d) =>
+    graft.functions.Blooms.register(s)
+    Tables.orders(s, d).createOrReplaceTempView("graft_bpf_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_bpf_lineitem")
+    s.sql(
+      s"""WITH dim AS (SELECT o_orderkey, o_orderpriority FROM graft_bpf_orders
+         |            WHERE o_totalprice > 450000),
+         |bf AS (SELECT bloom_agg(o_orderkey) AS b FROM dim)
+         |SELECT /*+ SHUFFLE_MERGE(d) */
+         |  d.o_orderpriority, ${dsum(revenue)} AS revenue, count(*) AS n_items
+         |FROM graft_bpf_lineitem f
+         |JOIN dim d ON f.l_orderkey = d.o_orderkey
+         |WHERE bloom_might_contain((SELECT b FROM bf), f.l_orderkey)
+         |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin)
+  }
+
+  /** Pareto frontier (skyline) of parts: cheapest-price / largest-size
+    * non-dominated set. Dominance is decided in exact integer space
+    * (price cents, size). Distributed shape: the big table contributes
+    * only a map-combinable groupBy(price) max(size) — the per-price table
+    * is |distinct prices|-sized (bounded, ~10k) — the running max over
+    * strictly-cheaper prices is a window on that TINY table, and the
+    * verdict joins back via broadcast. No global sort of the base table
+    * anywhere, so the op survives 100x scale with the same plan.
+    */
+  private val paretoFrontier = Q("pareto_frontier",
+    s"""WITH p AS (SELECT p_partkey, p_retailprice, p_size,
+       |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc,
+       |    CAST(p_size AS BIGINT) AS sz
+       |  FROM part),
+       |pp AS (SELECT pc, max(sz) AS m1 FROM p GROUP BY pc),
+       |st AS (SELECT pc, m1, max(m1) OVER (ORDER BY pc
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2 FROM pp)
+       |SELECT p.p_partkey, p.p_retailprice, p.p_size
+       |FROM p JOIN st ON p.pc = st.pc
+       |WHERE p.sz = st.m1 AND (st.m2 IS NULL OR p.sz > st.m2)
+       |ORDER BY p.p_retailprice, p.p_size, p.p_partkey""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+      expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").as("pc"),
+      col("p_size").cast("long").as("sz"))
+    val perPrice = p.groupBy("pc").agg(max("sz").as("m1"))
+    val st = perPrice.withColumn("m2",
+      max("m1").over(Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)))
+    p.join(broadcast(st), "pc")
+      .filter(col("sz") === col("m1") && (col("m2").isNull || col("sz") > col("m2")))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_size", "p_partkey")
+  }
+
+  /** Fixed-width histogram of event values per type. The bin is one
+    * IEEE-deterministic double division + floor (identical inputs ->
+    * identical bin on both engines; no aggregation of doubles — min/max
+    * are order-independent). Map-side combinable: at 100 TB this is one
+    * partial+final hash aggregate over (type, bin).
+    */
+  private val histogramFixed = Q("histogram_fixed",
+    s"""SELECT event_type, CAST(floor(value / CAST(25 AS DOUBLE)) AS INT) AS bin,
+       |  count(*) AS n_events, min(value) AS vmin, max(value) AS vmax
+       |FROM events GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bin", expr("cast(floor(value / cast(25 as double)) as int)"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_events"), min("value").as("vmin"), max("value").as("vmax"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** Column profiling (ingest QA): exact row/distinct counts + min/max per
+    * measure column, in ONE pass — the four exact count(DISTINCT)s plan a
+    * single Expand (4x row duplication) + one aggregation, not four scans;
+    * `stack` unpivots the 1-row result. min/max of doubles are
+    * order-independent, so no parity risk. At 100 TB the Expand quadruples
+    * the shuffle rows — the documented trade vs 4 separate scans of a
+    * 100 TB table; swap to HLL sketches when exactness isn't required
+    * (agg_approx_distinct is that op).
+    */
+  private val profileColumns = Q("profile_columns",
+    s"""SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+       |  count(DISTINCT l_quantity) AS n_distinct,
+       |  min(l_quantity) AS vmin, max(l_quantity) AS vmax FROM lineitem
+       |UNION ALL SELECT 'l_extendedprice', count(*), count(DISTINCT l_extendedprice),
+       |  min(l_extendedprice), max(l_extendedprice) FROM lineitem
+       |UNION ALL SELECT 'l_discount', count(*), count(DISTINCT l_discount),
+       |  min(l_discount), max(l_discount) FROM lineitem
+       |UNION ALL SELECT 'l_tax', count(*), count(DISTINCT l_tax),
+       |  min(l_tax), max(l_tax) FROM lineitem
+       |ORDER BY col_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_quantity")).as("d1"),
+        min("l_quantity").as("mn1"), max("l_quantity").as("mx1"),
+        countDistinct(col("l_extendedprice")).as("d2"),
+        min("l_extendedprice").as("mn2"), max("l_extendedprice").as("mx2"),
+        countDistinct(col("l_discount")).as("d3"),
+        min("l_discount").as("mn3"), max("l_discount").as("mx3"),
+        countDistinct(col("l_tax")).as("d4"),
+        min("l_tax").as("mn4"), max("l_tax").as("mx4"))
+      .selectExpr(
+        """stack(4,
+          |  'l_quantity', d1, mn1, mx1,
+          |  'l_extendedprice', d2, mn2, mx2,
+          |  'l_discount', d3, mn3, mx3,
+          |  'l_tax', d4, mn4, mx4) as (col_name, n_distinct, vmin, vmax)""".stripMargin,
+        "n_rows")
+      .select("col_name", "n_rows", "n_distinct", "vmin", "vmax")
+      .orderBy("col_name")
+  }
+
+  /** IQR outlier detection with DISCRETE (rank-selected) quartiles: q1/q3
+    * are actual data values picked at rank ceil(n/4) / ceil(3n/4) by
+    * integer arithmetic — no interpolation, so no engine-specific
+    * quantile math anywhere. The fence arithmetic (q1 - 1.5*(q3-q1)) runs
+    * on identical doubles with identical expression shape on both engines
+    * (IEEE-deterministic). Shape: one window pass partitioned by
+    * event_type for ranks, a 5-row quartile table broadcast back. The
+    * 5-key window partitioning serializes per key at 100 TB — the scale
+    * form computes the rank thresholds from a per-type histogram
+    * (two map-combinable aggregates) instead of row_number; the exact-rank
+    * variant is kept for oracle-reproducible quartiles.
+    */
+  private val outlierIqr = Q("outlier_iqr",
+    s"""WITH r AS (SELECT event_type, event_id, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |q AS (SELECT event_type,
+       |    max(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+       |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+       |  FROM r GROUP BY event_type)
+       |SELECT e.event_id, e.event_type, e.value
+       |FROM events e JOIN q ON e.event_type = q.event_type
+       |WHERE e.value < q.q1 - 1.5e0 * (q.q3 - q.q1)
+       |   OR e.value > q.q3 + 1.5e0 * (q.q3 - q.q1)
+       |ORDER BY e.event_type, e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    val r = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val q = r.groupBy("event_type").agg(
+      max(expr("case when rn = (n + 3) div 4 then value end")).as("q1"),
+      max(expr("case when rn = (3 * n + 3) div 4 then value end")).as("q3"))
+    ev.join(broadcast(q), "event_type")
+      .filter(expr("value < q1 - 1.5e0 * (q3 - q1) OR value > q3 + 1.5e0 * (q3 - q1)"))
+      .select("event_id", "event_type", "value")
+      .orderBy("event_type", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment, domainMix,
+    joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr)
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the round-9 Pipeline suite — each test re-derives
+  * the op's property by an INDEPENDENT method (brute force, alternate
+  * formulation, or invariant) rather than re-running the same plan.
+  */
+class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
+
+  test("pareto_frontier equals the brute-force O(n^2) dominance scan") {
+    val res = SparkEntry.queries("pareto_frontier")(s, d)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    // independent derivation: p is dominated iff some q is <= on price,
+    // >= on size, and strictly better on at least one
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice").as("pr"), col("p_size").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = p.filter { case (_, pr, sz) =>
+      !p.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.map(_._1).toSet
+    assert(res == brute, s"frontier mismatch: engine=$res brute=$brute")
+    assert(res.nonEmpty)
+  }
+
+  test("join_bloom_prefilter is transparent: identical to the plain join, and planned pre-shuffle") {
+    val withBloom = SparkEntry.queries("join_bloom_prefilter")(s, d)
+    val plain = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(expr(graft.queries.Sqlh.dsum(graft.queries.Sqlh.revenue)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+    assert(withBloom.collect().toSeq == plain.collect().toSeq)
+    // the bloom probe must sit in the fact branch BELOW the sort-merge
+    // join: find it as a Filter condition, and confirm the join regime
+    val plan = withBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from the physical plan")
+    assert(plan.contains("SortMergeJoin"), "MERGE hint did not pin the shuffle-join regime")
+  }
+
+  test("dedup_containment >= jaccard on every shared pair, and catches the planted containment") {
+    val cont = SparkEntry.queries("dedup_containment")(s, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    s.catalog.clearCache()
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(s, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // containment's denominator min(|A|,|B|) <= Jaccard's |A∪B|, so every
+    // jac >= 0.5 pair must reappear with containment >= its jaccard — the
+    // two ops ran through different aggregation paths, so this is a real
+    // cross-check, not a tautology
+    val joined = jac.keySet.intersect(cont.keySet)
+    assert(joined.nonEmpty, "no overlap between jaccard and containment pair sets")
+    joined.foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-12, s"containment < jaccard for $k")
+    }
+    // every high-jaccard pair is by definition containment >= jaccard >= 0.8
+    jac.filter(_._2 >= 0.8).keys.foreach { k =>
+      assert(cont.contains(k), s"pair $k has jac >= 0.8 but no containment row")
+    }
+    cont.values.foreach(c => assert(c >= 0.8 && c <= 1.0 + 1e-12))
+  }
+
+  test("outlier_iqr rows are exactly the rows outside rank-derived fences") {
+    val out = SparkEntry.queries("outlier_iqr")(s, d)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // independent fence derivation: sort each type's values locally
+    val byType = Tables.events(s, d).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = byType.iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      val q1 = sorted((n + 3) / 4 - 1)._3
+      val q3 = sorted((3 * n + 3) / 4 - 1)._3
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      rows.filter(r => r._3 < lo || r._3 > hi).map(_._2)
+    }.toSet
+    assert(out == expected)
+    assert(out.nonEmpty, "fixture should produce IQR outliers (right-skewed values)")
+  }
+
+  test("dedup_chunk counts are consistent and every chunk truly spans >= 2 docs") {
+    val res = SparkEntry.queries("dedup_chunk")(s, d).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(2) >= 2, "n_docs < 2 leaked through the HAVING")
+      assert(r.getLong(1) >= r.getLong(2), "n_occ < n_docs is impossible")
+    }
+    // spot-verify the top chunk by scanning the raw text independently
+    val top = res.head.getString(0)
+    val hits = Tables.documents(s, d)
+      .filter(expr(s"contains(lower(text), '${top.replace("'", "\\'")}')"))
+      .count()
+    assert(hits >= 2, s"top chunk '$top' not found in >= 2 docs by raw scan")
+  }
+
+  test("quality_gate: kept is the gate conjunction and the gates discriminate") {
+    val rows = SparkEntry.queries("quality_gate")(s, d).collect()
+    assert(rows.length == Tables.documents(s, d).count())
+    rows.foreach { r =>
+      val (gl, gw, gs, gr, kept) =
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+      assert(kept == (gl && gw && gs && gr))
+    }
+    val keptN = rows.count(_.getBoolean(5))
+    assert(keptN > 0 && keptN < rows.length,
+      s"gate does not discriminate: kept $keptN of ${rows.length}")
+  }
+
+  test("domain_mix keeps exactly min-lang-count docs per language, lowest ids first") {
+    val res = SparkEntry.queries("domain_mix")(s, d)
+    val perLang = res.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Tables.documents(s, d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = counts.values.min
+    assert(perLang.values.toSet == Set(mn), s"per-lang kept counts $perLang != min $mn")
+    // lowest-ids-first: the kept set per lang is the bottom-mn doc_ids
+    val keptIds = res.select("doc_id", "lang").collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    val allIds = Tables.documents(s, d).select("doc_id", "lang").collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    keptIds.foreach { case (lang, kept) =>
+      val expect = allIds(lang).map(_._2).sorted.take(mn.toInt).toSet
+      assert(kept.map(_._2).toSet == expect, s"$lang kept set is not the lowest ids")
+    }
+  }
+
+  test("histogram_fixed partitions the data: counts sum to total, min/max inside bin bounds") {
+    val res = SparkEntry.queries("histogram_fixed")(s, d).collect()
+    val total = Tables.events(s, d).count()
+    assert(res.map(_.getLong(2)).sum == total)
+    res.foreach { r =>
+      val (bin, vmin, vmax) = (r.getInt(1), r.getDouble(3), r.getDouble(4))
+      assert(vmin >= bin * 25.0 && vmax < (bin + 1) * 25.0 && vmin <= vmax)
+    }
+  }
+
+  test("profile_columns one-pass stats match per-column direct aggregation") {
+    val res = SparkEntry.queries("profile_columns")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val li = Tables.lineitem(s, d)
+    val n = li.count()
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")) {
+      val direct = li.agg(countDistinct(col(c)).as("nd"), min(c).as("mn"), max(c).as("mx"))
+        .collect().head
+      assert(res(c) == ((n, direct.getLong(0), direct.getDouble(1), direct.getDouble(2))),
+        s"profile mismatch for $c")
+    }
+  }
+}
