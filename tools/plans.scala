@@ -7,7 +7,9 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "text_redact", "sample_stratified", "pack_sequences", "ann_ivf",
   "interval_coverage", "token_vocab", "events_zscore", "merge_upsert",
   "attribution_last_touch", "embedding_quantize",
-  "text_tfidf", "knn_label_ann", "graph_degree")
+  "text_tfidf", "knn_label_ann", "graph_degree",
+  "pareto_frontier", "join_bloom_prefilter", "dedup_containment",
+  "profile_columns", "outlier_iqr", "dedup_chunk")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -57,6 +59,18 @@ executed plans):
   per-lang doc-count side, and `TakeOrderedAndProject` on the exact
   integer score; `knn_label_ann` is the same banded LSH equi-join as
   `ann_lsh_bucket` (wider 8x3-bit bands) feeding the vote windows.
+- **r9 pipeline suite**: `pareto_frontier`'s base table feeds ONLY a
+  partial+final `HashAggregate` (no Sort before it) -- the running-max
+  window and the verdict `BroadcastHashJoin` run on the tiny per-price
+  table; `join_bloom_prefilter` shows `bloom_might_contain` as a Filter
+  in the fact branch BELOW the `SortMergeJoin`, with the bloom built by
+  a separate `ObjectHashAggregate` subquery over the dim keys;
+  `dedup_containment` reuses the int64-shingle equi-join shape;
+  `profile_columns` shows ONE `Expand` (x4) feeding a single aggregate,
+  not four scans; `outlier_iqr` is one `(event_type)` window exchange
+  plus a `BroadcastHashJoin` against the 5-row quartile side;
+  `dedup_chunk` ends in `TakeOrderedAndProject` (bounded heap, no
+  global sort).
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
