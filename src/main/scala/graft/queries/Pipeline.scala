@@ -318,6 +318,91 @@ object Pipeline {
       .orderBy("event_type", "event_id")
   }
 
+  /** Per-event session assignment: a session starts when the gap from the
+    * user's previous event exceeds 30 minutes; `sess_seq` is the user's
+    * running session number. Exact bigint µs arithmetic end to end. One
+    * (user_id) exchange feeds both the lag and the running sum (same
+    * ordering) — the companion `interval_coverage` aggregates the same
+    * islands; this op keeps the per-event assignment a pipeline needs to
+    * group work by session downstream.
+    */
+  private val sessionize = Q("sessionize",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |m AS (SELECT user_id, event_id, ts_us,
+       |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+       |  FROM e)
+       |SELECT event_id, user_id,
+       |  sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+       |FROM m ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val ordered = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d).select("user_id", "event_id", "ts_us")
+      .withColumn("prev_ts", lag("ts_us", 1).over(ordered))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_seq", sum("new_sess")
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "sess_seq")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Diversity-constrained top-k (curation sampling): the 3 longest docs
+    * per language, but at most 2 from any one source — the MMR-style
+    * "don't let one crawl dominate the sample" rule. Two window passes:
+    * rank within (lang, source) to cap the source, then rank within lang
+    * over the capped survivors. Both partitionings are fine-grained
+    * enough to shard; ties always break on doc_id so the kept set is
+    * deterministic.
+    */
+  private val topkDiverse = Q("topk_diverse",
+    s"""WITH r1 AS (SELECT doc_id, lang, source, n_chars,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY n_chars DESC, doc_id) AS rn_src
+       |  FROM documents),
+       |r2 AS (SELECT doc_id, lang, source, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM r1 WHERE rn_src <= 2)
+       |SELECT lang, source, doc_id, n_chars FROM r2 WHERE rn <= 3
+       |ORDER BY lang, n_chars DESC, doc_id""".stripMargin) { (s, d) =>
+    val wSrc = Window.partitionBy("lang", "source").orderBy(col("n_chars").desc, col("doc_id"))
+    val wLang = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      .withColumn("rn_src", row_number().over(wSrc))
+      .filter(col("rn_src") <= 2)
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") <= 3)
+      .select("lang", "source", "doc_id", "n_chars")
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+  }
+
+  /** Exact mode per group with a DETERMINISTIC tie-break (highest count,
+    * then smallest value) — engines' built-in mode() tie-breaking is
+    * unspecified, so both sides use the explicit rank formulation. The
+    * value-level aggregate is map-side combinable; the rank window runs
+    * on the (group, distinct value) table, which is orders of magnitude
+    * smaller than the input at any scale.
+    */
+  private val aggMode = Q("agg_mode",
+    s"""SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+       |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY count(*) DESC, l_quantity) AS rn
+       |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+       |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity"))))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment, domainMix,
-    joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr)
+    joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr,
+    sessionize, topkDiverse, aggMode)
 }

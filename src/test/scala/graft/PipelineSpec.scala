@@ -144,6 +144,77 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("sessionize: session boundaries are exactly the >30min gaps, numbering is dense") {
+    val res = SparkEntry.queries("sessionize")(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEvent = res.map(r => r._1 -> r._3).toMap
+    // independent re-derivation from the raw events
+    val raw = Tables.events(s, d).select("user_id", "event_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    raw.foreach { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.foreach { case (_, eid, ts) =>
+        if (prev == Long.MinValue || ts - prev > 1800000000L) seq += 1
+        assert(byEvent(eid) == seq, s"event $eid: sess_seq ${byEvent(eid)} != $seq")
+        prev = ts
+      }
+      assert(seq >= 1)
+    }
+    assert(res.length == raw.valuesIterator.map(_.length).sum)
+  }
+
+  test("topk_diverse: <= 3 per lang, <= 2 per (lang, source), and no longer doc was skippable") {
+    val res = SparkEntry.queries("topk_diverse")(s, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = res.groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 3, s"$lang has ${rows.length} > 3 rows")
+      rows.groupBy(_._2).foreach { case (src, g) =>
+        assert(g.length <= 2, s"($lang,$src) has ${g.length} > 2 rows")
+      }
+    }
+    // exchange argument: any doc longer than a kept doc must be excluded
+    // only by the source cap (its source already contributes 2 longer docs)
+    val all = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // rank proxy: higher n_chars wins, doc_id breaks ties ascending
+    def beats(x: (Long, Long), y: (Long, Long)): Boolean = // (n_chars, doc_id)
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+    perLang.foreach { case (lang, kept) =>
+      val keptIds = kept.map(_._3).toSet
+      val minKept = kept.map(r => (r._4, r._3)).minBy(r => (r._1, -r._2))
+      all.filter(a => a._2 == lang && !keptIds.contains(a._1))
+        .filter(a => beats((a._4, a._1), minKept))
+        .foreach { a =>
+          val longerSameSource = all.count(b => b._2 == lang && b._3 == a._3 &&
+            keptIds.contains(b._1) && beats((b._4, b._1), (a._4, a._1)))
+          assert(longerSameSource >= 2,
+            s"doc ${a._1} ($lang/${a._3}) was skipped without a full source quota above it")
+        }
+    }
+  }
+
+  test("agg_mode picks the max-count value with the smallest-value tie-break") {
+    val res = SparkEntry.queries("agg_mode")(s, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val counts = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val flags = counts.keys.map(_._1).toSet
+    assert(res.map(_._1).toSet == flags)
+    res.foreach { case (flag, qty, cnt) =>
+      assert(counts((flag, qty)) == cnt)
+      val better = counts.filter { case ((f, q), c) =>
+        f == flag && (c > cnt || (c == cnt && q < qty))
+      }
+      assert(better.isEmpty, s"$flag: $better beats reported mode ($qty, $cnt)")
+    }
+  }
+
   test("profile_columns one-pass stats match per-column direct aggregation") {
     val res = SparkEntry.queries("profile_columns")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
