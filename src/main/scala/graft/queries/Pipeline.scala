@@ -402,7 +402,77 @@ object Pipeline {
       .orderBy("l_returnflag")
   }
 
+  /** Exact-moment regression statistics per group: Pearson correlation +
+    * OLS slope/intercept of extendedprice on quantity. The five moments
+    * are sums of integer products (values snapped to cents by
+    * floor(x*100+0.5) — deterministic on both engines even where x*100
+    * isn't exactly representable) accumulated in DECIMAL(38,0): exact and
+    * aggregation-order-independent at ANY scale, where a double
+    * sum-of-products would be combine-order-nondeterministic. All double
+    * math happens AFTER aggregation with identical expression shape on
+    * both engines (the events_zscore discipline). One map-side-combinable
+    * aggregate; the formula runs on a |groups|-row table.
+    */
+  private val statsRegression = Q("stats_regression", {
+    val moments =
+      """SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(qi AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(pi AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(qi * qi AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(pi * pi AS DECIMAL(38,0))) AS syy,
+        |    sum(CAST(qi * pi AS DECIMAL(38,0))) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qi,
+        |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pi
+        |    FROM lineitem) t
+        |  GROUP BY l_returnflag""".stripMargin
+    s"""WITH m AS ($moments)
+       |SELECT l_returnflag, n,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    AS corr_pq,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    AS slope,
+       |  ((CAST(sy AS DOUBLE)
+       |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(100 AS DOUBLE)
+       |    AS intercept
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }) { (s, d) =>
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("cast(floor(l_quantity * 100 + 0.5) as bigint)").as("qi"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("pi"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(qi as decimal(38,0))")).as("sx"),
+        sum(expr("cast(pi as decimal(38,0))")).as("sy"),
+        sum(expr("cast(qi * qi as decimal(38,0))")).as("sxx"),
+        sum(expr("cast(pi * pi as decimal(38,0))")).as("syy"),
+        sum(expr("cast(qi * pi as decimal(38,0))")).as("sxy"))
+    m.select(col("l_returnflag"), col("n"),
+        expr(
+          """(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+            |  / (sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+            |     * sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))""".stripMargin)
+          .as("corr_pq"),
+        expr(
+          """(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+            |  / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))""".stripMargin)
+          .as("slope"),
+        expr(
+          """((cast(sy as double)
+            |  - ((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+            |     / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)))
+            |    * cast(sx as double)) / cast(n as double)) / cast(100 as double)""".stripMargin)
+          .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment, domainMix,
     joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr,
-    sessionize, topkDiverse, aggMode)
+    sessionize, topkDiverse, aggMode, statsRegression)
 }

@@ -215,6 +215,32 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("stats_regression agrees with double-precision corr/OLS within float tolerance") {
+    val res = SparkEntry.queries("stats_regression")(s, d)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // independent re-derivation with plain double accumulation (different
+    // arithmetic path — agreement within tolerance, not bit equality)
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { case (flag, g) =>
+      val n = g.length.toDouble
+      val xs = g.map(_._2); val ys = g.map(_._3)
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = g.map(r => r._2 * r._3).sum
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (c, sl, ic) = res(flag)
+      assert(math.abs(c - corr) < 1e-6, s"$flag corr $c vs $corr")
+      assert(math.abs(sl - slope) < 1e-6, s"$flag slope $sl vs $slope")
+      assert(math.abs(ic - intercept) < 1e-3, s"$flag intercept $ic vs $intercept")
+    }
+  }
+
   test("profile_columns one-pass stats match per-column direct aggregation") {
     val res = SparkEntry.queries("profile_columns")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
