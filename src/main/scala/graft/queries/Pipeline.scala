@@ -472,7 +472,53 @@ object Pipeline {
       .orderBy("l_returnflag")
   }
 
+  /** CCNet-style unigram language-model quality score: each doc's mean
+    * per-token log-probability under its language's corpus unigram
+    * distribution (low = unusual token mix = quality outlier). Every
+    * token's log-prob is floor-scaled to an exact ×10⁶ integer BEFORE the
+    * per-doc sum, so the aggregation is integer-exact and combine-order
+    * independent; only the final per-doc mean divides in double with
+    * identical expression shape on both engines. ln parity: same 1-ulp
+    * story as text_tfidf — fixture margins from any floor boundary are
+    * ≥ 0.005 units (~5e9 ulps), gated in PipelineSpec.
+    *
+    * Scale shape: token explode is map-only; the (lang, token) frequency
+    * table is |vocab|-sized and broadcasts back onto the token stream; the
+    * per-doc sum is a combinable aggregate keyed on doc_id.
+    */
+  private val textUnigramLogprob = Q("text_unigram_logprob",
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       |freq AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+       |tot AS (SELECT lang, count(*) AS t FROM toks GROUP BY lang),
+       |lp AS (SELECT freq.lang, tok,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp_e6
+       |  FROM freq JOIN tot ON freq.lang = tot.lang)
+       |SELECT toks.doc_id, count(*) AS n_tok,
+       |  CAST(sum(lp_e6) AS BIGINT) AS logp_sum_e6,
+       |  CAST(CAST(sum(lp_e6) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS avg_logp
+       |FROM toks JOIN lp ON toks.lang = lp.lang AND toks.tok = lp.tok
+       |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+    val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy("lang").agg(count(lit(1)).as("t"))
+    val lp = freq.join(broadcast(tot), "lang")
+      .withColumn("lp_e6", expr(
+        "cast(floor(ln(cast(c as double) / cast(t as double)) * 1000000.0d + 0.5d) as bigint)"))
+      .select("lang", "tok", "lp_e6")
+    toks.join(broadcast(lp), Seq("lang", "tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("lp_e6").as("logp_sum_e6"))
+      .withColumn("avg_logp",
+        expr("cast(logp_sum_e6 as double) / (cast(n_tok as double) * 1000000.0d)"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment, domainMix,
     joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr,
-    sessionize, topkDiverse, aggMode, statsRegression)
+    sessionize, topkDiverse, aggMode, statsRegression, textUnigramLogprob)
 }

@@ -241,6 +241,40 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("text_unigram_logprob: floor margins are safe and scores match a direct re-derivation") {
+    // ln-parity guard (the text_tfidf discipline): every (lang, tok)
+    // log-prob lands far from a floor boundary, so a 1-ulp JVM/DuckDB ln
+    // divergence cannot flip the scaled integer
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+    val freq = toks.groupBy("lang", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tot = freq.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    freq.foreach { case ((lang, _), c) =>
+      val x = math.log(c.toDouble / tot(lang)) * 1e6 + 0.5
+      // ulp-based margin, the CurationSpec tfidf discipline: a 1-ulp
+      // JVM/DuckDB ln divergence moves x by ~1 ulp, so >= 1000 ulps of
+      // slack means the floored integer cannot flip
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) / math.ulp(x)
+      assert(marginUlps > 1000, s"floor margin $marginUlps ulps for c=$c t=${tot(lang)}")
+    }
+    // independent re-derivation of the per-doc mean
+    val res = SparkEntry.queries("text_unigram_logprob")(s, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    docs.foreach { case (id, lang, text) =>
+      val ts = text.toLowerCase.split(" ")
+      val sum = ts.map { t =>
+        math.floor(math.log(freq((lang, t)).toDouble / tot(lang)) * 1e6 + 0.5).toLong
+      }.sum
+      val (nTok, sumE6, avg) = res(id)
+      assert(nTok == ts.length && sumE6 == sum, s"doc $id: ($nTok,$sumE6) != (${ts.length},$sum)")
+      assert(math.abs(avg - sum.toDouble / (ts.length * 1e6)) < 1e-12)
+      assert(avg < 0, "unigram log-probs must be negative")
+    }
+  }
+
   test("profile_columns one-pass stats match per-column direct aggregation") {
     val res = SparkEntry.queries("profile_columns")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
