@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed EXACT order statistics (quantile_cont semantics) over an
+  * integer-valued column, optionally per group.
+  *
+  * Why not Spark's built-in exact `percentile`: its aggregation buffer is a
+  * value→count map, so on a near-unique column (583k distinct of 600k
+  * lineitem prices at sf0.1) every partial aggregate carries the whole
+  * column through the shuffle and the merge is O(distinct) memory — at
+  * 100 TB that is the dataset in one buffer, a hard scale failure (and
+  * locally it measured 11.3 s for 7 cuts vs ~1 s sorted). The engine-grade
+  * shape is the TeraSort one: range-repartition, sort within partitions,
+  * count per partition, then fetch the ≤ 2·|ps| globally-indexed values by
+  * walking ONLY the partitions that hold them. No single-partition stage,
+  * no O(distinct) buffer; memory per task is a sort spill at worst. This
+  * is the documented `mapPartitions` exception of the build rules: Spark
+  * has no distributed order-statistic primitive to compose.
+  *
+  * Exactness contract (shared with the DuckDB `quantile_cont` oracles):
+  * values are integers and `scale` clears every position denominator
+  * (e.g. 8 for octiles, 2 for medians), so the interpolated quantile
+  * `a + (b−a)·frac` times `scale` is an exactly-representable integer —
+  * identical on both engines regardless of interpolation expression shape.
+  * Determinism does not depend on partitioning: equal values are
+  * interchangeable under any total order, and ranks come from actual
+  * partition counts, not sampled boundaries.
+  */
+object ExactQuantiles {
+
+  /** Per-group scaled exact quantiles of `valueCol` (integer-valued).
+    * Returns group → quantile·scale (exact), in `ps` order. The result is
+    * |groups|·|ps| longs on the driver — the same "broadcast-equivalent"
+    * bound as a grouped aggregate output, NOT a data collect.
+    */
+  def groupedScaled(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], scale: Long): Map[String, Array[Long]] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val parts = df.select(col(groupCol).cast("string"), col(valueCol).cast("long"))
+      .repartitionByRange(col(groupCol), col(valueCol))
+      .sortWithinPartitions(groupCol, valueCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, group) row counts — tiny result. Range
+      // partitioning makes each group's rows a contiguous partition run,
+      // and (group, value) sort makes them contiguous within a partition.
+      val counts: Array[(Int, String, Long)] = parts.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach(r => m.updateWith(r.getString(0))(c => Some(c.getOrElse(0L) + 1)))
+          m.iterator.map { case (g, c) => (pid, g, c) }
+        }.collect()
+      val nByGroup = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      // global index of each group run's start within every partition
+      val runStart = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+      val seen = scala.collection.mutable.HashMap.empty[String, Long]
+      counts.sortBy(_._1).foreach { case (pid, g, c) =>
+        runStart((pid, g)) = seen.getOrElse(g, 0L)
+        seen(g) = seen.getOrElse(g, 0L) + c
+      }
+      // needed (group, in-group global index) pairs: floor and ceil of
+      // every interpolation position
+      val needed: Map[String, Array[Long]] = nByGroup.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val pos = p * (n - 1)
+          val lo = math.floor(pos).toLong
+          Seq(lo, math.min(lo + 1, n - 1))
+        }.distinct.sorted.toArray
+      }
+      // per partition: which in-run LOCAL offsets to emit, plus the run's
+      // in-group global start so executors can emit global indices directly
+      val wanted: Map[Int, Map[String, (Long, Array[Long])]] = counts
+        .groupBy(_._1).flatMap { case (pid, cs) =>
+          val byGroup = cs.flatMap { case (_, g, c) =>
+            val start = runStart((pid, g))
+            val local = needed(g).filter(i => i >= start && i < start + c)
+              .map(_ - start)
+            if (local.isEmpty) None else Some(g -> ((start, local)))
+          }.toMap
+          if (byGroup.isEmpty) None else Some(pid -> byGroup)
+        }
+      val bcWanted = parts.sparkSession.sparkContext.broadcast(wanted)
+      // pass 2: walk only the partitions that hold a needed index
+      val fetched: Map[(String, Long), Long] = parts.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          bcWanted.value.get(pid) match {
+            case None => Iterator.empty
+            case Some(byGroup) =>
+              val cursor = scala.collection.mutable.HashMap.empty[String, Long]
+              it.flatMap { r =>
+                val g = r.getString(0)
+                val i = cursor.getOrElse(g, 0L)
+                cursor(g) = i + 1
+                byGroup.get(g) match {
+                  case Some((start, idxs))
+                      if java.util.Arrays.binarySearch(idxs, i) >= 0 =>
+                    Some(((g, start + i), r.getLong(1)))
+                  case _ => None
+                }
+              }
+          }
+        }.collect().toMap
+      nByGroup.map { case (g, n) =>
+        g -> ps.map { p =>
+          val pos = p * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.min(lo + 1, n - 1)
+          val frac = pos - lo
+          val a = fetched((g, lo))
+          val b = fetched((g, hi))
+          // all terms exactly representable (integer · exact dyadic frac)
+          math.round(scale * a + (b - a) * (frac * scale))
+        }.toArray
+      }
+    } finally parts.unpersist()
+  }
+
+  /** Ungrouped scaled exact quantiles. */
+  def scaled(df: DataFrame, valueCol: String, ps: Seq[Double], scale: Long): Array[Long] = {
+    import org.apache.spark.sql.functions.lit
+    groupedScaled(df.withColumn("__g", lit("all")), "__g", valueCol, ps, scale)("all")
+  }
+}

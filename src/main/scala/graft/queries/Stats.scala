@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Round-9 statistics / distribution-diagnostics suite: the dataset-level
+  * summaries a training-data pipeline computes to audit a corpus before
+  * export — equi-depth histograms, robust (MAD) outlier screens, per-slice
+  * distribution entropy and divergence, class rebalancing, and the
+  * BPE-style pair-frequency pass a tokenizer trainer starts from.
+  *
+  * Parity rules as in Curation/Pipeline: measures snap to integer cents
+  * (floor(x*100+0.5)) before any aggregate; medians run over integers so
+  * every quantile midpoint is an exact half-integer (×2 restores an exact
+  * BIGINT — no float comparison anywhere); ln-derived scores floor-scale
+  * to ×10⁶ integers with spec-gated ulp margins; doubles appear only in
+  * final presentation expressions with identical shape on both engines.
+  */
+object Stats {
+
+  /** Equi-depth histogram of l_extendedprice with quantile boundaries.
+    * Bin edges are the exact 1/8..7/8 quantiles and rows are assigned by
+    * value comparison against the broadcast boundary row — NOT by a
+    * global ntile window, which would plan a single-partition sort.
+    * Exactness: values snap to integer cents, so every interpolated
+    * quantile a + (b−a)·(m/8) is an exact multiple of 1/8 — ×8 restores
+    * an exact BIGINT on both engines regardless of interpolation shape
+    * (a+(b−a)f vs a(1−f)+bf agree exactly when all terms are
+    * representable), and the BIGINT cast is unambiguous because the
+    * double is exactly integer-valued. The assignment is map-side
+    * (bin = 1 + Σ (8v > q8ᵏ), all-integer) and the per-bin aggregate is
+    * combinable, so the whole op is two passes with no global sort; ties
+    * at a boundary go left on both engines by the same strict inequality.
+    * At 100 TB the exact percentile pass swaps for approx_percentile
+    * without touching the assignment shape.
+    */
+  private val histogramEquidepth = Q("histogram_equidepth", {
+    val q = (1 to 7).map(k =>
+      s"CAST(quantile_cont(vi, ${k}.0/8.0) * 8 AS BIGINT) AS q$k").mkString(",\n      |    ")
+    val b = (1 to 7).map(k =>
+      s"(CASE WHEN 8 * vi > q$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS vi
+       |    FROM lineitem),
+       |bounds AS (SELECT $q FROM t)
+       |SELECT 1 + $b AS bin,
+       |  count(*) AS n,
+       |  CAST(min(vi) AS DOUBLE) / 100 AS lo,
+       |  CAST(max(vi) AS DOUBLE) / 100 AS hi,
+       |  CAST(sum(CAST(vi AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_v
+       |FROM t, bounds GROUP BY 1 ORDER BY bin""".stripMargin
+  }) { (s, d) =>
+    val t = Tables.lineitem(s, d)
+      .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("vi"))
+    // boundaries via the distributed order-statistic operator: built-in
+    // exact percentile buffers a value->count map of the whole near-unique
+    // column (583k distinct / 600k rows at sf0.1 — measured 11.3s for 7
+    // cuts, and O(data) memory at 100 TB); ExactQuantiles is the sorted
+    // range-partitioned shape with no O(distinct) buffer
+    val q8 = graft.operators.ExactQuantiles.scaled(
+      t, "vi", (1 to 7).map(_ / 8.0), 8)
+    val assign = (1 to 7).map(k => s"(case when 8 * vi > ${q8(k - 1)}L then 1 else 0 end)")
+      .mkString(" + ")
+    t.withColumn("bin", expr(s"1 + $assign"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(min(vi) as double) / 100").as("lo"),
+        expr("cast(max(vi) as double) / 100").as("hi"),
+        expr("cast(sum(cast(vi as decimal(38,0))) as double) / 100").as("sum_v"))
+      .orderBy("bin")
+  }
+
+  /** Robust outlier screen: per-group median / MAD of l_extendedprice with
+    * a 3×MAD fence, fully integer-exact. Cents ×2 makes the median an
+    * exact BIGINT (quantile midpoints of integers are half-integers);
+    * deviations |2v − med2| are integers, so the MAD doubles the same way
+    * (m2 = 2×median of deviations) and the fence |v−med| > 3·MAD becomes
+    * the pure-integer test 2·dev2 > 3·m2 — no float ever reaches a
+    * comparison. Medians run on [[graft.operators.ExactQuantiles]] (the
+    * built-in grouped percentile buffers each group's full value map —
+    * O(group) memory at scale); the |groups|-row stats broadcast back and
+    * the final med/mad columns divide once in double with identical shape
+    * on both engines.
+    */
+  private val outlierMad = Q("outlier_mad",
+    s"""WITH t AS (SELECT l_returnflag AS flag,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS vi FROM lineitem),
+       |g1 AS (SELECT flag, CAST(quantile_cont(vi, 0.5) * 2 AS BIGINT) AS med2
+       |  FROM t GROUP BY flag),
+       |dev AS (SELECT t.flag, med2, abs(2 * vi - med2) AS dev2
+       |  FROM t JOIN g1 ON t.flag = g1.flag),
+       |g2 AS (SELECT flag, med2, count(*) AS n,
+       |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS m2
+       |  FROM dev GROUP BY flag, med2)
+       |SELECT g2.flag, n,
+       |  CAST(g2.med2 AS DOUBLE) / 200 AS med_price,
+       |  CAST(g2.m2 AS DOUBLE) / 400 AS mad_price,
+       |  (SELECT count(*) FROM dev
+       |    WHERE dev.flag = g2.flag AND 2 * dev.dev2 > 3 * g2.m2) AS n_out
+       |FROM g2 ORDER BY g2.flag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("vi"))
+    // per-group medians via ExactQuantiles (grouped built-in percentile
+    // has the same O(group-distinct) buffer failure as the global one);
+    // the |groups|-row results broadcast back as literal tables
+    val med2 = graft.operators.ExactQuantiles
+      .groupedScaled(t, "flag", "vi", Seq(0.5), 2)
+      .view.mapValues(_.head).toSeq.toDF("flag", "med2")
+    val dev = t.join(broadcast(med2), "flag")
+      .withColumn("dev2", expr("abs(2 * vi - med2)"))
+    val m2 = graft.operators.ExactQuantiles
+      .groupedScaled(dev, "flag", "dev2", Seq(0.5), 2)
+      .view.mapValues(_.head).toSeq.toDF("flag", "m2")
+    dev.join(broadcast(m2), "flag")
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        max("med2").as("med2"), max("m2").as("m2"),
+        sum(expr("case when 2 * dev2 > 3 * m2 then 1 else 0 end")).as("n_out"))
+      .select(col("flag"), col("n"),
+        expr("cast(med2 as double) / 200").as("med_price"),
+        expr("cast(m2 as double) / 400").as("mad_price"),
+        col("n_out"))
+      .orderBy("flag")
+  }
+
+  /** Shannon entropy of each source's language distribution — the slice-
+    * level mixedness audit a curation pipeline runs before sampling. Each
+    * (source, lang) share's log-probability floor-scales to an exact ×10⁶
+    * integer (ulp margins gated in StatsSpec), the per-source Σ c·lp is an
+    * exact BIGINT sum, and only the final −Σ/(t·10⁶) divides in double.
+    * One combinable aggregate to the |source × lang|-sized table, one to
+    * |source|; zero row-level shuffle beyond those.
+    */
+  private val colEntropy = Q("col_entropy",
+    s"""WITH c AS (SELECT source, lang, count(*) AS c FROM documents
+       |    GROUP BY source, lang),
+       |t AS (SELECT source, sum(c) AS t, count(*) AS n_langs FROM c GROUP BY source),
+       |lp AS (SELECT c.source, c.c,
+       |    CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp_e6
+       |  FROM c JOIN t ON c.source = t.source)
+       |SELECT t.source, t.n_langs, t.t AS n_docs,
+       |  -CAST(sum(c * lp_e6) AS DOUBLE)
+       |    / (CAST(t.t AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS entropy
+       |FROM lp JOIN t ON lp.source = t.source
+       |GROUP BY t.source, t.n_langs, t.t ORDER BY t.source""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy("source")
+      .agg(sum("c").as("t"), count(lit(1)).as("n_langs"))
+    c.join(broadcast(t), "source")
+      .withColumn("lp_e6", expr(
+        "cast(floor(ln(cast(c as double) / cast(t as double)) * 1000000.0d + 0.5d) as bigint)"))
+      .groupBy("source", "n_langs", "t")
+      .agg(sum(expr("c * lp_e6")).as("slp"))
+      .select(col("source"), col("n_langs"), col("t").as("n_docs"),
+        expr("-cast(slp as double) / (cast(t as double) * 1000000.0d)").as("entropy"))
+      .orderBy("source")
+  }
+
+  /** KL divergence of each source's language distribution from the corpus
+    * distribution — the domain-shift score that flags a slice whose mix
+    * diverges from the whole. Same exact-integer discipline as
+    * [[colEntropy]]: the per-(source,lang) log-ratio
+    * ln((c_sl·t_g)/(t_s·c_gl)) — one double division of exact BIGINT
+    * products, identical shape both engines — floor-scales to ×10⁶, the
+    * Σ c·lr is exact, and the final divide is presentation-only. The
+    * corpus lang table (≤|langs| rows) and per-source totals broadcast.
+    */
+  private val klDivergence = Q("kl_divergence",
+    s"""WITH c AS (SELECT source, lang, count(*) AS c FROM documents
+       |    GROUP BY source, lang),
+       |ts AS (SELECT source, sum(c) AS t FROM c GROUP BY source),
+       |g AS (SELECT lang, sum(c) AS cg FROM c GROUP BY lang),
+       |tg AS (SELECT sum(cg) AS tg FROM g),
+       |lr AS (SELECT c.source, c.c,
+       |    CAST(floor(ln(CAST(c.c * tg.tg AS DOUBLE) / CAST(ts.t * g.cg AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lr_e6
+       |  FROM c JOIN ts ON c.source = ts.source
+       |         JOIN g ON c.lang = g.lang CROSS JOIN tg)
+       |SELECT ts.source, ts.t AS n_docs,
+       |  CAST(sum(c * lr_e6) AS DOUBLE)
+       |    / (CAST(ts.t AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS kl
+       |FROM lr JOIN ts ON lr.source = ts.source
+       |GROUP BY ts.source, ts.t ORDER BY ts.source""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+    val ts = c.groupBy("source").agg(sum("c").as("t"))
+    val g = c.groupBy("lang").agg(sum("c").as("cg"))
+    val tg = g.agg(sum("cg").as("tg"))
+    c.join(broadcast(ts), "source").join(broadcast(g), "lang")
+      .crossJoin(broadcast(tg))
+      .withColumn("lr_e6", expr(
+        "cast(floor(ln(cast(c * tg as double) / cast(t * cg as double)) * 1000000.0d + 0.5d) as bigint)"))
+      .groupBy("source", "t")
+      .agg(sum(expr("c * lr_e6")).as("slr"))
+      .select(col("source"), col("t").as("n_docs"),
+        expr("cast(slr as double) / (cast(t as double) * 1000000.0d)").as("kl"))
+      .orderBy("source")
+  }
+
+  /** Class rebalancing: downsample every embedding label to the minority-
+    * class count, keeping the lowest vec_ids — the deterministic variant
+    * of balanced-class sampling for training export. The min count is a
+    * one-row broadcast; selection is a per-label row_number window
+    * (partitioned on the class key — at real cardinalities each class
+    * sorts independently; for huge classes the same cut is expressible as
+    * a per-class TakeOrdered). Output pins the selection with an exact
+    * id-sum checksum, so the oracle verifies WHICH rows were kept, not
+    * just how many.
+    */
+  private val classRebalance = Q("class_rebalance",
+    s"""WITH n AS (SELECT label, count(*) AS n_orig FROM embeddings GROUP BY label),
+       |m AS (SELECT min(n_orig) AS m FROM n),
+       |r AS (SELECT label, vec_id,
+       |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |  FROM embeddings)
+       |SELECT n.label, n.n_orig, m.m AS n_kept,
+       |  (SELECT sum(vec_id) FROM r
+       |    WHERE r.label = n.label AND r.rn <= m.m) AS kept_id_sum
+       |FROM n, m ORDER BY n.label""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val n = e.groupBy("label").agg(count(lit(1)).as("n_orig"))
+    val m = n.agg(min("n_orig").as("m"))
+    val kept = e.select(col("label"), col("vec_id"),
+        row_number().over(Window.partitionBy("label").orderBy("vec_id")).as("rn"))
+      .crossJoin(broadcast(m))
+      .filter(col("rn") <= col("m"))
+      .groupBy("label").agg(sum("vec_id").as("kept_id_sum"))
+    n.crossJoin(broadcast(m))
+      .join(kept, "label")
+      .select(col("label"), col("n_orig"), col("m").as("n_kept"), col("kept_id_sum"))
+      .orderBy("label")
+  }
+
+  /** BPE-style adjacent-pair frequency pass: the character-bigram counts
+    * over the token stream that a byte-pair-encoding trainer's first
+    * merge iteration ranks. Token explode and pair explode are both
+    * map-only (sequence + substring — no UDF); the pair aggregate is
+    * combinable to a charset²-bounded table, and the top-50 cut plans as
+    * TakeOrderedAndProject under the total (cnt DESC, pair) order — no
+    * global sort of the pair table, no window.
+    */
+  private val bpePairCounts = Q("bpe_pair_counts",
+    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents),
+       |pairs AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+       |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+       |        FROM toks WHERE length(tok) >= 2))
+       |SELECT pair, count(*) AS cnt FROM pairs
+       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
+    klDivergence, classRebalance, bpePairCounts)
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the Stats suite: each op re-derived by an
+  * independent method, plus the ulp-margin guards that keep the
+  * ln-floor-scaled ops (col_entropy, kl_divergence) engine-portable.
+  */
+class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
+
+  private def cents(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+
+  /** Exact interpolated quantile of sorted integers, scaled by `scale`
+    * (scale must clear the position denominator for integer exactness). */
+  private def qScaled(sorted: Array[Long], p: Double, scale: Long): Long = {
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val f = pos - lo
+    val a = sorted(lo)
+    val b = sorted(math.min(lo + 1, sorted.length - 1))
+    math.round(scale * a + (b - a) * f * scale)
+  }
+
+  test("histogram_equidepth: bins partition the data and edges are the exact octile boundaries") {
+    val res = SparkEntry.queries("histogram_equidepth")(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val vs = Tables.lineitem(s, d).select("l_extendedprice")
+      .collect().map(r => cents(r.getDouble(0))).sorted
+    val q8 = (1 to 7).map(k => qScaled(vs, k / 8.0, 8))
+    // independent binning: count values on each side of every boundary
+    val brute = vs.groupBy(v => 1 + q8.count(q => 8 * v > q))
+      .view.mapValues(_.length.toLong).toMap
+    assert(res.map(_._2).sum == vs.length, "bin counts must sum to total")
+    res.foreach { case (bin, n, lo, hi) =>
+      assert(brute(bin) == n, s"bin $bin: engine n=$n brute=${brute(bin)}")
+      assert(lo <= hi && cents(lo) >= vs.head && cents(hi) <= vs.last)
+    }
+    // equi-depth within tie-tolerance: no bin further than 5% from n/8
+    res.foreach { case (bin, n, _, _) =>
+      assert(math.abs(n - vs.length / 8.0) < vs.length * 0.05, s"bin $bin size $n")
+    }
+    // bins are ordered and non-overlapping in value space
+    res.sortBy(_._1).sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("outlier_mad: median, MAD and fence count match a direct re-derivation") {
+    val res = SparkEntry.queries("outlier_mad")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), cents(r.getDouble(1))))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val vs = grp.map(_._2).sorted
+      val med2 = qScaled(vs, 0.5, 2)
+      val dev2 = vs.map(v => math.abs(2 * v - med2)).sorted
+      val m2 = qScaled(dev2, 0.5, 2)
+      val nOut = dev2.count(dv => 2 * dv > 3 * m2).toLong
+      val (n, med, mad, out) = res(flag)
+      assert(n == vs.length && out == nOut, s"$flag: n/out mismatch ($n,$out) vs (${vs.length},$nOut)")
+      assert(med == med2.toDouble / 200 && mad == m2.toDouble / 400, s"$flag: med/mad mismatch")
+      assert(mad >= 0 && nOut < vs.length / 10, s"$flag: fence should flag a small tail")
+    }
+  }
+
+  test("col_entropy: ln floor margins are safe; entropy matches re-derivation and is bounded") {
+    val counts = Tables.documents(s, d).groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    counts.foreach { case (src, _, c) =>
+      val x = math.log(c.toDouble / tot(src)) * 1e6 + 0.5
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) / math.ulp(x)
+      assert(marginUlps > 1000, s"floor margin $marginUlps ulps for c=$c t=${tot(src)}")
+    }
+    val res = SparkEntry.queries("col_entropy")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    counts.groupBy(_._1).foreach { case (src, grp) =>
+      val t = tot(src)
+      val slp = grp.map { case (_, _, c) =>
+        c * math.floor(math.log(c.toDouble / t) * 1e6 + 0.5).toLong
+      }.sum
+      val (nLangs, nDocs, h) = res(src)
+      assert(nLangs == grp.length && nDocs == t)
+      assert(h == -slp.toDouble / (t * 1e6), s"$src entropy mismatch")
+      assert(h >= 0 && h <= math.log(nLangs.toDouble) + 1e-6,
+        s"$src: entropy $h outside [0, ln($nLangs)]")
+    }
+  }
+
+  test("kl_divergence: ln floor margins are safe; KL matches re-derivation and is ~non-negative") {
+    val counts = Tables.documents(s, d).groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ts = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cg = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tg = counts.map(_._3).sum
+    counts.foreach { case (src, lang, c) =>
+      val x = math.log((c * tg).toDouble / (ts(src) * cg(lang)).toDouble) * 1e6 + 0.5
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) / math.ulp(math.max(math.abs(x), 1.0))
+      assert(marginUlps > 1000, s"floor margin $marginUlps ulps for $src/$lang")
+    }
+    val res = SparkEntry.queries("kl_divergence")(s, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    counts.groupBy(_._1).foreach { case (src, grp) =>
+      val slr = grp.map { case (_, lang, c) =>
+        c * math.floor(math.log((c * tg).toDouble / (ts(src) * cg(lang)).toDouble) * 1e6 + 0.5).toLong
+      }.sum
+      assert(res(src) == slr.toDouble / (ts(src) * 1e6), s"$src KL mismatch")
+      // exact KL >= 0 (Gibbs); the e6 rounding can dip at most 0.5e-6/term
+      assert(res(src) > -1e-5, s"$src: KL ${res(src)} below rounding floor")
+    }
+    assert(res.values.max > 0.01, "at least one source should diverge from the corpus")
+  }
+
+  test("class_rebalance keeps exactly the min-class count of lowest vec_ids per label") {
+    val rows = Tables.embeddings(s, d).select("label", "vec_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val m = byLabel.values.map(_.length).min
+    val res = SparkEntry.queries("class_rebalance")(s, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(res.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, ids) =>
+      val (nOrig, nKept, keptSum) = res(label)
+      assert(nOrig == ids.length && nKept == m)
+      assert(keptSum == ids.take(m).sum, s"label $label keeps wrong rows")
+    }
+  }
+
+  test("ExactQuantiles matches local interpolated order statistics, including p=0/1 and 1-row groups") {
+    import s.implicits._
+    // skewed groups: one large, one small, one singleton
+    val rows = (1 to 997).map(i => ("big", (i * 37 % 1000).toLong)) ++
+      Seq(("small", 5L), ("small", 1L), ("small", 9L), ("one", 42L))
+    val df = rows.toDF("g", "v").repartition(7)
+    val ps = Seq(0.0, 0.125, 0.5, 0.875, 1.0)
+    val got = operators.ExactQuantiles.groupedScaled(df, "g", "v", ps, 8)
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2).sorted.toArray
+      val want = ps.map { p =>
+        val pos = p * (vs.length - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.min(lo + 1, vs.length - 1)
+        math.round(8 * vs(lo) + (vs(hi) - vs(lo)) * ((pos - lo) * 8))
+      }
+      assert(got(g).toSeq == want, s"group $g: ${got(g).toSeq} != $want")
+    }
+    // ungrouped wrapper agrees with the grouped path
+    val flat = operators.ExactQuantiles.scaled(df.select("v"), "v", Seq(0.5), 2)
+    val all = rows.map(_._2).sorted.toArray
+    val pos = 0.5 * (all.length - 1)
+    val lo = math.floor(pos).toInt
+    assert(flat.head == math.round(
+      2 * all(lo) + (all(math.min(lo + 1, all.length - 1)) - all(lo)) * ((pos - lo) * 2)))
+  }
+
+  test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
+    val brute = Tables.documents(s, d).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(t => t.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+    val res = SparkEntry.queries("bpe_pair_counts")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(res.length == 50 && res.forall(_._1.length == 2))
+    assert(res.toSeq == brute.take(50).toSeq, "top-50 pairs diverge from brute force")
+  }
+}
