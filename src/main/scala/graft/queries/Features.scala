@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Feature-engineering and linkage suite: the per-entity rolling features,
+  * embedding-space audits, conditional language-model scores and dirty-
+  * categorical canonicalization a training pipeline derives on top of the
+  * raw corpus. Same parity discipline as Stats/Pipeline: measures snap to
+  * integer cents / ×10⁶ integers before any aggregate or window, ln
+  * outputs floor-scale with spec-gated ulp margins, and doubles appear
+  * only in final presentation expressions with identical shape on both
+  * engines.
+  */
+object Features {
+
+  /** Per-user trailing-1h activity features (count + exact spend sum) —
+    * the classic point-in-time-correct rolling feature for a training
+    * snapshot. RANGE frame on integer microseconds, so rows with equal
+    * timestamps are full peers on both engines regardless of tie order;
+    * the summed measure is integer cents (exact, order-independent) and
+    * divides to double once at presentation. One window, partitioned on
+    * the high-cardinality user key — shards at any scale.
+    */
+  private val eventsRolling = Q("events_rolling",
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+       |SELECT event_id, user_id,
+       |  count(*) OVER w AS n_1h,
+       |  CAST(sum(vc) OVER w AS DOUBLE) / 100 AS v_1h
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h", sum("vc").over(w).cast("double") / 100)
+      .select("event_id", "user_id", "n_1h", "v_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-label embedding centroid audit: mean squared L2 distance of each
+    * class's vectors to the class centroid — the compactness score that
+    * flags a mislabelled or polluted class. Fully exact until the final
+    * division: float32 components quantize to ×10⁶ integers (exact —
+    * margins spec-gated), the centroid stays as the UNnormalized integer
+    * sum s so each squared deviation Σ_pos (n·v − s)² is exact BIGINT
+    * arithmetic (= n²·Σ(v−c)² scaled), and per-label sums accumulate in
+    * DECIMAL(38,0). Shape: one combinable aggregate to the |label|×dim
+    * centroid table (broadcast back), one to |label| — no shuffle carries
+    * a vector.
+    */
+  private val embeddingCentroid = Q("embedding_centroid",
+    s"""WITH raw AS (SELECT vec_id, label, unnest(embedding) AS v,
+       |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+       |el AS (SELECT vec_id, label, pos,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS ve FROM raw),
+       |cent AS (SELECT label, pos, sum(ve) AS s_e6, count(*) AS n
+       |  FROM el GROUP BY label, pos),
+       |dist AS (SELECT el.vec_id, el.label,
+       |    sum(CAST((n * ve - s_e6) * (n * ve - s_e6) AS DECIMAL(38,0))) AS d2
+       |  FROM el JOIN cent ON el.label = cent.label AND el.pos = cent.pos
+       |  GROUP BY el.vec_id, el.label)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(d2) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+       |       * CAST(count(*) AS DOUBLE) * 1e12) AS mean_sq_dist
+       |FROM dist GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        expr("cast(floor(cast(col as double) * 1000000 + 0.5) as bigint)").as("ve"))
+    val cent = el.groupBy("label", "pos")
+      .agg(sum("ve").as("s_e6"), count(lit(1)).as("n"))
+    // per-term product fits BIGINT (≤ ~6e16); the per-vector and
+    // per-label sums accumulate in DECIMAL(38,0) — exact, and safe from
+    // ANSI bigint-overflow at any corpus scale
+    val dist = el.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("cast((n * ve - s_e6) * (n * ve - s_e6) as decimal(38,0))")).as("d2"))
+    dist.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"))
+      .select(col("label"), col("n"),
+        expr("""cast(sd2 as double)
+                / (cast(n as double) * cast(n as double) * cast(n as double) * 1e12)""")
+          .as("mean_sq_dist"))
+      .orderBy("label")
+  }
+
+  /** Conditional bigram language-model score: each doc's mean
+    * log-probability of its token bigrams under the per-language corpus
+    * bigram model, ln(c(w₁w₂)/c_first(w₁)) — the sequel to
+    * text_unigram_logprob that actually scores word ORDER. Same exact-
+    * integer discipline: per-bigram log-probs floor-scale to ×10⁶
+    * integers (margins spec-gated) before the per-doc sum; only the final
+    * mean divides in double. The bigram model table is vocab²-bounded and
+    * broadcasts onto the bigram stream; bigram extraction is map-only
+    * (sequence + element_at, no UDF).
+    */
+  private val textBigramLogprob = Q("text_bigram_logprob",
+    s"""WITH docs AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+       |    FROM documents),
+       |ix AS (SELECT doc_id, lang, w,
+       |    unnest(generate_series(1, len(w) - 1)) AS i FROM docs),
+       |bg AS (SELECT doc_id, lang, w[CAST(i AS INTEGER)] AS w1,
+       |    w[CAST(i AS INTEGER) + 1] AS w2 FROM ix),
+       |bc AS (SELECT lang, w1, w2, count(*) AS cb FROM bg GROUP BY lang, w1, w2),
+       |fc AS (SELECT lang, w1, sum(cb) AS cf FROM bc GROUP BY lang, w1),
+       |lp AS (SELECT bc.lang, bc.w1, bc.w2,
+       |    CAST(floor(ln(CAST(cb AS DOUBLE) / CAST(cf AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp_e6
+       |  FROM bc JOIN fc ON bc.lang = fc.lang AND bc.w1 = fc.w1)
+       |SELECT bg.doc_id, count(*) AS n_bg,
+       |  CAST(sum(lp_e6) AS BIGINT) AS logp_sum_e6,
+       |  CAST(CAST(sum(lp_e6) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS avg_logp
+       |FROM bg JOIN lp ON bg.lang = lp.lang AND bg.w1 = lp.w1 AND bg.w2 = lp.w2
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("w"))
+      // guard: Spark's sequence(1, 0) DESCENDS ([1,0] — element_at(w,0)
+      // then throws under ANSI); single-token docs must drop here, which
+      // also matches DuckDB's empty generate_series(1, 0)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1"), col("bg.w2"))
+    val bc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cb"))
+    val fc = bc.groupBy("lang", "w1").agg(sum("cb").as("cf"))
+    val lp = bc.join(broadcast(fc), Seq("lang", "w1"))
+      .withColumn("lp_e6", expr(
+        "cast(floor(ln(cast(cb as double) / cast(cf as double)) * 1000000.0d + 0.5d) as bigint)"))
+      .select("lang", "w1", "w2", "lp_e6")
+    bg.join(broadcast(lp), Seq("lang", "w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum("lp_e6").as("logp_sum_e6"))
+      .withColumn("avg_logp",
+        expr("cast(logp_sum_e6 as double) / (cast(n_bg as double) * 1000000.0d)"))
+      .orderBy("doc_id")
+  }
+
+  /** Dirty-categorical canonicalization: cluster near-identical part
+    * names (levenshtein ≤ 2, blocked on the head noun so the pair join is
+    * never all-pairs) with [[graft.operators.ConnectedComponents]] and
+    * report each canonical name's variant and row counts — the
+    * record-linkage normalization every entity column needs before
+    * joining. The clustering runs on the DISTINCT-name table (vocabulary-
+    * bounded, not data-bounded); rows join back to their canonical via
+    * the broadcast label map. Canonical = lexicographic min of the
+    * cluster on both engines (Spark UTF8String order == DuckDB binary
+    * order on these ASCII names).
+    */
+  private val dedupNameVariants = Q("dedup_name_variants",
+    s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+       |e AS (SELECT a.p_name AS a, b.p_name AS b FROM n a JOIN n b
+       |  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+       |  AND a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2),
+       |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e
+       |  UNION SELECT p_name, p_name FROM n),
+       |reach(node, r) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+       |lbl AS (SELECT node, min(r) AS canonical FROM reach GROUP BY node)
+       |SELECT lbl.canonical, count(DISTINCT p.p_name) AS n_variants,
+       |  count(*) AS n_parts
+       |FROM part p JOIN lbl ON p.p_name = lbl.node
+       |GROUP BY lbl.canonical ORDER BY lbl.canonical""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val withNoun = names.withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val edges = withNoun.as("a").join(withNoun.as("b"),
+        col("a.noun") === col("b.noun") &&
+          col("a.p_name") < col("b.p_name") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .select(col("a.p_name").as("a"), col("b.p_name").as("b"))
+    val labels = graft.operators.ConnectedComponents
+      .minLabel(names.select(col("p_name").as("node")), edges)
+    Tables.part(s, d).select("p_name")
+      .join(labels, col("p_name") === col("node"))
+      .groupBy(col("lbl").as("canonical"))
+      .agg(countDistinct("p_name").as("n_variants"), count(lit(1)).as("n_parts"))
+      .orderBy("canonical")
+  }
+
+  val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
+    dedupNameVariants)
+}

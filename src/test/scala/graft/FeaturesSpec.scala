@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the Features suite: brute-force re-derivations plus
+  * the ulp-margin guards for the ln-floor-scaled bigram model.
+  */
+class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
+
+  test("events_rolling matches a brute-force trailing-1h scan per user") {
+    val res = SparkEntry.queries("events_rolling")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val evs = Tables.events(s, d).select("event_id", "user_id", "ts_us", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    evs.groupBy(_._2).foreach { case (_, grp) =>
+      grp.foreach { case (id, _, ts, _) =>
+        val in = grp.filter(e => e._3 >= ts - 3600000000L && e._3 <= ts)
+        val (n, v) = res(id)
+        assert(n == in.length, s"event $id: n_1h $n != ${in.length}")
+        assert(v == in.map(_._4).sum.toDouble / 100, s"event $id: v_1h mismatch")
+      }
+    }
+    assert(res.values.exists(_._1 > 1), "some window must span multiple events")
+  }
+
+  test("embedding_centroid: quantize margins are safe and msd matches exact BigInt re-derivation") {
+    val vecs = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getInt(1), r.getSeq[Float](2).toArray))
+    // no floor-margin gate needed here: float->double, *1e6 and +0.5 are
+    // IEEE-exact deterministic ops (unlike libm ln), so both engines floor
+    // the bit-identical double — near-boundary components cannot diverge
+    val res = SparkEntry.queries("embedding_centroid")(s, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    vecs.groupBy(_._1).foreach { case (label, grp) =>
+      val n = grp.length
+      val q = grp.map(_._2.map(f => math.floor(f.toDouble * 1000000 + 0.5).toLong))
+      val dim = q.head.length
+      val cent = (0 until dim).map(p => q.map(_(p)).sum).toArray
+      val sd2 = q.map { v =>
+        (0 until dim).map { p =>
+          val t = BigInt(n.toLong * v(p) - cent(p)); t * t
+        }.sum
+      }.sum
+      val want = (BigDecimal(sd2) / (BigDecimal(n) * n * n * BigDecimal("1e12")))
+        .toDouble
+      val (rn, msd) = res(label)
+      assert(rn == n)
+      assert(math.abs(msd - want) < 1e-9 * math.max(1.0, want), s"label $label msd $msd != $want")
+      assert(msd > 0, "classes are not degenerate")
+    }
+  }
+
+  test("text_bigram_logprob: ln floor margins are safe and scores match re-derivation") {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ")))
+    val bigrams = docs.flatMap { case (_, lang, w) =>
+      w.sliding(2).filter(_.length == 2).map(p => (lang, p(0), p(1)))
+    }
+    val cb = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cf = bigrams.groupBy(b => (b._1, b._2)).view.mapValues(_.length.toLong).toMap
+    cb.foreach { case ((lang, w1, _), c) =>
+      val x = math.log(c.toDouble / cf((lang, w1))) * 1e6 + 0.5
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) /
+        math.ulp(math.max(math.abs(x), 1.0))
+      assert(marginUlps > 1000, s"floor margin $marginUlps ulps for c=$c cf=${cf((lang, w1))}")
+    }
+    val res = SparkEntry.queries("text_bigram_logprob")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    docs.foreach { case (id, lang, w) =>
+      val lps = w.sliding(2).filter(_.length == 2).map { p =>
+        math.floor(math.log(cb((lang, p(0), p(1))).toDouble / cf((lang, p(0)))) * 1e6 + 0.5).toLong
+      }.toArray
+      val (nBg, sumE6, avg) = res(id)
+      assert(nBg == lps.length && sumE6 == lps.sum, s"doc $id bigram sums diverge")
+      assert(avg == lps.sum.toDouble / (lps.length * 1e6))
+      assert(avg <= 0, "bigram log-probs cannot be positive")
+    }
+  }
+
+  test("dedup_name_variants clusters match a local union-find over brute-force distances") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val parts = Tables.part(s, d).select("p_name").collect().map(_.getString(0))
+    val names = parts.distinct.sorted
+    val parent = scala.collection.mutable.HashMap(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val canonical = names.map(n => n -> names.filter(m => find(m) == find(n)).min).toMap
+    val wantParts = parts.groupBy(canonical).view
+      .mapValues(g => (g.distinct.length.toLong, g.length.toLong)).toMap
+    val res = SparkEntry.queries("dedup_name_variants")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res == wantParts.map { case (k, v) => k -> v },
+      "cluster table diverges from local union-find")
+    assert(res.values.map(_._2).sum == parts.length, "every part row is assigned")
+    // the fixture's planted variant family actually merges
+    val fam = names.filter(_.endsWith(" widget"))
+    if (fam.exists(_.startsWith("cold")) && fam.exists(_.startsWith("old")))
+      assert(canonical(fam.filter(_.startsWith("cold")).head) ==
+        canonical(fam.filter(_.startsWith("old")).head))
+    assert(res.size < names.length, "at least one variant family must merge")
+  }
+}
