@@ -190,6 +190,99 @@ object Features {
       .orderBy("canonical")
   }
 
+  /** Triangle count per node over the name-variant graph — the motif
+    * diagnostic that separates chained variant clusters (paths) from
+    * densely-confusable ones (triangles). Edges live on the DISTINCT-name
+    * table (vocabulary-bounded); triangles enumerate via two equi-joins
+    * over the oriented (a < b) edge list, so no row explosion beyond the
+    * motif count itself. At data-bounded graph sizes the standard
+    * degree-ordering optimization applies unchanged — orientation by
+    * (degree, id) instead of id — without altering this plan shape.
+    */
+  private val triangleCount = Q("triangle_count",
+    s"""WITH n AS (SELECT DISTINCT p_name FROM part),
+       |e AS (SELECT a.p_name AS a, b.p_name AS b FROM n a JOIN n b
+       |  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+       |  AND a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 3),
+       |tri AS (SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT node, count(*) AS n_tri FROM (
+       |  SELECT a AS node FROM tri UNION ALL
+       |  SELECT b FROM tri UNION ALL
+       |  SELECT c FROM tri) t
+       |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val withNoun = names.withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val e = withNoun.as("a").join(withNoun.as("b"),
+        col("a.noun") === col("b.noun") &&
+          col("a.p_name") < col("b.p_name") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+      .select(col("a.p_name").as("a"), col("b.p_name").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  /** Min-max feature scaling of event values within each event type — the
+    * canonical [0,1] normalizer for model features. Values snap to cents;
+    * the per-type min/max (a combinable aggregate) broadcasts back; the
+    * one division (vc−min)/(max−min) runs on exact integers with
+    * identical shape on both engines. Constant-valued groups are defined
+    * to scale to 0 (the CASE guard, not NULL/NaN — deterministic and
+    * join-safe downstream).
+    */
+  private val scaleMinmax = Q("scale_minmax",
+    s"""WITH e AS (SELECT event_id, event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       |st AS (SELECT event_type, min(vc) AS lo, max(vc) AS hi
+       |  FROM e GROUP BY event_type)
+       |SELECT event_id, e.event_type,
+       |  CASE WHEN hi = lo THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(vc - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) END AS v_scaled
+       |FROM e JOIN st ON e.event_type = st.event_type
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+    val st = e.groupBy("event_type").agg(min("vc").as("lo"), max("vc").as("hi"))
+    e.join(broadcast(st), "event_type")
+      .select(col("event_id"), col("event_type"),
+        expr("""case when hi = lo then cast(0 as double)
+                else cast(vc - lo as double) / cast(hi - lo as double) end""")
+          .as("v_scaled"))
+      .orderBy("event_id")
+  }
+
+  /** Hour-of-day activity profile per event type — the load/seasonality
+    * matrix behind traffic-aware sampling. The hour derives from integer
+    * µs arithmetic ((ts_us div 3600e6) mod 24 — UTC by construction, no
+    * timezone or locale function anywhere near the oracle), counts and
+    * cents sums are exact, and the output is a bounded \|types\|×24
+    * matrix from one combinable aggregate.
+    */
+  private val eventsHourlyProfile = Q("events_hourly_profile",
+    s"""SELECT event_type,
+       |  CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour_utc,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS v_sum
+       |FROM events GROUP BY event_type, hour_utc
+       |ORDER BY event_type, hour_utc""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast((ts_us div 3600000000) % 24 as int)").as("hour_utc"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .groupBy("event_type", "hour_utc")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(vc) as double) / 100").as("v_sum"))
+      .orderBy("event_type", "hour_utc")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
-    dedupNameVariants)
+    dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile)
 }

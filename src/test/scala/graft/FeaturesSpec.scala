@@ -83,6 +83,64 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("triangle_count matches brute-force motif enumeration on the variant graph") {
+    def lev3(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = Tables.part(s, d).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val edges = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev3(a, b) <= 3
+    } yield (a, b)).toSet
+    val triPerNode = scala.collection.mutable.HashMap.empty[String, Long]
+    for {
+      a <- names; b <- names if a < b && edges((a, b))
+      c <- names if b < c && edges((b, c)) && edges((a, c))
+    } Seq(a, b, c).foreach(n => triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1)
+    val res = SparkEntry.queries("triangle_count")(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == triPerNode.toMap, "per-node triangle counts diverge")
+    assert(res.nonEmpty && res.values.sum % 3 == 0,
+      "each triangle contributes exactly 3 node increments")
+  }
+
+  test("scale_minmax maps each type's min to 0, max to 1, everything else by exact cents ratio") {
+    val evs = Tables.events(s, d).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val res = SparkEntry.queries("scale_minmax")(s, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    evs.groupBy(_._2).foreach { case (_, grp) =>
+      val (lo, hi) = (grp.map(_._3).min, grp.map(_._3).max)
+      grp.foreach { case (id, _, vc) =>
+        val want = if (hi == lo) 0.0 else (vc - lo).toDouble / (hi - lo)
+        assert(res(id) == want, s"event $id scaled mismatch")
+        assert(res(id) >= 0 && res(id) <= 1)
+      }
+      assert(grp.exists(e => res(e._1) == 0.0) && grp.exists(e => res(e._1) == 1.0))
+    }
+  }
+
+  test("events_hourly_profile partitions all events into UTC hour cells with exact sums") {
+    val evs = Tables.events(s, d).select("event_type", "ts_us", "value")
+      .collect().map(r => (r.getString(0), (r.getLong(1) / 3600000000L % 24).toInt,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val want = evs.groupBy(e => (e._1, e._2)).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum.toDouble / 100)).toMap
+    val res = SparkEntry.queries("events_hourly_profile")(s, d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(res == want.map { case (k, v) => k -> v }, "hourly cells diverge")
+    assert(res.keys.forall { case (_, h) => h >= 0 && h <= 23 })
+    assert(res.values.map(_._1).sum == evs.length, "cells must partition all events")
+  }
+
   test("dedup_name_variants clusters match a local union-find over brute-force distances") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

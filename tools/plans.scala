@@ -9,7 +9,11 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "attribution_last_touch", "embedding_quantize",
   "text_tfidf", "knn_label_ann", "graph_degree",
   "pareto_frontier", "join_bloom_prefilter", "dedup_containment",
-  "profile_columns", "outlier_iqr", "dedup_chunk")
+  "profile_columns", "outlier_iqr", "dedup_chunk",
+  "text_unigram_logprob", "text_bigram_logprob", "histogram_equidepth",
+  "outlier_mad", "col_entropy", "kl_divergence", "class_rebalance",
+  "bpe_pair_counts", "events_rolling", "embedding_centroid",
+  "dedup_name_variants")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -71,6 +75,24 @@ executed plans):
   plus a `BroadcastHashJoin` against the 5-row quartile side;
   `dedup_chunk` ends in `TakeOrderedAndProject` (bounded heap, no
   global sort).
+- **r9 stats/features suites**: `histogram_equidepth`'s boundaries come
+  from `operators/ExactQuantiles` (range-repartitioned sorted partitions
+  + offset fetch -- the percentile map-buffer alternative is O(distinct)
+  memory); its assignment pass is a pure codegen projection into a
+  partial+final `HashAggregate` with the octile bounds inlined as
+  LITERALS (no join at all). `outlier_mad` shows the two broadcast
+  stats joins and one combinable aggregate. The LM scorers
+  (`text_unigram_logprob`, `text_bigram_logprob`) broadcast their
+  vocab-bounded model tables back onto the token/bigram stream
+  (`BroadcastHashJoin` x2) -- the only wide exchange is the per-doc
+  combinable sum. `embedding_centroid` broadcasts the |label|xdim
+  centroid table; no exchange ever carries a vector. `events_rolling`
+  is ONE `(user_id)` exchange feeding a RANGE window.
+  `dedup_name_variants` runs its levenshtein pair join on the
+  DISTINCT-name table (vocab-bounded) and broadcast-joins labels back;
+  `class_rebalance` is a per-label window + 1-row broadcast min;
+  `bpe_pair_counts` partial-aggregates exploded pairs map-side into
+  `TakeOrderedAndProject`.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
