@@ -260,6 +260,133 @@ object Stats {
       .limit(50)
   }
 
+  /** Octile winsorization: clip l_extendedprice to the per-group 1/8 and
+    * 7/8 quantiles and report clip counts + the exact winsorized sum —
+    * the standard heavy-tail preprocessor. Cut points are deliberately
+    * OCTILES, not the textbook p05/p95: dyadic positions make every
+    * interpolated boundary ×8 an exact BIGINT on both engines, while
+    * p=0.05 is not binary-representable and its interpolation arithmetic
+    * can diverge by 1 ulp between engines — non-dyadic cuts belong to
+    * the approx_percentile path. Boundaries come from the grouped
+    * [[graft.operators.ExactQuantiles]]; clipping and counting are
+    * integer comparisons (8·v vs q8); sums accumulate clipped CENTS in
+    * DECIMAL and divide once at presentation.
+    */
+  private val scaleWinsorize = Q("scale_winsorize",
+    s"""WITH t AS (SELECT l_returnflag AS flag,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS vi FROM lineitem),
+       |b AS (SELECT flag,
+       |    CAST(quantile_cont(vi, 1.0/8.0) * 8 AS BIGINT) AS lo8,
+       |    CAST(quantile_cont(vi, 7.0/8.0) * 8 AS BIGINT) AS hi8
+       |  FROM t GROUP BY flag)
+       |SELECT t.flag, count(*) AS n,
+       |  sum(CASE WHEN 8 * vi < lo8 THEN 1 ELSE 0 END) AS n_clip_lo,
+       |  sum(CASE WHEN 8 * vi > hi8 THEN 1 ELSE 0 END) AS n_clip_hi,
+       |  CAST(sum(CAST(CASE WHEN 8 * vi < lo8 THEN lo8
+       |    WHEN 8 * vi > hi8 THEN hi8 ELSE 8 * vi END AS DECIMAL(38,0))) AS DOUBLE)
+       |    / 800 AS winsorized_sum
+       |FROM t JOIN b ON t.flag = b.flag
+       |GROUP BY t.flag ORDER BY t.flag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("vi"))
+    val b = graft.operators.ExactQuantiles
+      .groupedScaled(t, "flag", "vi", Seq(1.0 / 8, 7.0 / 8), 8)
+      .map { case (g, qs) => (g, qs(0), qs(1)) }.toSeq.toDF("flag", "lo8", "hi8")
+    t.join(broadcast(b), "flag")
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("case when 8 * vi < lo8 then 1 else 0 end")).as("n_clip_lo"),
+        sum(expr("case when 8 * vi > hi8 then 1 else 0 end")).as("n_clip_hi"),
+        sum(expr("""cast(case when 8 * vi < lo8 then lo8
+                    when 8 * vi > hi8 then hi8 else 8 * vi end as decimal(38,0))"""))
+          .as("ws8"))
+      .select(col("flag"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        expr("cast(ws8 as double) / 800").as("winsorized_sum"))
+      .orderBy("flag")
+  }
+
+  /** Daily-volume anomaly screen per event type: days whose event count
+    * deviates from the type's mean by more than 2σ. The test runs in
+    * EXACT integer moments — (c·n − S)² > 4·(n·Q − S²) is the z>2 rule
+    * with both sides multiplied by n², so no σ, sqrt or double ever
+    * reaches the comparison. Day = integer µs division (UTC by
+    * construction). Two combinable aggregates: events → (type, day)
+    * counts (|types|·|days| rows), then per-type moments broadcast back.
+    */
+  private val eventsAnomalyDays = Q("events_anomaly_days",
+    s"""WITH dc AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+       |    count(*) AS c
+       |  FROM events GROUP BY event_type, day_idx),
+       |m AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+       |    sum(c * c) AS q FROM dc GROUP BY event_type)
+       |SELECT dc.event_type, day_idx, c,
+       |  (c * n - s) * (c * n - s) > 4 * (n * q - s * s) AS is_anomaly
+       |FROM dc JOIN m ON dc.event_type = m.event_type
+       |ORDER BY dc.event_type, day_idx""".stripMargin) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day_idx"))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("c"))
+    val m = dc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(expr("c * c")).as("q"))
+    dc.join(broadcast(m), "event_type")
+      .select(col("event_type"), col("day_idx"), col("c"),
+        expr("(c * n - s) * (c * n - s) > 4 * (n * q - s * s)").as("is_anomaly"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  /** Per-doc keyword extraction: top-3 tokens by tf·idf within each doc —
+    * the summarization/tagging primitive. The idf floor-scales to an
+    * exact ×10⁶ integer FIRST (margins spec-gated), then multiplies by
+    * the integer per-doc tf, so scores and their (score DESC, token)
+    * rank order are engine-exact. The idf table is vocab-bounded and
+    * broadcasts; the rank window partitions on doc_id — maximally
+    * shardable.
+    */
+  private val textKeywordExtract = Q("text_keyword_extract",
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dtf AS (SELECT doc_id, lang, tok, count(*) AS tf
+       |  FROM toks GROUP BY doc_id, lang, tok),
+       |df AS (SELECT lang, tok, count(DISTINCT doc_id) AS df
+       |  FROM toks GROUP BY lang, tok),
+       |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |idf AS (SELECT df.lang, tok,
+       |    CAST(floor(ln((CAST(n_docs AS DOUBLE) + CAST(1 AS DOUBLE))
+       |        / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE)))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS idf_e6
+       |  FROM df JOIN nd ON df.lang = nd.lang),
+       |scored AS (SELECT doc_id, dtf.tok, tf * idf_e6 AS score_e6,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf * idf_e6 DESC, dtf.tok) AS rk
+       |  FROM dtf JOIN idf ON dtf.lang = idf.lang AND dtf.tok = idf.tok)
+       |SELECT doc_id, rk, tok, score_e6 FROM scored
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val dtf = toks.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("lang", "tok")
+      .agg(countDistinct("doc_id").as("df"))
+    val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val idf = df.join(broadcast(nd), "lang")
+      .withColumn("idf_e6", expr(
+        "cast(floor(ln((cast(n_docs as double) + 1.0d) / (cast(df as double) + 1.0d)) * 1000000.0d + 0.5d) as bigint)"))
+      .select("lang", "tok", "idf_e6")
+    dtf.join(broadcast(idf), Seq("lang", "tok"))
+      .withColumn("score_e6", expr("tf * idf_e6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "tok", "score_e6")
+      .orderBy("doc_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
-    klDivergence, classRebalance, bpePairCounts)
+    klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
+    eventsAnomalyDays, textKeywordExtract)
 }

@@ -159,6 +159,78 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       2 * all(lo) + (all(math.min(lo + 1, all.length - 1)) - all(lo)) * ((pos - lo) * 2)))
   }
 
+  test("scale_winsorize boundaries, clip counts and sum match local re-derivation") {
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), cents(r.getDouble(1))))
+    val res = SparkEntry.queries("scale_winsorize")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val vs = grp.map(_._2).sorted
+      val lo8 = qScaled(vs, 1.0 / 8, 8)
+      val hi8 = qScaled(vs, 7.0 / 8, 8)
+      val clipLo = vs.count(v => 8 * v < lo8).toLong
+      val clipHi = vs.count(v => 8 * v > hi8).toLong
+      val wsum = vs.map(v => BigInt(
+        if (8 * v < lo8) lo8 else if (8 * v > hi8) hi8 else 8 * v)).sum
+      val (n, cl, ch, ws) = res(flag)
+      assert(n == vs.length && cl == clipLo && ch == clipHi, s"$flag clip counts diverge")
+      assert(ws == (BigDecimal(wsum) / 800).toDouble, s"$flag winsorized sum diverges")
+      // rank-based cuts: at most ~n/8 clipped on each side (+1 for interpolation)
+      assert(cl <= vs.length / 8 + 1 && ch <= vs.length / 8 + 1)
+      assert(cl > 0 && ch > 0, "octile cuts must actually clip a tail")
+    }
+  }
+
+  test("events_anomaly_days: exact integer test equals the 2-sigma rule, re-derived") {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val res = SparkEntry.queries("events_anomaly_days")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    counts.groupBy(_._1).foreach { case (_, grp) =>
+      val n = BigInt(grp.length)
+      val ss = grp.map(e => BigInt(e._3)).sum
+      val q = grp.map(e => BigInt(e._3) * e._3).sum
+      grp.foreach { case (typ, day, c) =>
+        val lhs = (BigInt(c) * n - ss).pow(2)
+        val rhs = 4 * (n * q - ss * ss)
+        val (rc, flag) = res((typ, day))
+        assert(rc == c && flag == (lhs > rhs), s"($typ,$day) anomaly flag diverges")
+      }
+    }
+    assert(res.size == counts.length && res.values.exists(_._2),
+      "fixture should contain at least one anomalous day")
+    assert(res.values.count(_._2) < res.size / 4, "anomalies must be rare")
+  }
+
+  test("text_keyword_extract: idf floor margins are safe and top-3 matches brute force") {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val nd = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val dfm = docs.flatMap { case (id, lang, ts) => ts.distinct.map(t => (lang, t) -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val idf = dfm.map { case ((lang, t), df) =>
+      val x = math.log((nd(lang) + 1.0) / (df + 1.0)) * 1e6 + 0.5
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) /
+        math.ulp(math.max(math.abs(x), 1.0))
+      assert(marginUlps > 1000, s"idf floor margin $marginUlps ulps for $lang/$t")
+      (lang, t) -> math.floor(x).toLong
+    }
+    val res = SparkEntry.queries("text_keyword_extract")(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, lang, ts) =>
+      val scored = ts.groupBy(identity).map { case (t, g) =>
+        (t, g.length.toLong * idf((lang, t)))
+      }.toSeq.sortBy { case (t, sc) => (-sc, t) }
+      scored.take(3).zipWithIndex.foreach { case ((t, sc), i) =>
+        assert(res((id, i + 1)) == ((t, sc)), s"doc $id rank ${i + 1} diverges")
+      }
+    }
+    assert(res.size == docs.length * 3)
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))
