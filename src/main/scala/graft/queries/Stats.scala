@@ -386,7 +386,36 @@ object Stats {
       .orderBy("doc_id", "rk")
   }
 
+  /** The approximate-quantile path this suite's exact ops document as
+    * their 100 TB fallback (e.g. non-dyadic cut points, or when even the
+    * sorted-fetch pass is too much): `percentile_approx` (Greenwald-
+    * Khanna summaries, mergeable, bounded memory) with the EXACT octiles
+    * riding alongside from [[graft.operators.ExactQuantiles]], so the
+    * output itself exhibits the sketch error. No SQL oracle by design —
+    * sketch internals are engine-specific (driver records rows-only);
+    * StatsSpec gates the relative error against the exact values.
+    */
+  private val aggApproxPercentile = Q("agg_approx_percentile",
+    { (s: org.apache.spark.sql.SparkSession, d: String) =>
+      import s.implicits._
+      val t = Tables.lineitem(s, d)
+        .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("vi"))
+      val exact = graft.operators.ExactQuantiles
+        .scaled(t, "vi", Seq(0.25, 0.5, 0.75), 4)
+      val approx = t.agg(expr(
+          "percentile_approx(vi, array(0.25d, 0.5d, 0.75d), 10000)").as("ap"))
+        .select(posexplode(col("ap")))
+        .select(col("pos"), col("col").cast("long").as("approx_cents"))
+      val exactDf = Seq(0.25, 0.5, 0.75).zipWithIndex.zip(exact)
+        .map { case ((p, i), q4) => (i, p, q4) }.toDF("pos", "p", "exact_x4")
+      approx.join(broadcast(exactDf), "pos")
+        .select(col("p"), col("approx_cents"),
+          expr("cast(exact_x4 as double) / 4").as("exact_cents"))
+        .orderBy("p")
+        .select("p", "approx_cents", "exact_cents")
+    }, None)
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
-    eventsAnomalyDays, textKeywordExtract)
+    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile)
 }

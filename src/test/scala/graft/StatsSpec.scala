@@ -231,6 +231,25 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.size == docs.length * 3)
   }
 
+  test("agg_approx_percentile: sketch stays within GK rank-error of the exact quartiles") {
+    val res = SparkEntry.queries("agg_approx_percentile")(s, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(res.map(_._1).toSeq == Seq(0.25, 0.5, 0.75))
+    val vs = Tables.lineitem(s, d).select("l_extendedprice")
+      .collect().map(r => cents(r.getDouble(0))).sorted
+    res.zip(Seq(0.25, 0.5, 0.75)).foreach { case ((p, approx, exact), pp) =>
+      assert(p == pp)
+      // rank-error gate: percentile_approx(accuracy=10000) guarantees the
+      // returned value's rank is within n/10000 of the target rank
+      val rank = vs.count(_ <= approx)
+      val target = pp * vs.length
+      assert(math.abs(rank - target) <= vs.length / 10000.0 + 1,
+        s"p=$pp: rank $rank vs target $target")
+      // and the exact column really is the exact interpolated quartile
+      assert(exact == qScaled(vs, pp, 4).toDouble / 4, s"p=$pp exact column diverges")
+    }
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))
