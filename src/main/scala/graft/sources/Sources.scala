@@ -45,4 +45,15 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC ingest/export — the columnar interchange format besides parquet
+    * that ships in spark-sql with no extra connector (predicate pushdown
+    * and column pruning work the same way). Schema-first like the text
+    * readers; the writer is multi-part like the other sinks.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -162,4 +162,20 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // multi-part output: no hidden coalesce(1) in the sink
     assert(new java.io.File(csvOut).listFiles().exists(_.getName.endsWith(".csv")))
   }
+
+  test("ORC sink round-trips through its schema-first ingest twin with pushdown intact") {
+    import graft.sources.Sources
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val orcOut = "target/tmp/sources_spec/docs_orc"
+    Sources.writeOrc(docs, orcOut)
+    val back = Sources.readOrc(s, orcOut, docs.schema)
+    assert(back.count() == 500)
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+    // ORC scans take the same pushdown path as parquet: the lang filter
+    // must reach the file scan, not evaluate post-scan only
+    val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"expected pushed lang filter in ORC scan:\n$plan")
+    assert(new java.io.File(orcOut).listFiles().exists(_.getName.endsWith(".orc")))
+  }
 }
