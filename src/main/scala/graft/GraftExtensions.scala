@@ -29,8 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      (exprs: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head)))
+      // mirror Blooms.register's arity handling exactly — silently
+      // dropping an estimatedItems arg would hand a 100M-key dim the
+      // ~1M-item default filter (FPR → 1, prefilter sheds nothing)
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+        case Seq(child, est) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            child, est,
+            new org.apache.spark.sql.catalyst.expressions.Multiply(
+              est, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg expects 1 or 2 arguments, got ${other.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

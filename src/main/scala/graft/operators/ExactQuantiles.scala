@@ -34,7 +34,11 @@ object ExactQuantiles {
   /** Per-group scaled exact quantiles of `valueCol` (integer-valued).
     * Returns group → quantile·scale (exact), in `ps` order. The result is
     * |groups|·|ps| longs on the driver — the same "broadcast-equivalent"
-    * bound as a grouped aggregate output, NOT a data collect.
+    * bound as a grouped aggregate output, NOT a data collect. An empty
+    * input yields an empty map (a group present in the map always has at
+    * least one row), so callers joining the result back degrade to an
+    * empty output — matching what `quantile_cont` over zero rows feeds a
+    * downstream join in the SQL oracles.
     */
   def groupedScaled(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], scale: Long): Map[String, Array[Long]] = {
@@ -118,9 +122,15 @@ object ExactQuantiles {
     } finally parts.unpersist()
   }
 
-  /** Ungrouped scaled exact quantiles. */
+  /** Ungrouped scaled exact quantiles. Empty input returns all-zero
+    * boundaries rather than throwing: with zero rows there is nothing to
+    * compare against them downstream, so any fixed value is correct —
+    * the queries built on this then produce the same empty result as
+    * their oracles instead of a construction-time crash.
+    */
   def scaled(df: DataFrame, valueCol: String, ps: Seq[Double], scale: Long): Array[Long] = {
     import org.apache.spark.sql.functions.lit
-    groupedScaled(df.withColumn("__g", lit("all")), "__g", valueCol, ps, scale)("all")
+    groupedScaled(df.withColumn("__g", lit("all")), "__g", valueCol, ps, scale)
+      .getOrElse("all", Array.fill(ps.length)(0L))
   }
 }

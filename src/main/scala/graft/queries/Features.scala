@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -147,6 +148,32 @@ object Features {
       .orderBy("doc_id")
   }
 
+
+  /** Shared blocked-levenshtein pair builder over the DISTINCT part-name
+    * table (vocabulary-bounded) for [[dedupNameVariants]] (maxDist 2 —
+    * conservative linkage) and [[triangleCount]] (maxDist 3 — the looser
+    * graph where motifs exist). Head-noun blocking keeps the join
+    * shuffle-parallel and never all-pairs. Returns (names, edges a<b).
+    */
+  private def variantEdges(s: SparkSession, d: String,
+      maxDist: Int): (DataFrame, DataFrame) = {
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val withNoun = names.withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val edges = withNoun.as("a").join(withNoun.as("b"),
+        col("a.noun") === col("b.noun") &&
+          col("a.p_name") < col("b.p_name") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= maxDist)
+      .select(col("a.p_name").as("a"), col("b.p_name").as("b"))
+    (names, edges)
+  }
+
+  /** DuckDB twin of [[variantEdges]] — n (distinct names) + e (a<b pairs). */
+  private def variantEdgesCte(maxDist: Int): String =
+    s"""n AS (SELECT DISTINCT p_name FROM part),
+       |e AS (SELECT a.p_name AS a, b.p_name AS b FROM n a JOIN n b
+       |  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+       |  AND a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= $maxDist)""".stripMargin
+
   /** Dirty-categorical canonicalization: cluster near-identical part
     * names (levenshtein ≤ 2, blocked on the head noun so the pair join is
     * never all-pairs) with [[graft.operators.ConnectedComponents]] and
@@ -159,10 +186,7 @@ object Features {
     * order on these ASCII names).
     */
   private val dedupNameVariants = Q("dedup_name_variants",
-    s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
-       |e AS (SELECT a.p_name AS a, b.p_name AS b FROM n a JOIN n b
-       |  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
-       |  AND a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2),
+    s"""WITH RECURSIVE ${variantEdgesCte(2)},
        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e
        |  UNION SELECT p_name, p_name FROM n),
        |reach(node, r) AS (
@@ -174,13 +198,7 @@ object Features {
        |  count(*) AS n_parts
        |FROM part p JOIN lbl ON p.p_name = lbl.node
        |GROUP BY lbl.canonical ORDER BY lbl.canonical""".stripMargin) { (s, d) =>
-    val names = Tables.part(s, d).select(col("p_name")).distinct()
-    val withNoun = names.withColumn("noun", element_at(split(col("p_name"), " "), -1))
-    val edges = withNoun.as("a").join(withNoun.as("b"),
-        col("a.noun") === col("b.noun") &&
-          col("a.p_name") < col("b.p_name") &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
-      .select(col("a.p_name").as("a"), col("b.p_name").as("b"))
+    val (names, edges) = variantEdges(s, d, maxDist = 2)
     val labels = graft.operators.ConnectedComponents
       .minLabel(names.select(col("p_name").as("node")), edges)
     Tables.part(s, d).select("p_name")
@@ -190,20 +208,19 @@ object Features {
       .orderBy("canonical")
   }
 
-  /** Triangle count per node over the name-variant graph — the motif
-    * diagnostic that separates chained variant clusters (paths) from
-    * densely-confusable ones (triangles). Edges live on the DISTINCT-name
-    * table (vocabulary-bounded); triangles enumerate via two equi-joins
+  /** Triangle count per node over the lev ≤ 3 variant graph (LOOSER
+    * than dedup_name_variants' lev ≤ 2 canonicalization graph, which is
+    * triangle-free on this fixture) — the motif diagnostic that separates
+    * chained variant clusters (paths) from densely-confusable ones
+    * (triangles). Edges come from the shared [[variantEdges]] builder on
+    * the DISTINCT-name table (vocabulary-bounded); triangles enumerate via two equi-joins
     * over the oriented (a < b) edge list, so no row explosion beyond the
     * motif count itself. At data-bounded graph sizes the standard
     * degree-ordering optimization applies unchanged — orientation by
     * (degree, id) instead of id — without altering this plan shape.
     */
   private val triangleCount = Q("triangle_count",
-    s"""WITH n AS (SELECT DISTINCT p_name FROM part),
-       |e AS (SELECT a.p_name AS a, b.p_name AS b FROM n a JOIN n b
-       |  ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
-       |  AND a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 3),
+    s"""WITH ${variantEdgesCte(3)},
        |tri AS (SELECT e1.a, e1.b, e2.b AS c
        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
@@ -212,13 +229,7 @@ object Features {
        |  SELECT b FROM tri UNION ALL
        |  SELECT c FROM tri) t
        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-    val names = Tables.part(s, d).select(col("p_name")).distinct()
-    val withNoun = names.withColumn("noun", element_at(split(col("p_name"), " "), -1))
-    val e = withNoun.as("a").join(withNoun.as("b"),
-        col("a.noun") === col("b.noun") &&
-          col("a.p_name") < col("b.p_name") &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
-      .select(col("a.p_name").as("a"), col("b.p_name").as("b"))
+    val (_, e) = variantEdges(s, d, maxDist = 3)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
@@ -262,7 +273,10 @@ object Features {
   /** Hour-of-day activity profile per event type — the load/seasonality
     * matrix behind traffic-aware sampling. The hour derives from integer
     * µs arithmetic ((ts_us div 3600e6) mod 24 — UTC by construction, no
-    * timezone or locale function anywhere near the oracle), counts and
+    * timezone or locale function anywhere near the oracle; DuckDB `//`
+    * and `%` on BIGINT truncate/follow-dividend exactly like Spark's
+    * `div`/`%`, verified, so parity holds for any timestamp sign),
+    * counts and
     * cents sums are exact, and the output is a bounded \|types\|×24
     * matrix from one combinable aggregate.
     */

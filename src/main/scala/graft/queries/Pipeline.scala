@@ -107,8 +107,6 @@ object Pipeline {
     val grams = LlmOps.gramTable(s, d)
     val a = grams.toDF("da", "lang_a", "gh", "na")
     val b = grams.toDF("db", "lang_b", "gh2", "nb")
-    graft.Caching.ensureCached(grams)
-    grams.count() // pin the cache in one job before the self-join's two map stages race
     val pairs = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"),
         min("na").as("na"), min("nb").as("nb"))
@@ -116,7 +114,13 @@ object Pipeline {
       .select(col("da"), col("db"),
         expr("cast(c as double) / least(na, nb)").as("containment"))
       .orderBy("da", "db")
+    // the gram pin + retire lives INSIDE the cold branch: on warm
+    // re-entry (pairs already plan-cached) re-pinning grams would re-run
+    // the whole gram pipeline and leak its persist — the exact bug the
+    // ScaleSpec re-entry invariant pins for jaccardPairs
     if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      graft.Caching.ensureCached(grams)
+      grams.count() // pin in one job before the self-join's two map stages race
       pairs.persist()
       pairs.count() // materialize the (tiny) pair set while grams is cached...
       grams.unpersist(blocking = false) // ...then retire the intermediate

@@ -311,8 +311,11 @@ object Stats {
     * EXACT integer moments — (c·n − S)² > 4·(n·Q − S²) is the z>2 rule
     * with both sides multiplied by n², so no σ, sqrt or double ever
     * reaches the comparison. Day = integer µs division (UTC by
-    * construction). Two combinable aggregates: events → (type, day)
-    * counts (|types|·|days| rows), then per-type moments broadcast back.
+    * construction; sign parity VERIFIED: DuckDB's `//` on BIGINT
+    * truncates toward zero, same as Spark's `div` — −100//24 = −4 on
+    * both — so even pre-epoch timestamps bucket identically). Two
+    * combinable aggregates: events → (type, day) counts (|types|·|days|
+    * rows), then per-type moments broadcast back.
     */
   private val eventsAnomalyDays = Q("events_anomaly_days",
     s"""WITH dc AS (SELECT event_type,

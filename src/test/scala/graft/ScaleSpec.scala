@@ -215,6 +215,24 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("re-entering dedup_containment neither re-pins the gram table nor leaks") {
+    // regression for the review finding: the gram pin + retire must live
+    // inside the cold branch — a warm second run (pairs already
+    // plan-cached) must not re-persist/re-materialize the gram pipeline
+    s.catalog.clearCache()
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("dedup_containment")(s, d)
+      .write.format("noop").mode("overwrite").save()
+    val after1 = s.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("dedup_containment")(s, d)
+      .write.format("noop").mode("overwrite").save()
+    val after2 = s.sparkContext.getPersistentRDDs.keySet
+    assert((after2 -- after1).isEmpty,
+      s"warm re-entry created new persistent RDDs: ${after2 -- after1}")
+    s.catalog.clearCache()
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("join_skew_salted actually joins through the salt key") {
     val plan = SparkEntry.queries("join_skew_salted")(s, d)
       .queryExecution.executedPlan.toString
