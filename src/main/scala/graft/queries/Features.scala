@@ -297,6 +297,47 @@ object Features {
       .orderBy("event_type", "hour_utc")
   }
 
+
+  /** Empirical-CDF feature transform: each event's value mapped to its
+    * within-type cumulative probability P(V ≤ v) — the rank normalizer
+    * that is robust where min-max scaling is not. The heavy stream only
+    * ever feeds a combinable (type, cents) count; the cumulative runs on
+    * the VALUE-DOMAIN table (bounded by the cents domain, not the data —
+    * ≤ 49k rows per type here and forever), partitioned per type; the
+    * resulting CDF table broadcasts back onto the stream. cum and n are
+    * exact integers; the one division is shape-identical on both engines.
+    */
+  private val featureCdf = Q("feature_cdf",
+    s"""WITH e AS (SELECT event_id, event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       |vcnt AS (SELECT event_type, vc, count(*) AS c FROM e
+       |  GROUP BY event_type, vc),
+       |cdf AS (SELECT event_type, vc,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY vc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS nt
+       |  FROM vcnt)
+       |SELECT event_id, e.event_type,
+       |  CAST(cum AS DOUBLE) / CAST(nt AS DOUBLE) AS cdf
+       |FROM e JOIN cdf ON e.event_type = cdf.event_type AND e.vc = cdf.vc
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+    val vcnt = e.groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("event_type").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val cdf = vcnt
+      .withColumn("cum", sum("c").over(wOrd))
+      .withColumn("nt", sum("c").over(wAll))
+      .select(col("event_type"), col("vc"),
+        expr("cast(cum as double) / cast(nt as double)").as("cdf"))
+    e.join(broadcast(cdf), Seq("event_type", "vc"))
+      .select("event_id", "event_type", "cdf")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
-    dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile)
+    dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
+    featureCdf)
 }

@@ -141,6 +141,25 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.values.map(_._1).sum == evs.length, "cells must partition all events")
   }
 
+  test("feature_cdf is the exact within-type empirical CDF") {
+    val evs = Tables.events(s, d).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val res = SparkEntry.queries("feature_cdf")(s, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    evs.groupBy(_._2).foreach { case (_, grp) =>
+      val n = grp.length
+      grp.foreach { case (id, _, vc) =>
+        val want = grp.count(_._3 <= vc).toDouble / n
+        assert(res(id) == want, s"event $id cdf ${res(id)} != $want")
+      }
+      // the max value of each type must map to exactly 1.0
+      val maxIds = grp.filter(_._3 == grp.map(_._3).max)
+      assert(maxIds.forall(e => res(e._1) == 1.0))
+    }
+    assert(res.size == evs.length)
+  }
+
   test("dedup_name_variants clusters match a local union-find over brute-force distances") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
