@@ -141,6 +141,25 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.values.map(_._1).sum == evs.length, "cells must partition all events")
   }
 
+  test("new-suite plan shapes: broadcasts where designed, no stray SMJ or cartesian") {
+    def plan(k: String) =
+      SparkEntry.queries(k)(s, d).queryExecution.executedPlan.toString
+    // model/stats tables must broadcast back onto the big stream
+    for (k <- Seq("feature_cdf", "embedding_centroid", "text_unigram_logprob",
+        "text_bigram_logprob", "scale_minmax", "text_keyword_extract")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k: expected broadcast join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k: cartesian product leaked")
+      assert(!p.contains("SortMergeJoin"), s"$k: small side should broadcast, not SMJ")
+    }
+    // events_rolling: exactly one exchange feeds the RANGE window
+    val er = plan("events_rolling")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(er).length == 1, er)
+    // histogram assignment is join-free: boundaries are inlined literals
+    val he = plan("histogram_equidepth")
+    assert(!he.contains("Join"), s"histogram_equidepth must not join:\n$he")
+  }
+
   test("feature_cdf is the exact within-type empirical CDF") {
     val evs = Tables.events(s, d).select("event_id", "event_type", "value")
       .collect().map(r => (r.getLong(0), r.getString(1),

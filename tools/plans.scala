@@ -13,7 +13,9 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "text_unigram_logprob", "text_bigram_logprob", "histogram_equidepth",
   "outlier_mad", "col_entropy", "kl_divergence", "class_rebalance",
   "bpe_pair_counts", "events_rolling", "embedding_centroid",
-  "dedup_name_variants")
+  "dedup_name_variants", "scale_winsorize", "events_anomaly_days",
+  "text_keyword_extract", "feature_cdf", "triangle_count",
+  "scale_minmax", "events_hourly_profile", "agg_approx_percentile")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
