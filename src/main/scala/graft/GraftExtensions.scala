@@ -20,6 +20,10 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: per-group top-k via partial/final bounded
+    // heaps (graft.plans.TopKPerGroup) — build-time twin of the runtime
+    // install graft.operators.TopK.ensureStrategy performs
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),

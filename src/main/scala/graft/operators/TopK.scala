@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+import graft.plans.{TopKPerGroup, TopKPerGroupStrategy}
+
+/** DataFrame-level entry point for the custom top-k-per-group operator
+  * ([[graft.plans.TopKPerGroup]]). Installs the planner strategy on the
+  * session idempotently (`spark.experimental.extraStrategies` — the
+  * runtime twin of registering `GraftExtensions` at session build time),
+  * resolves the group/order columns against the input's analyzed plan,
+  * and wraps the logical node back into a DataFrame.
+  *
+  * `order` columns must form a TOTAL order within each group (add
+  * tie-break columns) — rows equal under the full order are
+  * interchangeable, which is what makes the bounded-heap output
+  * deterministic.
+  */
+object TopK {
+
+  /** Install the strategy on `spark` if absent. */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ TopKPerGroupStrategy
+  }
+
+  /** Top `k` rows per `groupCols` group under `order` (column name →
+    * descending?), ties broken by the order's later columns.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    ensureStrategy(df.sparkSession)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(",")}"))
+    val g = groupCols.map(attr)
+    val so = order.map { case (name, desc) =>
+      SortOrder(attr(name), if (desc) Descending else Ascending)
+    }
+    GraftSqlBridge.ofRows(df.sparkSession, TopKPerGroup(g, so, k, analyzed))
+  }
+}

@@ -121,5 +121,27 @@ object Windows {
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     },
+
+    // The custom whole-operator path for the same semantics
+    // (graft.plans.TopKPerGroup): map-side partial bounded heaps, an
+    // exchange that carries <= k rows per (partition, group) instead of
+    // every row, and a final merge heap — the aggregate-style shape the
+    // window formulation above cannot plan. The order (price DESC,
+    // orderkey) is total within each group, so the kept multiset is
+    // deterministic and the oracle is the plain window SQL.
+    Q("topk_group_native",
+      s"""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders) t WHERE rn <= 3
+         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      graft.operators.TopK.perGroup(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_custkey"),
+          order = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+          k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the custom whole-operator stack (graft.plans.TopKPerGroup +
+  * TopKPerGroupStrategy + graft.operators.TopK): semantics vs the window
+  * formulation, the partial/final physical shape, bounded-heap behavior
+  * on a hot group, and determinism under duplicate sort tuples.
+  */
+class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
+
+  test("topk_group_native multiset equals the window-rank formulation") {
+    val native = SparkEntry.queries("topk_group_native")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val window = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3).drop("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(native == window, "custom operator diverges from window rank")
+  }
+
+  test("physical plan is partial heap -> group exchange -> final heap") {
+    val plan = SparkEntry.queries("topk_group_native")(s, d)
+      .queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix; partial prints `, true` and final `, false`
+    assert("TopKPerGroup".r.findAllIn(plan).length == 2, plan)
+    val partialIdx = plan.indexOf(", 3, true")
+    val finalIdx = plan.indexOf(", 3, false")
+    val exchIdx = plan.indexOf("Exchange hashpartitioning(o_custkey")
+    assert(finalIdx >= 0 && exchIdx > finalIdx && partialIdx > exchIdx,
+      s"expected final above the group exchange above partial:\n$plan")
+    // column pruning must pass through the custom node to the scan
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      s"pruned read schema expected:\n$plan")
+  }
+
+  test("hot group: one group spread over many partitions still yields exact top-k") {
+    import s.implicits._
+    // 10k rows, ONE group, 32 input partitions — the window formulation
+    // would move all 10k rows to one reducer; the operator's exchange
+    // carries at most k per map partition
+    val df = s.range(10000).select(lit("hot").as("g"),
+      (col("id") * 7919 % 10007).as("v"), col("id")).repartition(32)
+    val res = operators.TopK.perGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    val brute = (0L until 10000L).map(id => ((id * 7919) % 10007, id))
+      .sortBy { case (v, id) => (-v, id) }.take(5).sorted.toSeq
+    assert(res == brute)
+  }
+
+  test("duplicate sort tuples at the cut: kept multiset is deterministic") {
+    import s.implicits._
+    // 6 identical (g, v) rows, k = 4 — any 4 are interchangeable, so the
+    // OUTPUT multiset must always be the same 4 identical tuples
+    val df = Seq.fill(6)(("g", 1L)).toDF("g", "v").repartition(5)
+    val runs = (1 to 3).map { _ =>
+      operators.TopK.perGroup(df, Seq("g"), Seq("v" -> false), 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(runs.forall(_ == Seq.fill(4)(("g", 1L))), runs.toString)
+  }
+
+  test("k larger than the group returns the whole group") {
+    import s.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "v")
+    val res = operators.TopK.perGroup(df, Seq("g"), Seq("v" -> true), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(res == Seq(("a", 1L), ("a", 2L), ("b", 9L)))
+  }
+}
