@@ -67,6 +67,29 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(runs.forall(_ == Seq.fill(4)(("g", 1L))), runs.toString)
   }
 
+  test("randomized: TopK matches sort-take on 8 seeded shapes (dups, skew, tiny groups)") {
+    import s.implicits._
+    for (seed <- 1 to 8) {
+      // deterministic LCG — no RNG state in tests either
+      var x = seed.toLong
+      def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); math.abs(x) }
+      val n = 50 + (next() % 400).toInt
+      val nGroups = 1 + (next() % 5).toInt
+      val valueDomain = 1 + (next() % 20).toInt // small domain => many dup sort keys
+      val k = 1 + (next() % 6).toInt
+      val rows = (0 until n).map { i =>
+        (s"g${next() % nGroups}", next() % valueDomain, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(7)
+      val got = operators.TopK.perGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+        grp.sortBy { case (_, v, id) => (-v, id) }.take(k)
+      }.sorted
+      assert(got == want, s"seed $seed: k=$k n=$n groups=$nGroups domain=$valueDomain")
+    }
+  }
+
   test("k larger than the group returns the whole group") {
     import s.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "v")

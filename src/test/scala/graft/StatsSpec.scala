@@ -250,6 +250,27 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("randomized: ExactQuantiles matches local interpolation on 6 seeded shapes") {
+    import s.implicits._
+    for (seed <- 1 to 6) {
+      var x = seed.toLong * 2654435761L
+      def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); math.abs(x) }
+      val n = 1 + (next() % 300).toInt
+      val nGroups = 1 + (next() % 4).toInt
+      val domain = 1 + (next() % 50).toInt // duplicates guaranteed when small
+      val rows = (0 until n).map(_ => (s"g${next() % nGroups}", next() % domain))
+      val df = rows.toDF("g", "v").repartition(1 + (next() % 9).toInt)
+      val ps = Seq(0.0, 0.125, 0.25, 0.5, 0.75, 0.875, 1.0)
+      val got = operators.ExactQuantiles.groupedScaled(df, "g", "v", ps, 8)
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val vs = grp.map(_._2).sorted.toArray
+        val want = ps.map(p => qScaled(vs, p, 8))
+        assert(got(g).toSeq == want, s"seed $seed group $g: ${got(g).toSeq} != $want")
+      }
+      assert(got.keySet == rows.map(_._1).toSet)
+    }
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))

@@ -15,7 +15,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "bpe_pair_counts", "events_rolling", "embedding_centroid",
   "dedup_name_variants", "scale_winsorize", "events_anomaly_days",
   "text_keyword_extract", "feature_cdf", "triangle_count",
-  "scale_minmax", "events_hourly_profile", "agg_approx_percentile")
+  "scale_minmax", "events_hourly_profile", "agg_approx_percentile",
+  "topk_group_native")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
