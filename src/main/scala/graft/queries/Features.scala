@@ -337,7 +337,45 @@ object Features {
       .orderBy("event_id")
   }
 
+
+  /** Time-weighted average of each user's event value — the irregular-
+    * time-series aggregate where a plain mean is wrong (a value that held
+    * for an hour must weigh 60× one that held a minute). Each value holds
+    * until the user's NEXT event (lead window); the weighted sum is exact
+    * DECIMAL arithmetic over cents × µs integer products (≤ ~2e14 per
+    * term — far inside BIGINT, accumulated in DECIMAL(38,0) for any
+    * scale); the single division happens once, in double, with identical
+    * shape on both engines. Users with one event (no held interval) drop
+    * out on both sides via the NULL lead. One (user_id) exchange.
+    */
+  private val eventsTwa = Q("events_twa",
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       |held AS (SELECT user_id, vc, ts_us, event_id,
+       |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+       |  FROM e)
+       |SELECT user_id, count(*) AS n_held,
+       |  CAST(CAST(sum(CAST(vc * (nxt - ts_us) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / CAST(sum(CAST(nxt - ts_us AS DECIMAL(38,0))) AS DOUBLE) / 100 AS DOUBLE)
+       |    AS twa
+       |FROM held WHERE nxt IS NOT NULL
+       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .withColumn("nxt", lead("ts_us", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_held"),
+        sum(expr("cast(vc * (nxt - ts_us) as decimal(38,0))")).as("wsum"),
+        sum(expr("cast(nxt - ts_us as decimal(38,0))")).as("tsum"))
+      .select(col("user_id"), col("n_held"),
+        expr("cast(cast(wsum as double) / cast(tsum as double) / 100 as double)").as("twa"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
-    featureCdf)
+    featureCdf, eventsTwa)
 }

@@ -160,6 +160,28 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(!he.contains("Join"), s"histogram_equidepth must not join:\n$he")
   }
 
+  test("events_twa matches a BigInt time-weighted re-derivation per user") {
+    val evs = Tables.events(s, d).select("user_id", "ts_us", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val res = SparkEntry.queries("events_twa")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    evs.groupBy(_._1).foreach { case (uid, grp) =>
+      val ordered = grp.sortBy(e => (e._2, e._3))
+      val held = ordered.zip(ordered.tail).map { case ((_, t0, _, vc), (_, t1, _, _)) =>
+        (BigInt(vc) * (t1 - t0), BigInt(t1 - t0))
+      }
+      if (held.isEmpty) assert(!res.contains(uid), s"user $uid with no held interval leaked")
+      else {
+        val (nHeld, twa) = res(uid)
+        val want = held.map(_._1).sum.toDouble / held.map(_._2).sum.toDouble / 100
+        assert(nHeld == held.length && twa == want, s"user $uid twa $twa != $want")
+        val (lo, hi) = (ordered.map(_._4).min / 100.0, ordered.map(_._4).max / 100.0)
+        assert(twa >= lo && twa <= hi, "TWA must sit inside the value range")
+      }
+    }
+  }
+
   test("feature_cdf is the exact within-type empirical CDF") {
     val evs = Tables.events(s, d).select("event_id", "event_type", "value")
       .collect().map(r => (r.getLong(0), r.getString(1),
