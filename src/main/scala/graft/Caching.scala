@@ -34,6 +34,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
+  /** The shared cold-branch materialization the pair-graph kernels use:
+    * if `result` is not already plan-cached (warm re-entry), pin
+    * `intermediate` in ONE job (so the downstream self-join's map stages
+    * never race to populate it), materialize `result`, then retire the
+    * intermediate. A warm call touches NOTHING — re-pinning the
+    * intermediate would re-run its whole pipeline and leak the persist
+    * (the dedup_containment regression ScaleSpec pins).
+    */
+  def materializeRetiring(result: DataFrame, intermediate: DataFrame): DataFrame = {
+    if (result.storageLevel == StorageLevel.NONE) {
+      ensureCached(intermediate)
+      intermediate.count()
+      result.persist()
+      result.count()
+      intermediate.unpersist(blocking = false)
+    }
+    result
+  }
+
   /** Persist `df` unless its plan is already in the session's SQL cache
     * (plan-keyed lookup via `Dataset.storageLevel`), then return it.
     */

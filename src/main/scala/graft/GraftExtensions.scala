@@ -28,31 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // the builders are SHARED with Blooms.register — one arity/sizing
+    // implementation for both registration paths
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      // mirror Blooms.register's arity handling exactly — silently
-      // dropping an estimatedItems arg would hand a 100M-key dim the
-      // ~1M-item default filter (FPR → 1, prefilter sheds nothing)
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(child) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
-        case Seq(child, est) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            child, est,
-            new org.apache.spark.sql.catalyst.expressions.Multiply(
-              est, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg expects 1 or 2 arguments, got ${other.size}")
-      }))
+      graft.functions.Blooms.aggBuilder))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))))
+      graft.functions.Blooms.mightContainBuilder))
   }
 }

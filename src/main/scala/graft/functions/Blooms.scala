@@ -25,27 +25,36 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object Blooms {
 
+  /** The ONE arity-handling builder both registration paths (this
+    * per-session registry and `GraftExtensions.injectFunction`) share —
+    * a drifted copy would give SQL-extension sessions silently different
+    * bloom sizing than runtime-registered ones.
+    */
+  val aggBuilder: Seq[Expression] => Expression = {
+    case Seq(child)      => new BloomFilterAggregate(child)
+    case Seq(child, est) => new BloomFilterAggregate(child, est,
+      new org.apache.spark.sql.catalyst.expressions.Multiply(
+        est, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
+    case other => throw new IllegalArgumentException(
+      s"bloom_agg expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bloom, value) => BloomFilterMightContain(bloom, value)
+    case other => throw new IllegalArgumentException(
+      s"bloom_might_contain expects 2 arguments, got ${other.size}")
+  }
+
   /** Idempotent per-session SQL registration of both functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(child)      => new BloomFilterAggregate(child)
-        case Seq(child, est) => new BloomFilterAggregate(child, est,
-          new org.apache.spark.sql.catalyst.expressions.Multiply(
-            est, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg expects 1 or 2 arguments, got ${other.size}")
-      })
+      aggBuilder)
     reg.registerFunction(
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(bloom, value) => BloomFilterMightContain(bloom, value)
-        case other => throw new IllegalArgumentException(
-          s"bloom_might_contain expects 2 arguments, got ${other.size}")
-      })
+      mightContainBuilder)
   }
 }

@@ -18,10 +18,15 @@ import graft.plans.{TopKPerGroup, TopKPerGroupStrategy}
   */
 object TopK {
 
-  /** Install the strategy on `spark` if absent. */
+  /** Install the strategy on `spark` if absent — checking the session's
+    * FULL planner strategy list, not just `experimental.extraStrategies`:
+    * a session built with GraftExtensions already carries the strategy
+    * via `injectPlannerStrategy`, and appending a second copy would have
+    * the planner generate duplicate candidate plans for every query.
+    */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+    if (!cs.sessionState.planner.strategies.contains(TopKPerGroupStrategy))
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ TopKPerGroupStrategy
   }
@@ -33,10 +38,14 @@ object TopK {
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     ensureStrategy(df.sparkSession)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String) = analyzed.output
-      .find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $name not in ${analyzed.output.map(_.name).mkString(",")}"))
+    // resolve through the Dataset's own resolver (honors
+    // spark.sql.caseSensitive and raises on ambiguous names) instead of a
+    // case-sensitive first-match scan of the output attributes
+    def attr(name: String) = GraftSqlBridge.expression(df.col(name)) match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a
+      case other => throw new IllegalArgumentException(
+        s"column $name did not resolve to an attribute: $other")
+    }
     val g = groupCols.map(attr)
     val so = order.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)

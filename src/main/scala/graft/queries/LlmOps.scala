@@ -703,29 +703,33 @@ object LlmOps {
       .select("doc_id", "lang", "gh", "n")
   }
 
-  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  /** Shared pair statistics over the gram table: (da, db, c = shared
+    * shingle count, na, nb = per-doc distinct-shingle sizes), a < b,
+    * lang-blocked. NOT cached — each consumer (jaccardPairs here,
+    * Pipeline.dedup_containment) filters to its own small pair set and
+    * materializes THAT via [[graft.Caching.materializeRetiring]], which
+    * also owns the gram cache lifecycle. Returns (stats, grams).
+    */
+  private[queries] def pairStats(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val grams = gramTable(s, d)
     val a = grams.toDF("da", "lang_a", "gh", "na")
     val b = grams.toDF("db", "lang_b", "gh2", "nb")
-    val jp = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))
+    val stats = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"),
         min("na").as("na"), min("nb").as("nb"))
+    (stats, grams)
+  }
+
+  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (stats, grams) = pairStats(s, d)
+    val jp = stats
       .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
       .select(col("da"), col("db"),
         expr("cast(c as double) / (na + nb - c)").as("jac"))
     // warm re-entry (graph_degree then dedup_ngram_jaccard in one session
-    // builds the IDENTICAL plan): the pair frame is already in the
-    // plan-keyed SQL cache — return it without touching, let alone
-    // re-materializing, the gram pipeline. See graft.Caching's ownership
-    // contract: the RETURNED jp is the caller's to retire.
-    if (jp.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      graft.Caching.ensureCached(grams)
-      grams.count() // pin the cache in ONE job before the pair join's two
-                    // map stages race to populate it concurrently
-      jp.persist()
-      jp.count() // materialize the (tiny) pair set while grams is cached...
-      grams.unpersist(blocking = false) // ...then retire the intermediate
-    }
-    jp
+    // builds the IDENTICAL plan) touches nothing; the RETURNED jp is the
+    // caller's to retire (graft.Caching ownership contract)
+    graft.Caching.materializeRetiring(jp, grams)
   }
 }

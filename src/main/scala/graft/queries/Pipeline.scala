@@ -104,28 +104,16 @@ object Pipeline {
        |  FROM common JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
        |  WHERE 5 * c >= 4 * least(na.n, nb.n))
        |SELECT da, db, containment FROM cpairs ORDER BY da, db""".stripMargin) { (s, d) =>
-    val grams = LlmOps.gramTable(s, d)
-    val a = grams.toDF("da", "lang_a", "gh", "na")
-    val b = grams.toDF("db", "lang_b", "gh2", "nb")
-    val pairs = a.join(b, expr("gh = gh2 AND lang_a = lang_b AND da < db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"),
-        min("na").as("na"), min("nb").as("nb"))
+    // shared pair-statistics kernel with jaccardPairs — only the filter
+    // predicate and reported metric differ; the cache lifecycle (cold-
+    // branch pin + retire, warm no-op) is Caching.materializeRetiring's
+    val (stats, grams) = LlmOps.pairStats(s, d)
+    val pairs = stats
       .filter(expr("5 * c >= 4 * least(na, nb)"))
       .select(col("da"), col("db"),
         expr("cast(c as double) / least(na, nb)").as("containment"))
       .orderBy("da", "db")
-    // the gram pin + retire lives INSIDE the cold branch: on warm
-    // re-entry (pairs already plan-cached) re-pinning grams would re-run
-    // the whole gram pipeline and leak its persist — the exact bug the
-    // ScaleSpec re-entry invariant pins for jaccardPairs
-    if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      graft.Caching.ensureCached(grams)
-      grams.count() // pin in one job before the self-join's two map stages race
-      pairs.persist()
-      pairs.count() // materialize the (tiny) pair set while grams is cached...
-      grams.unpersist(blocking = false) // ...then retire the intermediate
-    }
-    pairs
+    graft.Caching.materializeRetiring(pairs, grams)
   }
 
   /** Deterministic source rebalancing: every language is downsampled to

@@ -174,8 +174,10 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // ORC scans take the same pushdown path as parquet: the lang filter
     // must reach the file scan, not evaluate post-scan only
     val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("lang"),
-      s"expected pushed lang filter in ORC scan:\n$plan")
+    // 'lang' must appear INSIDE the PushedFilters bracket — matching it
+    // anywhere passes vacuously on 'PushedFilters: []' + a post-scan Filter
+    assert("PushedFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"expected lang inside PushedFilters in ORC scan:\n$plan")
     assert(new java.io.File(orcOut).listFiles().exists(_.getName.endsWith(".orc")))
   }
 }
