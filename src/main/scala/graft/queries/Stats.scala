@@ -418,7 +418,49 @@ object Stats {
         .select("p", "approx_cents", "exact_cents")
     }, None)
 
+
+  /** Join-key skew diagnostic: the distribution of per-key row counts for
+    * a prospective join key (orders per customer) — octile quantiles, max
+    * and key cardinality. THE question this answers at 100 TB is "does
+    * this key need salting/AQE-skew-join before I shuffle on it". The
+    * heavy table feeds one combinable count aggregate; the quantiles run
+    * on the per-key COUNT table via [[graft.operators.ExactQuantiles]]
+    * (dyadic cuts — exact on both engines); output is 8 stat rows.
+    */
+  private val skewProfile = Q("skew_profile",
+    s"""WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+       |q AS (SELECT
+       |    CAST(quantile_cont(n, 0.0) * 8 AS BIGINT) AS q0,
+       |    CAST(quantile_cont(n, 0.25) * 8 AS BIGINT) AS q2,
+       |    CAST(quantile_cont(n, 0.5) * 8 AS BIGINT) AS q4,
+       |    CAST(quantile_cont(n, 0.75) * 8 AS BIGINT) AS q6,
+       |    CAST(quantile_cont(n, 7.0/8.0) * 8 AS BIGINT) AS q7,
+       |    CAST(quantile_cont(n, 1.0) * 8 AS BIGINT) AS q8
+       |  FROM c)
+       |SELECT stat, value FROM (
+       |  SELECT 'n_keys' AS stat, CAST((SELECT count(*) FROM c) AS DOUBLE) AS value
+       |  UNION ALL SELECT 'n_rows', CAST((SELECT sum(n) FROM c) AS DOUBLE)
+       |  UNION ALL SELECT 'p000', CAST(q0 AS DOUBLE) / 8 FROM q
+       |  UNION ALL SELECT 'p250', CAST(q2 AS DOUBLE) / 8 FROM q
+       |  UNION ALL SELECT 'p500', CAST(q4 AS DOUBLE) / 8 FROM q
+       |  UNION ALL SELECT 'p750', CAST(q6 AS DOUBLE) / 8 FROM q
+       |  UNION ALL SELECT 'p875', CAST(q7 AS DOUBLE) / 8 FROM q
+       |  UNION ALL SELECT 'p1000', CAST(q8 AS DOUBLE) / 8 FROM q) t
+       |ORDER BY stat""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    val agg = c.agg(count(lit(1)).as("nk"), sum("n").as("nr")).head()
+    val qs = graft.operators.ExactQuantiles.scaled(
+      c, "n", Seq(0.0, 0.25, 0.5, 0.75, 7.0 / 8, 1.0), 8)
+    (Seq("n_keys" -> agg.getLong(0).toDouble, "n_rows" -> agg.getLong(1).toDouble) ++
+      Seq("p000", "p250", "p500", "p750", "p875", "p1000")
+        .zip(qs.map(_.toDouble / 8)))
+      .toDF("stat", "value")
+      .orderBy("stat")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
-    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile)
+    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile)
 }

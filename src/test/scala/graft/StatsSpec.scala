@@ -250,6 +250,23 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("skew_profile stats match a local per-key count distribution") {
+    val counts = Tables.orders(s, d).groupBy("o_custkey").count()
+      .collect().map(_.getLong(1)).sorted
+    val res = SparkEntry.queries("skew_profile")(s, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(res("n_keys") == counts.length.toDouble)
+    assert(res("n_rows") == counts.sum.toDouble)
+    val expect = Map("p000" -> 0.0, "p250" -> 0.25, "p500" -> 0.5,
+      "p750" -> 0.75, "p875" -> 7.0 / 8, "p1000" -> 1.0)
+    expect.foreach { case (stat, p) =>
+      assert(res(stat) == qScaled(counts, p, 8).toDouble / 8, s"$stat diverges")
+    }
+    // sane ordering of the profile
+    assert(res("p000") <= res("p500") && res("p500") <= res("p1000"))
+    assert(res.size == 8)
+  }
+
   test("randomized: ExactQuantiles matches local interpolation on 6 seeded shapes") {
     import s.implicits._
     for (seed <- 1 to 6) {
