@@ -275,6 +275,15 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("sessionize_typed is row-identical to the window sessionize") {
+    val typed = SparkEntry.queries("sessionize_typed")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val window = SparkEntry.queries("sessionize")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(typed == window, "typed secondary-sort path diverges from the window path")
+    assert(typed.nonEmpty)
+  }
+
   test("profile_columns one-pass stats match per-column direct aggregation") {
     val res = SparkEntry.queries("profile_columns")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
