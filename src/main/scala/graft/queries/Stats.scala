@@ -460,7 +460,61 @@ object Stats {
       .orderBy("stat")
   }
 
+
+  /** RFM customer segmentation — recency / frequency / monetary quartile
+    * scores (1–4 each), reported as cell counts over the 64-cell cube.
+    * All three measures are exact integers (epoch-day recency, order
+    * count, cents revenue); the quartile boundaries come from
+    * [[graft.operators.ExactQuantiles]] over the per-customer table
+    * (dyadic cuts, ×4 exact BIGINT on both engines) and inline as
+    * LITERALS into the map-side score expression — no join, one
+    * combinable aggregate each way. Ties score identically on both
+    * engines via the strict 4·v > q comparison.
+    */
+  private val ordersRfm = Q("orders_rfm", {
+    def b(dim: String, k: Int) =
+      s"CAST(quantile_cont($dim, ${k}.0/4.0) * 4 AS BIGINT) AS ${dim}$k"
+    val qs = (for (dim <- Seq("r", "f", "m"); k <- 1 to 3) yield b(dim, k))
+      .mkString(",\n       |    ")
+    def score(dim: String) = (1 to 3)
+      .map(k => s"(CASE WHEN 4 * $dim > ${dim}$k THEN 1 ELSE 0 END)")
+      .mkString(s"1 + ", " + ", s" AS ${dim}_score")
+    s"""WITH c AS (SELECT o_custkey,
+       |    max(epoch_us(o_orderdate) // 86400000000) AS r,
+       |    count(*) AS f,
+       |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+       |  FROM orders GROUP BY o_custkey),
+       |q AS (SELECT $qs FROM c),
+       |scored AS (SELECT ${score("r")}, ${score("f")}, ${score("m")}
+       |  FROM c, q)
+       |SELECT r_score, f_score, m_score, count(*) AS n_customers
+       |FROM scored GROUP BY r_score, f_score, m_score
+       |ORDER BY r_score, f_score, m_score""".stripMargin
+  }) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; the UTC session makes the
+        // TIMESTAMP cast instant-preserving, matching DuckDB's epoch_us
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("day").as("r"), count(lit(1)).as("f"), sum("cents").as("m"))
+    val ps = Seq(0.25, 0.5, 0.75)
+    val bounds = Seq("r", "f", "m")
+      .map(dim => dim -> graft.operators.ExactQuantiles.scaled(c, dim, ps, 4))
+      .toMap
+    def score(dim: String) = "1 + " + (0 to 2)
+      .map(k => s"(case when 4 * $dim > ${bounds(dim)(k)}L then 1 else 0 end)")
+      .mkString(" + ")
+    c.select(expr(score("r")).as("r_score"), expr(score("f")).as("f_score"),
+        expr(score("m")).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
-    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile)
+    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile,
+    ordersRfm)
 }

@@ -267,6 +267,27 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.size == 8)
   }
 
+  test("orders_rfm cells match a local quartile-score re-derivation") {
+    val rfm = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("day").as("r"), count(lit(1)).as("f"), sum("cents").as("m"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def bounds(xs: Array[Long]) = Seq(0.25, 0.5, 0.75).map(p => qScaled(xs.sorted, p, 4))
+    val (rb, fb, mb) = (bounds(rfm.map(_._1)), bounds(rfm.map(_._2)), bounds(rfm.map(_._3)))
+    def score(v: Long, bs: Seq[Long]) = 1 + bs.count(b => 4 * v > b)
+    val want = rfm.map { case (r, f, m) => (score(r, rb), score(f, fb), score(m, mb)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val res = SparkEntry.queries("orders_rfm")(s, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(res == want, "RFM cell counts diverge from local scoring")
+    assert(res.values.sum == rfm.length, "cells must partition all customers")
+    assert(res.keys.forall { case (a, b, c) =>
+      Seq(a, b, c).forall(x => x >= 1 && x <= 4) })
+  }
+
   test("randomized: ExactQuantiles matches local interpolation on 6 seeded shapes") {
     import s.implicits._
     for (seed <- 1 to 6) {
