@@ -375,7 +375,93 @@ object Features {
       .orderBy("user_id")
   }
 
+
+  /** Market-basket affinity: co-occurrence counts of part-type pairs
+    * (the head noun of p_name) inside one order — the association-mining
+    * primitive behind "frequently bought together". The pair explosion is
+    * bounded by basket size (≤ |lineitems per order|², itself bounded by
+    * order semantics, never by corpus size); the part dimension
+    * broadcasts; pair counts combine map-side. Distinct types per order
+    * (list_distinct) keep a multi-line item from inflating its own pair.
+    */
+  private val basketPairs = Q("basket_pairs",
+    s"""WITH li AS (SELECT l_orderkey,
+       |    string_split(p.p_name, ' ')[-1] AS typ
+       |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
+       |b AS (SELECT l_orderkey, list_sort(list_distinct(list(typ))) AS ts
+       |  FROM li GROUP BY l_orderkey),
+       |ix AS (SELECT ts, unnest(generate_series(1, len(ts))) AS i FROM b),
+       |pairs AS (SELECT ts[CAST(i AS INTEGER)] AS a, ts[CAST(j AS INTEGER)] AS b
+       |  FROM (SELECT ts, i, unnest(generate_series(CAST(i AS INTEGER) + 1, len(ts))) AS j
+       |        FROM ix))
+       |SELECT a, b, count(*) AS n_orders FROM pairs
+       |GROUP BY a, b ORDER BY n_orders DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), element_at(split(col("p_name"), " "), -1).as("typ"))),
+        col("l_partkey") === col("p_partkey"))
+    val b = li.groupBy("l_orderkey")
+      .agg(expr("array_sort(array_distinct(collect_list(typ)))").as("ts"))
+    // outer i stops at size-1 so the inner sequence(i+1, size) never
+    // descends (Spark's sequence DESCENDS when start > stop — the
+    // text_bigram_logprob trap); single-type baskets drop first
+    b.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ts) - 1),
+          |  i -> transform(sequence(i + 1, size(ts)),
+          |    j -> struct(element_at(ts, i) as a, element_at(ts, j) as b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** Revenue concentration per nation: the Gini coefficient of customer
+    * revenue — the inequality audit behind "is this market a few whales".
+    * Fully exact until the final division: revenue is cents (BIGINT), the
+    * rank is a per-nation window under a TOTAL order (revenue, custkey),
+    * and the Gini numerator/denominator accumulate Σ rank·x and Σ x in
+    * DECIMAL(38,0). G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with the same
+    * expression shape on both engines. Windows partition on nation;
+    * nothing global.
+    */
+  private val revenueGini = Q("revenue_gini",
+    s"""WITH cr AS (SELECT c_nationkey AS nat, o_custkey,
+       |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_nationkey, o_custkey),
+       |r AS (SELECT nat, x,
+       |    row_number() OVER (PARTITION BY nat ORDER BY x, o_custkey) AS i
+       |  FROM cr),
+       |g AS (SELECT nat, count(*) AS n,
+       |    sum(CAST(i * x AS DECIMAL(38,0))) AS six,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx
+       |  FROM r GROUP BY nat)
+       |SELECT nat, n,
+       |  (CAST(2 AS DOUBLE) * CAST(six AS DOUBLE)
+       |    - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+       |FROM g ORDER BY nat""".stripMargin) { (s, d) =>
+    val cr = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nat"), col("o_custkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("x"))
+    cr.withColumn("i", row_number().over(
+        Window.partitionBy("nat").orderBy("x", "o_custkey")))
+      .groupBy("nat")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(i * x as decimal(38,0))")).as("six"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"))
+      .select(col("nat"), col("n"),
+        expr("""(cast(2 as double) * cast(six as double)
+                - (cast(n as double) + cast(1 as double)) * cast(sx as double))
+               / (cast(n as double) * cast(sx as double))""").as("gini"))
+      .orderBy("nat")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
-    featureCdf, eventsTwa)
+    featureCdf, eventsTwa, basketPairs, revenueGini)
 }

@@ -182,6 +182,44 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("basket_pairs is the true top-20 of a brute-force basket recount") {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val typ = Tables.part(s, d).select("p_partkey", "p_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").last).toMap
+    val brute = li.groupBy(_._1).values.flatMap { basket =>
+      val ts = basket.map(e => typ(e._2)).distinct.sorted
+      for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }
+    val res = SparkEntry.queries("basket_pairs")(s, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(res == brute.take(20), "top-20 basket pairs diverge")
+    assert(res.forall { case ((a, b), _) => a < b })
+  }
+
+  test("revenue_gini matches an exact BigInt re-derivation and sits in [0, 1)") {
+    val cr = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("c_nationkey", "o_custkey", "o_totalprice")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val res = SparkEntry.queries("revenue_gini")(s, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    cr.groupBy(_._1).foreach { case (nat, grp) =>
+      val byCust = grp.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+        .sortBy { case (ck, x) => (x, ck) }
+      val n = byCust.length
+      val six = byCust.zipWithIndex.map { case ((_, x), i) => BigInt(i + 1) * x }.sum
+      val sx = byCust.map(e => BigInt(e._2)).sum
+      val want = (2.0 * six.toDouble - (n + 1.0) * sx.toDouble) / (n.toDouble * sx.toDouble)
+      val (rn, gini) = res(nat)
+      assert(rn == n && gini == want, s"nation $nat gini $gini != $want")
+      assert(gini >= 0 && gini < 1, s"nation $nat gini out of range")
+    }
+    assert(res.size == cr.map(_._1).distinct.length)
+  }
+
   test("feature_cdf is the exact within-type empirical CDF") {
     val evs = Tables.events(s, d).select("event_id", "event_type", "value")
       .collect().map(r => (r.getLong(0), r.getString(1),
