@@ -510,7 +510,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+
+  /** Session-level engagement stats per user: session count, mean events
+    * per session and bounce rate (1-event sessions), layered on the same
+    * 30-min-gap sessionization as [[sessionize]]. Everything after the
+    * session assignment is exact-integer counting; the two ratios divide
+    * once, in double, with identical shape on both engines. Two
+    * (user_id)-keyed exchanges end-to-end (the window, then the
+    * per-session aggregate that reuses the same partitioning).
+    */
+  private val sessionStats = Q("session_stats",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |m AS (SELECT user_id, event_id, ts_us,
+       |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+       |  FROM e),
+       |sess AS (SELECT user_id,
+       |    sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+       |  FROM m),
+       |per_sess AS (SELECT user_id, sess_seq, count(*) AS n_events
+       |  FROM sess GROUP BY user_id, sess_seq)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_events,
+       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS bounce_rate
+       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ordered = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d).select("user_id", "event_id", "ts_us")
+      .withColumn("prev_ts", lag("ts_us", 1).over(ordered))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_seq", sum("new_sess")
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq").agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("cast(sum(n_events) as double) / cast(count(1) as double)").as("mean_events"),
+        expr("cast(sum(case when n_events = 1 then 1 else 0 end) as double) / cast(count(1) as double)")
+          .as("bounce_rate"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment, domainMix,
     joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr,
-    sessionize, topkDiverse, aggMode, statsRegression, textUnigramLogprob)
+    sessionize, topkDiverse, aggMode, statsRegression, textUnigramLogprob,
+    sessionStats)
 }

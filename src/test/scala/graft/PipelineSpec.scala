@@ -284,6 +284,22 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(typed.nonEmpty)
   }
 
+  test("session_stats agrees with stats computed off the sessionize assignment") {
+    val sess = SparkEntry.queries("sessionize")(s, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (user_id, sess_seq)
+    val res = SparkEntry.queries("session_stats")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    sess.groupBy(_._1).foreach { case (uid, grp) =>
+      val perSess = grp.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      val (n, mean, bounce) = res(uid)
+      assert(n == perSess.length)
+      assert(mean == grp.length.toDouble / perSess.length)
+      assert(bounce == perSess.count(_ == 1).toDouble / perSess.length)
+      assert(mean >= 1.0 && bounce >= 0.0 && bounce <= 1.0)
+    }
+    assert(res.size == sess.map(_._1).distinct.length)
+  }
+
   test("profile_columns one-pass stats match per-column direct aggregation") {
     val res = SparkEntry.queries("profile_columns")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
