@@ -16,7 +16,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "dedup_name_variants", "scale_winsorize", "events_anomaly_days",
   "text_keyword_extract", "feature_cdf", "triangle_count",
   "scale_minmax", "events_hourly_profile", "agg_approx_percentile",
-  "topk_group_native")
+  "topk_group_native", "events_twa", "skew_profile", "sessionize_typed",
+  "orders_rfm", "basket_pairs", "revenue_gini", "session_stats")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
