@@ -461,7 +461,104 @@ object Features {
       .orderBy("nat")
   }
 
+
+  /** Association-rule statistics over the basket pairs: support,
+    * confidence and lift for every co-occurring part-type pair — the
+    * numbers that turn co-occurrence counts into "actually correlated".
+    * All counts are exact integers off two combinable aggregates (pair
+    * baskets and single-type baskets, the singles table broadcast back);
+    * the three ratios divide once each in double with identical
+    * expression shape. Lift > 1 ⇔ n·c(ab) > c(a)·c(b) stays available as
+    * an exact-integer test; the reported doubles are presentation.
+    */
+  private val basketLift = Q("basket_lift",
+    s"""WITH li AS (SELECT l_orderkey,
+       |    string_split(p.p_name, ' ')[-1] AS typ
+       |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
+       |b AS (SELECT l_orderkey, list_sort(list_distinct(list(typ))) AS ts
+       |  FROM li GROUP BY l_orderkey),
+       |n AS (SELECT count(*) AS n_baskets FROM b),
+       |singles AS (SELECT t, count(*) AS c1
+       |  FROM (SELECT unnest(ts) AS t FROM b) GROUP BY t),
+       |ix AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM b
+       |       WHERE len(ts) >= 2),
+       |pairs AS (SELECT ts[CAST(i AS INTEGER)] AS a, ts[CAST(j AS INTEGER)] AS b
+       |  FROM (SELECT ts, i, unnest(generate_series(CAST(i AS INTEGER) + 1, len(ts))) AS j
+       |        FROM ix)),
+       |pc AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b)
+       |SELECT pc.a, pc.b, cab,
+       |  CAST(cab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+       |  CAST(cab AS DOUBLE) / CAST(sa.c1 AS DOUBLE) AS confidence,
+       |  (CAST(n_baskets AS DOUBLE) * CAST(cab AS DOUBLE))
+       |    / (CAST(sa.c1 AS DOUBLE) * CAST(sb.c1 AS DOUBLE)) AS lift
+       |FROM pc JOIN singles sa ON pc.a = sa.t JOIN singles sb ON pc.b = sb.t
+       |CROSS JOIN n ORDER BY pc.a, pc.b""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), element_at(split(col("p_name"), " "), -1).as("typ"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(expr("array_sort(array_distinct(collect_list(typ)))").as("ts"))
+    val n = b.agg(count(lit(1)).as("n_baskets"))
+    val singles = b.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val pc = b.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ts) - 1),
+          |  i -> transform(sequence(i + 1, size(ts)),
+          |    j -> struct(element_at(ts, i) as a, element_at(ts, j) as b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    pc.join(broadcast(singles.toDF("t", "ca")), col("a") === col("t")).drop("t")
+      .join(broadcast(singles.toDF("t2", "cb")), col("b") === col("t2")).drop("t2")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        expr("cast(cab as double) / cast(n_baskets as double)").as("support"),
+        expr("cast(cab as double) / cast(ca as double)").as("confidence"),
+        expr("""(cast(n_baskets as double) * cast(cab as double))
+                / (cast(ca as double) * cast(cb as double))""").as("lift"))
+      .orderBy("a", "b")
+  }
+
+  /** Daily/weekly active users and the DAU/WAU stickiness ratio — the
+    * canonical engagement report. The heavy stream reduces to the
+    * distinct (day, user) table in ONE combinable aggregate; day and ISO
+    * week derive by pure integer µs arithmetic (epoch day 0 = a Thursday,
+    * so week = (day + 4) div 7 aligns Monday starts — the same constant
+    * on both engines, no calendar function). Per-week averages divide
+    * once in double.
+    */
+  private val eventsDauWau = Q("events_dau_wau",
+    s"""WITH du AS (SELECT DISTINCT
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx, user_id
+       |  FROM events),
+       |dau AS (SELECT day_idx, count(*) AS dau FROM du GROUP BY day_idx),
+       |wau AS (SELECT (day_idx + 4) // 7 AS week_idx, count(DISTINCT user_id) AS wau
+       |  FROM du GROUP BY week_idx)
+       |SELECT wau.week_idx, wau,
+       |  CAST(sum(dau) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dau,
+       |  CAST(sum(dau) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(wau AS DOUBLE)
+       |    AS stickiness
+       |FROM dau JOIN wau ON (dau.day_idx + 4) // 7 = wau.week_idx
+       |GROUP BY wau.week_idx, wau ORDER BY wau.week_idx""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(expr("cast(ts_us div 86400000000 as bigint)").as("day_idx"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+    val wau = du.groupBy(expr("(day_idx + 4) div 7").as("week_idx"))
+      .agg(countDistinct("user_id").as("wau"))
+    dau.withColumn("week_idx", expr("(day_idx + 4) div 7"))
+      .join(broadcast(wau), "week_idx")
+      .groupBy("week_idx", "wau")
+      .agg(expr("cast(sum(dau) as double) / cast(count(1) as double)").as("mean_dau"),
+        expr("cast(sum(dau) as double) / cast(count(1) as double) / cast(wau as double)")
+          .as("stickiness"))
+      .select("week_idx", "wau", "mean_dau", "stickiness")
+      .orderBy("week_idx")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
-    featureCdf, eventsTwa, basketPairs, revenueGini)
+    featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau)
 }

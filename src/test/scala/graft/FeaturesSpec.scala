@@ -198,6 +198,48 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.forall { case ((a, b), _) => a < b })
   }
 
+  test("basket_lift support/confidence/lift match local association statistics") {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val typ = Tables.part(s, d).select("p_partkey", "p_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").last).toMap
+    val baskets = li.groupBy(_._1).values
+      .map(b => b.map(e => typ(e._2)).distinct.sorted).toSeq
+    val n = baskets.length
+    val c1 = baskets.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cab = baskets.flatMap(ts =>
+      for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val res = SparkEntry.queries("basket_lift")(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(res.keySet == cab.keySet)
+    res.foreach { case ((a, b), (c, sup, conf, lift)) =>
+      assert(c == cab((a, b)))
+      assert(sup == c.toDouble / n && conf == c.toDouble / c1(a))
+      assert(lift == (n.toDouble * c) / (c1(a).toDouble * c1(b)), s"($a,$b) lift diverges")
+    }
+    // sanity: the statistics are discriminative on the fixture
+    assert(res.values.exists(_._4 > 1.0) && res.values.exists(_._4 < 1.0),
+      "lift should separate over- from under-represented pairs")
+  }
+
+  test("events_dau_wau matches local distinct-user counting and stickiness is in (0, 1]") {
+    val du = Tables.events(s, d).select("ts_us", "user_id")
+      .collect().map(r => (r.getLong(0) / 86400000000L, r.getLong(1))).distinct
+    val res = SparkEntry.queries("events_dau_wau")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    du.groupBy(e => (e._1 + 4) / 7).foreach { case (week, grp) =>
+      val wau = grp.map(_._2).distinct.length.toLong
+      val daus = grp.groupBy(_._1).view.mapValues(_.length).values.toSeq
+      val meanDau = daus.sum.toDouble / daus.length
+      val (rw, rm, rs) = res(week)
+      assert(rw == wau && rm == meanDau, s"week $week diverges")
+      assert(rs == meanDau / wau && rs > 0 && rs <= 1)
+    }
+    assert(res.size == du.map(e => (e._1 + 4) / 7).distinct.length)
+  }
+
   test("revenue_gini matches an exact BigInt re-derivation and sits in [0, 1)") {
     val cr = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
