@@ -376,6 +376,43 @@ object Features {
   }
 
 
+
+  /** Shared basket builder for [[basketPairs]] / [[basketLift]]: per-order
+    * sorted distinct part-type arrays (head noun of p_name; part dim
+    * broadcast). The returned frame is plan-cached via ensureCached —
+    * basket_lift consumes it from three subtrees; the caller contract is
+    * the usual graft.Caching one (harness clearCache retires it).
+    */
+  private def baskets(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), element_at(split(col("p_name"), " "), -1).as("typ"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(expr("array_sort(array_distinct(collect_list(typ)))").as("ts"))
+    graft.Caching.ensureCached(b)
+  }
+
+  /** The pair-explosion expression both basket ops share. The outer
+    * sequence stops at size-1 so the inner sequence(i+1, size) never
+    * DESCENDS (Spark's sequence descends when start > stop and
+    * element_at(ts, size+1) would throw under ANSI — the
+    * text_bigram_logprob trap); callers must filter size(ts) >= 2 first
+    * for the same reason.
+    */
+  private val pairExplodeExpr =
+    """flatten(transform(sequence(1, size(ts) - 1),
+      |  i -> transform(sequence(i + 1, size(ts)),
+      |    j -> struct(element_at(ts, i) as a, element_at(ts, j) as b))))""".stripMargin
+
+  /** DuckDB twin of the basket CTEs (li + b). */
+  private val basketCte =
+    s"""li AS (SELECT l_orderkey,
+       |    string_split(p.p_name, ' ')[-1] AS typ
+       |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
+       |b AS (SELECT l_orderkey, list_sort(list_distinct(list(typ))) AS ts
+       |  FROM li GROUP BY l_orderkey)""".stripMargin
+
   /** Market-basket affinity: co-occurrence counts of part-type pairs
     * (the head noun of p_name) inside one order — the association-mining
     * primitive behind "frequently bought together". The pair explosion is
@@ -385,32 +422,15 @@ object Features {
     * (list_distinct) keep a multi-line item from inflating its own pair.
     */
   private val basketPairs = Q("basket_pairs",
-    s"""WITH li AS (SELECT l_orderkey,
-       |    string_split(p.p_name, ' ')[-1] AS typ
-       |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
-       |b AS (SELECT l_orderkey, list_sort(list_distinct(list(typ))) AS ts
-       |  FROM li GROUP BY l_orderkey),
+    s"""WITH $basketCte,
        |ix AS (SELECT ts, unnest(generate_series(1, len(ts))) AS i FROM b),
        |pairs AS (SELECT ts[CAST(i AS INTEGER)] AS a, ts[CAST(j AS INTEGER)] AS b
        |  FROM (SELECT ts, i, unnest(generate_series(CAST(i AS INTEGER) + 1, len(ts))) AS j
        |        FROM ix))
        |SELECT a, b, count(*) AS n_orders FROM pairs
        |GROUP BY a, b ORDER BY n_orders DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), element_at(split(col("p_name"), " "), -1).as("typ"))),
-        col("l_partkey") === col("p_partkey"))
-    val b = li.groupBy("l_orderkey")
-      .agg(expr("array_sort(array_distinct(collect_list(typ)))").as("ts"))
-    // outer i stops at size-1 so the inner sequence(i+1, size) never
-    // descends (Spark's sequence DESCENDS when start > stop — the
-    // text_bigram_logprob trap); single-type baskets drop first
-    b.filter(size(col("ts")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ts) - 1),
-          |  i -> transform(sequence(i + 1, size(ts)),
-          |    j -> struct(element_at(ts, i) as a, element_at(ts, j) as b))))""".stripMargin))
-        .as("p"))
+    baskets(s, d).filter(size(col("ts")) >= 2)
+      .select(explode(expr(pairExplodeExpr)).as("p"))
       .select(col("p.a"), col("p.b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("a"), col("b"))
@@ -422,7 +442,9 @@ object Features {
     * Fully exact until the final division: revenue is cents (BIGINT), the
     * rank is a per-nation window under a TOTAL order (revenue, custkey),
     * and the Gini numerator/denominator accumulate Σ rank·x and Σ x in
-    * DECIMAL(38,0). G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with the same
+    * DECIMAL (rank and cents each cast to DECIMAL BEFORE the multiply, so
+    * the product is exact past the 2⁶³ line a bigint rank·cents product
+    * would cross at extreme scale). G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with the same
     * expression shape on both engines. Windows partition on nation;
     * nothing global.
     */
@@ -435,7 +457,7 @@ object Features {
        |    row_number() OVER (PARTITION BY nat ORDER BY x, o_custkey) AS i
        |  FROM cr),
        |g AS (SELECT nat, count(*) AS n,
-       |    sum(CAST(i * x AS DECIMAL(38,0))) AS six,
+       |    sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS six,
        |    sum(CAST(x AS DECIMAL(38,0))) AS sx
        |  FROM r GROUP BY nat)
        |SELECT nat, n,
@@ -452,7 +474,7 @@ object Features {
         Window.partitionBy("nat").orderBy("x", "o_custkey")))
       .groupBy("nat")
       .agg(count(lit(1)).as("n"),
-        sum(expr("cast(i * x as decimal(38,0))")).as("six"),
+        sum(expr("cast(i as decimal(19,0)) * cast(x as decimal(19,0))")).as("six"),
         sum(expr("cast(x as decimal(38,0))")).as("sx"))
       .select(col("nat"), col("n"),
         expr("""(cast(2 as double) * cast(six as double)
@@ -472,11 +494,7 @@ object Features {
     * an exact-integer test; the reported doubles are presentation.
     */
   private val basketLift = Q("basket_lift",
-    s"""WITH li AS (SELECT l_orderkey,
-       |    string_split(p.p_name, ' ')[-1] AS typ
-       |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
-       |b AS (SELECT l_orderkey, list_sort(list_distinct(list(typ))) AS ts
-       |  FROM li GROUP BY l_orderkey),
+    s"""WITH $basketCte,
        |n AS (SELECT count(*) AS n_baskets FROM b),
        |singles AS (SELECT t, count(*) AS c1
        |  FROM (SELECT unnest(ts) AS t FROM b) GROUP BY t),
@@ -493,21 +511,12 @@ object Features {
        |    / (CAST(sa.c1 AS DOUBLE) * CAST(sb.c1 AS DOUBLE)) AS lift
        |FROM pc JOIN singles sa ON pc.a = sa.t JOIN singles sb ON pc.b = sb.t
        |CROSS JOIN n ORDER BY pc.a, pc.b""".stripMargin) { (s, d) =>
-    val b = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), element_at(split(col("p_name"), " "), -1).as("typ"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("l_orderkey")
-      .agg(expr("array_sort(array_distinct(collect_list(typ)))").as("ts"))
+    val b = baskets(s, d) // plan-cached: three subtrees consume it
     val n = b.agg(count(lit(1)).as("n_baskets"))
     val singles = b.select(explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c1"))
     val pc = b.filter(size(col("ts")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ts) - 1),
-          |  i -> transform(sequence(i + 1, size(ts)),
-          |    j -> struct(element_at(ts, i) as a, element_at(ts, j) as b))))""".stripMargin))
-        .as("p"))
+      .select(explode(expr(pairExplodeExpr)).as("p"))
       .select(col("p.a"), col("p.b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
     pc.join(broadcast(singles.toDF("t", "ca")), col("a") === col("t")).drop("t")
@@ -525,8 +534,11 @@ object Features {
     * canonical engagement report. The heavy stream reduces to the
     * distinct (day, user) table in ONE combinable aggregate; day and ISO
     * week derive by pure integer µs arithmetic (epoch day 0 = a Thursday,
-    * so week = (day + 4) div 7 aligns Monday starts — the same constant
-    * on both engines, no calendar function). Per-week averages divide
+    * so week = (day + 3) div 7 starts buckets on Mondays — the same
+    * constant on both engines, no calendar function). mean_dau averages
+    * over the week's ACTIVE days (days with ≥ 1 event) — the denominator
+    * choice is deliberate and shared by both engines; partial and quiet
+    * weeks therefore do not dilute the ratio. Per-week averages divide
     * once in double.
     */
   private val eventsDauWau = Q("events_dau_wau",
@@ -534,21 +546,21 @@ object Features {
        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx, user_id
        |  FROM events),
        |dau AS (SELECT day_idx, count(*) AS dau FROM du GROUP BY day_idx),
-       |wau AS (SELECT (day_idx + 4) // 7 AS week_idx, count(DISTINCT user_id) AS wau
+       |wau AS (SELECT (day_idx + 3) // 7 AS week_idx, count(DISTINCT user_id) AS wau
        |  FROM du GROUP BY week_idx)
        |SELECT wau.week_idx, wau,
        |  CAST(sum(dau) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dau,
        |  CAST(sum(dau) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(wau AS DOUBLE)
        |    AS stickiness
-       |FROM dau JOIN wau ON (dau.day_idx + 4) // 7 = wau.week_idx
+       |FROM dau JOIN wau ON (dau.day_idx + 3) // 7 = wau.week_idx
        |GROUP BY wau.week_idx, wau ORDER BY wau.week_idx""".stripMargin) { (s, d) =>
     val du = Tables.events(s, d)
       .select(expr("cast(ts_us div 86400000000 as bigint)").as("day_idx"), col("user_id"))
       .distinct()
     val dau = du.groupBy("day_idx").agg(count(lit(1)).as("dau"))
-    val wau = du.groupBy(expr("(day_idx + 4) div 7").as("week_idx"))
+    val wau = du.groupBy(expr("(day_idx + 3) div 7").as("week_idx"))
       .agg(countDistinct("user_id").as("wau"))
-    dau.withColumn("week_idx", expr("(day_idx + 4) div 7"))
+    dau.withColumn("week_idx", expr("(day_idx + 3) div 7"))
       .join(broadcast(wau), "week_idx")
       .groupBy("week_idx", "wau")
       .agg(expr("cast(sum(dau) as double) / cast(count(1) as double)").as("mean_dau"),

@@ -451,9 +451,12 @@ object Stats {
     val c = Tables.orders(s, d).groupBy("o_custkey")
       .agg(count(lit(1)).as("n"))
     val agg = c.agg(count(lit(1)).as("nk"), sum("n").as("nr")).head()
+    // empty-input degrade (the ExactQuantiles contract): sum over zero
+    // rows is NULL — report 0 instead of crashing at construction time
+    val nRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
     val qs = graft.operators.ExactQuantiles.scaled(
       c, "n", Seq(0.0, 0.25, 0.5, 0.75, 7.0 / 8, 1.0), 8)
-    (Seq("n_keys" -> agg.getLong(0).toDouble, "n_rows" -> agg.getLong(1).toDouble) ++
+    (Seq("n_keys" -> agg.getLong(0).toDouble, "n_rows" -> nRows.toDouble) ++
       Seq("p000", "p250", "p500", "p750", "p875", "p1000")
         .zip(qs.map(_.toDouble / 8)))
       .toDF("stat", "value")

@@ -229,7 +229,7 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getLong(0) / 86400000000L, r.getLong(1))).distinct
     val res = SparkEntry.queries("events_dau_wau")(s, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    du.groupBy(e => (e._1 + 4) / 7).foreach { case (week, grp) =>
+    du.groupBy(e => (e._1 + 3) / 7).foreach { case (week, grp) =>
       val wau = grp.map(_._2).distinct.length.toLong
       val daus = grp.groupBy(_._1).view.mapValues(_.length).values.toSeq
       val meanDau = daus.sum.toDouble / daus.length
@@ -237,7 +237,7 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(rw == wau && rm == meanDau, s"week $week diverges")
       assert(rs == meanDau / wau && rs > 0 && rs <= 1)
     }
-    assert(res.size == du.map(e => (e._1 + 4) / 7).distinct.length)
+    assert(res.size == du.map(e => (e._1 + 3) / 7).distinct.length)
   }
 
   test("revenue_gini matches an exact BigInt re-derivation and sits in [0, 1)") {
