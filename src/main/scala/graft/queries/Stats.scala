@@ -516,8 +516,41 @@ object Stats {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+
+  /** Byte-level compressibility quality signal (the Gopher/RefinedWeb
+    * filter family): deflate each doc at a FIXED level and report the
+    * compressed/raw ratio — templated or repetitive text compresses far
+    * below organic prose. No SQL oracle by design (deflate output is a
+    * JVM library artifact; the driver records rows-only) — StatsSpec
+    * gates determinism across runs and that a planted highly-repetitive
+    * doc scores below every organic doc. The UDF is the declared scalar-
+    * UDF surface (no built-in codec expression exists); it is map-only,
+    * zero shuffle beyond the presentation sort, and at 100 TB fuses into
+    * the scan like every other per-row scorer.
+    */
+  private val textCompressibility = Q("text_compressibility",
+    { (s: org.apache.spark.sql.SparkSession, d: String) =>
+      val deflatedLen = udf { (text: String) =>
+        val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val deflater = new java.util.zip.Deflater(6, false)
+        deflater.setInput(in); deflater.finish()
+        val buf = new Array[Byte](in.length + 64)
+        var total = 0L
+        while (!deflater.finished()) total += deflater.deflate(buf)
+        deflater.end()
+        total
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("cast(length(text) as bigint)").as("n_chars_utf"),
+          deflatedLen(col("text")).as("n_deflated"))
+        .withColumn("ratio",
+          expr("cast(n_deflated as double) / cast(n_chars_utf as double)"))
+        .orderBy("doc_id")
+    }, None)
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile,
-    ordersRfm)
+    ordersRfm, textCompressibility)
 }

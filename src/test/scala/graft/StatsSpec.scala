@@ -288,6 +288,28 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Seq(a, b, c).forall(x => x >= 1 && x <= 4) })
   }
 
+  test("text_compressibility is deterministic and separates repetitive from organic text") {
+    val run1 = SparkEntry.queries("text_compressibility")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val run2 = SparkEntry.queries("text_compressibility")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(run1.toSeq == run2.toSeq, "deflate output must be run-stable")
+    assert(run1.forall { case (_, n, ratio) => n > 0 && ratio > 0 && ratio < 1.5 })
+    // a planted pathologically-repetitive doc must compress below every
+    // fixture doc (same deflate level and strategy as the production UDF)
+    val ratios = run1.map(_._3)
+    val deflater = new java.util.zip.Deflater(6, false)
+    val in = ("lorem " * 60).trim.getBytes("UTF-8")
+    deflater.setInput(in); deflater.finish()
+    val buf = new Array[Byte](in.length + 64)
+    var total = 0L
+    while (!deflater.finished()) total += deflater.deflate(buf)
+    deflater.end()
+    val plantedRatio = total.toDouble / in.length
+    assert(ratios.forall(_ > plantedRatio),
+      s"repetitive text ($plantedRatio) must compress below all organic docs (min ${ratios.min})")
+  }
+
   test("randomized: ExactQuantiles matches local interpolation on 6 seeded shapes") {
     import s.implicits._
     for (seed <- 1 to 6) {
