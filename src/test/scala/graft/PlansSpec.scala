@@ -90,6 +90,36 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("stress: ExactQuantiles and TopK stay exact on 5M synthetic rows") {
+    import s.implicits._
+    // 5M rows, 40 groups, value domain with heavy duplication — an order
+    // of magnitude past the sf0.1 fixtures, checking the partition-offset
+    // bookkeeping and heap kernels well beyond toy sizes
+    val df = s.range(5000000L).select(
+      (col("id") % 40).cast("string").as("g"),
+      ((col("id") * 2654435761L) % 100000).as("v"),
+      col("id"))
+    val qs = operators.ExactQuantiles.groupedScaled(df, "g", "v", Seq(0.5), 2)
+    assert(qs.size == 40)
+    // per-group median re-derived for 3 spot groups (local sort of 125k)
+    for (g <- Seq("0", "17", "39")) {
+      val vs = df.filter(col("g") === g).select("v")
+        .collect().map(_.getLong(0)).sorted
+      val pos = 0.5 * (vs.length - 1)
+      val lo = math.floor(pos).toInt
+      val want = math.round(2 * vs(lo) +
+        (vs(math.min(lo + 1, vs.length - 1)) - vs(lo)) * ((pos - lo) * 2))
+      assert(qs(g).head == want, s"group $g median diverges at 5M rows")
+    }
+    val top = operators.TopK.perGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.length == 120)
+    val g0 = df.filter(col("g") === "0").select("v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (v, id) => (-v, id) }.take(3)
+    assert(top.filter(_._1 == "0").map(t => (t._2, t._3)).sorted.toSeq == g0.sorted.toSeq)
+  }
+
   test("k larger than the group returns the whole group") {
     import s.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "v")
