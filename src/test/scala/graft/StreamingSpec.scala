@@ -49,6 +49,37 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(h: Int, m: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(t(h, m))
 
+
+  test("events_hourly_profile's aggregation streams: complete-mode result equals batch") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the r9 Features-family profile aggregation is a plain combinable
+    // groupBy over derived integer keys — exactly the shape Structured
+    // Streaming runs incrementally; complete mode exposes the running
+    // state, which must equal the batch answer after full replay
+    val rows = Tables.events(s, d)
+      .select(col("ts_us"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = ms.toDF().toDF("ts_us", "event_type", "value")
+      .select(col("event_type"),
+        expr("cast((ts_us div 3600000000) % 24 as int)").as("hour_utc"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .groupBy("event_type", "hour_utc")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(vc) as double) / 100").as("v_sum"))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode(OutputMode.Complete()).start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("hourly_stream")
+    val batch = SparkEntry.queries("events_hourly_profile")(s, d)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0L &&
+      batch.except(streamed).count() == 0L)
+  }
+
   test("stream_watermark: a row later than the watermark is dropped") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
