@@ -324,9 +324,9 @@ object Pipeline {
        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
        |  FROM e)
        |SELECT event_id, user_id,
-       |  sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+       |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
        |FROM m ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val ordered = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables.events(s, d).select("user_id", "event_id", "ts_us")

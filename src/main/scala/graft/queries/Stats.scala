@@ -135,7 +135,8 @@ object Stats {
   private val colEntropy = Q("col_entropy",
     s"""WITH c AS (SELECT source, lang, count(*) AS c FROM documents
        |    GROUP BY source, lang),
-       |t AS (SELECT source, sum(c) AS t, count(*) AS n_langs FROM c GROUP BY source),
+       |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t, count(*) AS n_langs
+       |  FROM c GROUP BY source),
        |lp AS (SELECT c.source, c.c,
        |    CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
        |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp_e6
@@ -171,7 +172,7 @@ object Stats {
   private val klDivergence = Q("kl_divergence",
     s"""WITH c AS (SELECT source, lang, count(*) AS c FROM documents
        |    GROUP BY source, lang),
-       |ts AS (SELECT source, sum(c) AS t FROM c GROUP BY source),
+       |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY source),
        |g AS (SELECT lang, sum(c) AS cg FROM c GROUP BY lang),
        |tg AS (SELECT sum(cg) AS tg FROM g),
        |lr AS (SELECT c.source, c.c,
@@ -217,8 +218,8 @@ object Stats {
        |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
        |  FROM embeddings)
        |SELECT n.label, n.n_orig, m.m AS n_kept,
-       |  (SELECT sum(vec_id) FROM r
-       |    WHERE r.label = n.label AND r.rn <= m.m) AS kept_id_sum
+       |  CAST((SELECT sum(vec_id) FROM r
+       |    WHERE r.label = n.label AND r.rn <= m.m) AS BIGINT) AS kept_id_sum
        |FROM n, m ORDER BY n.label""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val n = e.groupBy("label").agg(count(lit(1)).as("n_orig"))
@@ -280,8 +281,8 @@ object Stats {
        |    CAST(quantile_cont(vi, 7.0/8.0) * 8 AS BIGINT) AS hi8
        |  FROM t GROUP BY flag)
        |SELECT t.flag, count(*) AS n,
-       |  sum(CASE WHEN 8 * vi < lo8 THEN 1 ELSE 0 END) AS n_clip_lo,
-       |  sum(CASE WHEN 8 * vi > hi8 THEN 1 ELSE 0 END) AS n_clip_hi,
+       |  CAST(sum(CASE WHEN 8 * vi < lo8 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       |  CAST(sum(CASE WHEN 8 * vi > hi8 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
        |  CAST(sum(CAST(CASE WHEN 8 * vi < lo8 THEN lo8
        |    WHEN 8 * vi > hi8 THEN hi8 ELSE 8 * vi END AS DECIMAL(38,0))) AS DOUBLE)
        |    / 800 AS winsorized_sum
@@ -385,7 +386,10 @@ object Stats {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("tok"))))
       .filter(col("rk") <= 3)
-      .select("doc_id", "rk", "tok", "score_e6")
+      // row_number is int32 in Spark, int64 in DuckDB — widen to match the
+      // oracle exactly (the driver's hash is type-sensitive).
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("tok"), col("score_e6"))
       .orderBy("doc_id", "rk")
   }
 

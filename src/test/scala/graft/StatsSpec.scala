@@ -219,7 +219,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       (lang, t) -> math.floor(x).toLong
     }
     val res = SparkEntry.queries("text_keyword_extract")(s, d).collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+      .map(r => (r.getLong(0), r.getLong(1).toInt) -> ((r.getString(2), r.getLong(3)))).toMap
     docs.foreach { case (id, lang, ts) =>
       val scored = ts.groupBy(identity).map { case (t, g) =>
         (t, g.length.toLong * idf((lang, t)))

@@ -1,6 +1,13 @@
 #!/usr/bin/env python3
 """Local dev replica of the driver's t2 gate: run graft.Verify output vs
-DuckDB oracles and report per-query row/schema/value match.
+DuckDB oracles and report per-query row/schema/TYPE/value match.
+
+The driver's hash is TYPE-sensitive (round-9 lesson: DuckDB sum(BIGINT)
+widens to HUGEINT -> DECIMAL(38,0) arrow output, which hash-mismatches a
+Spark BIGINT even when every value is identical). So this gate compares
+arrow column types BEFORE values and fails on any mismatch -- local green
+must imply driver green. The old tolerant value path survives only as a
+diagnostic tag.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [keyFilter...]
 """
@@ -11,7 +18,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_type(t):
+    """Canonical arrow type string: collapse representation-only variants
+    (large_string vs string, large_list vs list) but keep width and
+    decimal-ness strict -- those are what the driver's hash keys on."""
+    s = str(t)
+    s = s.replace("large_string", "string").replace("string_view", "string")
+    s = s.replace("large_list", "list")
+    return s
+
+
+def type_mismatches(sdf, odf, cols):
+    bad = []
+    for c in cols:
+        st = canon_type(sdf.schema.field(c).type)
+        ot = canon_type(odf.schema.field(c).type)
+        if st != ot:
+            bad.append((c, st, ot))
+    return bad
+
+
 def norm(v):
+    """Value normalization for the DIAGNOSTIC tolerant pass only. The
+    strict pass compares raw python values (Decimal stays Decimal)."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -29,15 +58,29 @@ def norm(v):
     return v
 
 
-def cells_equal(a, b):
+def cells_equal_tolerant(a, b):
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, float):
         if a == b:
             return True
         return abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(
+            cells_equal_tolerant(x, y) for x, y in zip(a, b))
     return a == b
+
+
+def cells_equal_strict(a, b):
+    """Driver-faithful equality: no Decimal->float, no tolerance. NaN==NaN
+    (parquet hash treats them as equal bit patterns)."""
+    if isinstance(a, float) and isinstance(b, float):
+        return (a == b) or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            cells_equal_strict(x, y) for x, y in zip(a, b))
+    if hasattr(a, "timestamp") and hasattr(b, "timestamp"):
+        return str(a) == str(b)
+    return type(a) is type(b) and a == b
 
 
 def main():
@@ -80,6 +123,12 @@ def main():
             print(f"FAIL {key}: schema spark={scols} oracle={ocols}")
             n_fail += 1
             continue
+        tbad = type_mismatches(sdf, odf, scols)
+        if tbad:
+            for c, st, ot in tbad:
+                print(f"TYPE-FAIL {key}: col {c}: spark={st} oracle={ot}")
+            n_fail += 1
+            continue
         if sdf.num_rows != odf.num_rows:
             print(f"FAIL {key}: rows spark={sdf.num_rows} oracle={odf.num_rows}")
             n_fail += 1
@@ -89,23 +138,24 @@ def main():
         bad = None
         for i, (sr, orr) in enumerate(zip(srows, orows)):
             for j, (a, b) in enumerate(zip(sr, orr)):
-                if not cells_equal(a, b):
+                if not cells_equal_strict(a, b):
                     bad = (i, scols[j], a, b)
                     break
             if bad:
                 break
-        if bad:
-            i, c, a, b = bad
-            print(f"FAIL {key}: row {i} col {c}: spark={a!r} oracle={b!r}")
-            n_fail += 1
-        else:
-            # exact-equality check too (the driver hashes, no tolerance)
-            exact = all(norm(a) == norm(b)
-                        for sr, orr in zip(srows, orows)
-                        for a, b in zip(sr, orr))
-            tag = "PASS" if exact else "PASS~(float-tol only!)"
-            print(f"{tag} {key}: rows={sdf.num_rows}")
+        if bad is None:
+            print(f"PASS {key}: rows={sdf.num_rows}")
             n_pass += 1
+            continue
+        # Strict failed -- distinguish a real value diff from a float-ulp
+        # diff for the diagnostic message.
+        i, c, a, b = bad
+        if cells_equal_tolerant(a, b):
+            print(f"FAIL {key}: row {i} col {c}: spark={a!r} oracle={b!r}"
+                  " (within float tolerance, but the driver hashes exact)")
+        else:
+            print(f"FAIL {key}: row {i} col {c}: spark={a!r} oracle={b!r}")
+        n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
