@@ -31,10 +31,17 @@ object Blooms {
     * bloom sizing than runtime-registered ones.
     */
   val aggBuilder: Seq[Expression] => Expression = {
-    case Seq(child)      => new BloomFilterAggregate(child)
-    case Seq(child, est) => new BloomFilterAggregate(child, est,
-      new org.apache.spark.sql.catalyst.expressions.Multiply(
-        est, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
+    case Seq(child) => new BloomFilterAggregate(child)
+    case Seq(child, est0) =>
+      // BloomFilterAggregate requires a foldable LongType estimate; a SQL
+      // INT literal (`bloom_agg(k, 1000000)`) would otherwise fail
+      // analysis instead of being coerced — inject the cast the way
+      // Spark's own runtime-filter rule does
+      val est = org.apache.spark.sql.catalyst.expressions.Cast(
+        est0, org.apache.spark.sql.types.LongType)
+      new BloomFilterAggregate(child, est,
+        new org.apache.spark.sql.catalyst.expressions.Multiply(
+          est, org.apache.spark.sql.catalyst.expressions.Literal(8L)))
     case other => throw new IllegalArgumentException(
       s"bloom_agg expects 1 or 2 arguments, got ${other.size}")
   }

@@ -39,11 +39,19 @@ object ExactQuantiles {
     * least one row), so callers joining the result back degrade to an
     * empty output — matching what `quantile_cont` over zero rows feeds a
     * downstream join in the SQL oracles.
+    *
+    * NULL policy: rows whose value is NULL are SKIPPED — `quantile_cont`
+    * semantics (an all-NULL group therefore does not appear in the map).
+    * Rows whose GROUP key is NULL are also excluded; a caller that wants
+    * SQL's NULL-group behavior should pre-`coalesce` the key to a
+    * sentinel. Without the filter a NULL value would be read as 0 by the
+    * row accessor and silently corrupt the order statistics.
     */
   def groupedScaled(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], scale: Long): Map[String, Array[Long]] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val parts = df.select(col(groupCol).cast("string"), col(valueCol).cast("long"))
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .repartitionByRange(col(groupCol), col(valueCol))
       .sortWithinPartitions(groupCol, valueCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -123,10 +131,12 @@ object ExactQuantiles {
   }
 
   /** Ungrouped scaled exact quantiles. Empty input returns all-zero
-    * boundaries rather than throwing: with zero rows there is nothing to
-    * compare against them downstream, so any fixed value is correct —
-    * the queries built on this then produce the same empty result as
-    * their oracles instead of a construction-time crash.
+    * boundaries rather than throwing — correct ONLY for consumers that
+    * use the boundaries in comparisons (histogram bins, score cuts),
+    * where zero rows make the downstream result empty whatever the
+    * boundary values are. An op that PROJECTS boundaries as output values
+    * (skew_profile) must check emptiness itself and emit NULLs to match
+    * `quantile_cont` over zero rows.
     */
   def scaled(df: DataFrame, valueCol: String, ps: Seq[Double], scale: Long): Array[Long] = {
     import org.apache.spark.sql.functions.lit

@@ -455,14 +455,18 @@ object Stats {
     val c = Tables.orders(s, d).groupBy("o_custkey")
       .agg(count(lit(1)).as("n"))
     val agg = c.agg(count(lit(1)).as("nk"), sum("n").as("nr")).head()
-    // empty-input degrade (the ExactQuantiles contract): sum over zero
-    // rows is NULL — report 0 instead of crashing at construction time
-    val nRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    val qs = graft.operators.ExactQuantiles.scaled(
-      c, "n", Seq(0.0, 0.25, 0.5, 0.75, 7.0 / 8, 1.0), 8)
-    (Seq("n_keys" -> agg.getLong(0).toDouble, "n_rows" -> nRows.toDouble) ++
-      Seq("p000", "p250", "p500", "p750", "p875", "p1000")
-        .zip(qs.map(_.toDouble / 8)))
+    // empty-input degrade: the oracle's aggregate-over-zero-rows still
+    // yields its 8 stat rows with NULL values (sum and quantile_cont of
+    // nothing are NULL) — mirror that exactly instead of zero-filling
+    val nKeys = agg.getLong(0)
+    val nRows = if (agg.isNullAt(1)) None else Some(agg.getLong(1).toDouble)
+    val qs: Seq[Option[Double]] =
+      if (nKeys == 0L) Seq.fill(6)(None)
+      else graft.operators.ExactQuantiles.scaled(
+        c, "n", Seq(0.0, 0.25, 0.5, 0.75, 7.0 / 8, 1.0), 8)
+        .map(q => Some(q.toDouble / 8)).toSeq
+    (Seq("n_keys" -> Option(nKeys.toDouble), "n_rows" -> nRows) ++
+      Seq("p000", "p250", "p500", "p750", "p875", "p1000").zip(qs))
       .toDF("stat", "value")
       .orderBy("stat")
   }
@@ -544,12 +548,15 @@ object Stats {
         deflater.end()
         total
       }
+      // denominator is the UTF-8 BYTE count (octet_length), matching the
+      // deflater's input — length() counts characters and would undercount
+      // non-ASCII docs, letting ratios exceed 1 without any repetition
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr("cast(length(text) as bigint)").as("n_chars_utf"),
+          expr("cast(octet_length(text) as bigint)").as("n_bytes_utf8"),
           deflatedLen(col("text")).as("n_deflated"))
         .withColumn("ratio",
-          expr("cast(n_deflated as double) / cast(n_chars_utf as double)"))
+          expr("cast(n_deflated as double) / cast(n_bytes_utf8 as double)"))
         .orderBy("doc_id")
     }, None)
 

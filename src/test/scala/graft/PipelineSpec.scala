@@ -46,6 +46,21 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(plan.contains("SortMergeJoin"), "MERGE hint did not pin the shuffle-join regime")
   }
 
+  test("bloom_agg 2-arg SQL form coerces an INT-literal estimate and has no false negatives") {
+    graft.functions.Blooms.register(s)
+    Tables.orders(s, d).select(col("o_orderkey").as("k")).limit(100)
+      .createOrReplaceTempView("bl_keys")
+    // 1000000 parses as an INT literal; BloomFilterAggregate demands a
+    // foldable LongType estimate, so this analyzes only because aggBuilder
+    // injects the cast — the regression under test
+    val hits = s.sql(
+      """SELECT k, bloom_might_contain(
+        |  (SELECT bloom_agg(k, 1000000) FROM bl_keys), k) AS hit
+        |FROM bl_keys""".stripMargin).collect()
+    assert(hits.length == 100)
+    assert(hits.forall(_.getBoolean(1)), "bloom filter returned a false negative")
+  }
+
   test("dedup_containment >= jaccard on every shared pair, and catches the planted containment") {
     val cont = SparkEntry.queries("dedup_containment")(s, d)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -310,6 +310,33 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"repetitive text ($plantedRatio) must compress below all organic docs (min ${ratios.min})")
   }
 
+  test("ExactQuantiles skips NULL values and NULL group keys (quantile_cont semantics)") {
+    import s.implicits._
+    val df = Seq((Option("a"), Option(1L)), (Option("a"), Option(3L)),
+      (Option("a"), Option.empty[Long]),        // NULL value: skipped
+      (Option.empty[String], Option(7L)),       // NULL group key: excluded
+      (Option("b"), Option.empty[Long]))        // all-NULL group: absent
+      .toDF("g", "v")
+    val got = operators.ExactQuantiles.groupedScaled(df, "g", "v", Seq(0.5), 2)
+    // median of {1, 3} is 2 -> x2 = 4; a NULL read as 0 would give 1 instead
+    assert(got.keySet == Set("a"), s"unexpected groups: ${got.keySet}")
+    assert(got("a").toSeq == Seq(4L))
+  }
+
+  test("skew_profile on an empty orders table emits the oracle's 8 NULL-valued stat rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    Tables.orders(s, d).limit(0).write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("skew_profile")(s, dir).collect()
+    assert(rows.length == 8)
+    val byStat = rows.map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+      else Some(r.getDouble(1)))).toMap
+    // quantile_cont and sum over zero rows are NULL in the oracle;
+    // count(*) is 0 — the Spark path must mirror that, not zero-fill
+    assert(byStat("n_keys").contains(0.0))
+    assert((byStat - "n_keys").values.forall(_.isEmpty),
+      s"expected NULLs on empty input, got $byStat")
+  }
+
   test("randomized: ExactQuantiles matches local interpolation on 6 seeded shapes") {
     import s.implicits._
     for (seed <- 1 to 6) {
