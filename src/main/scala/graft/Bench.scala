@@ -28,6 +28,21 @@ object Bench {
         "row_number() over (partition by k order by v) as rn",
         "sum(v) over (partition by k order by v rows between 1 preceding and current row) as rs")
       .filter("rn <= 2").write.format("noop").mode("overwrite").save()
+    // r9 driver run showed fn_json (9.1 s vs 1.9 s isolated median) and
+    // bpe_pair_counts (9.1 vs 0.8) absorbing first-touch JIT of the
+    // JSON-path and substring/sequence codegen classes, which none of the
+    // warmups above load — touch both expression families once
+    spark.range(20000)
+      .selectExpr("concat('{\"a\":{\"b\":', id, '}}') as j")
+      .selectExpr("get_json_object(j, '$.a.b') as v",
+        "from_json(j, 'a struct<b:bigint>') as s")
+      .write.format("noop").mode("overwrite").save()
+    spark.range(20000)
+      .selectExpr("concat('tok', id % 97, ' x y z') as t")
+      .selectExpr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)) as grams")
+      .selectExpr("explode(grams) as g").groupBy("g").count()
+      .write.format("noop").mode("overwrite").save()
     // warm the gram-pipeline operator classes too (higher-order transform +
     // explode + distinct + window + cached self-join + CC): whichever dedup
     // query ran first otherwise absorbed their one-time JIT — measured 8.8 s

@@ -38,7 +38,10 @@ object Tables {
     * sessions.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // guard the set: SET on an already-true conf still bumps session-state
+    // modification tracking on every one of the ~40 events-reading queries
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_ntz", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

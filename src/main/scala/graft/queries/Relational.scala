@@ -53,6 +53,26 @@ object Relational {
       Tables.part(s, d).orderBy("p_partkey")
     },
 
+    // §2.1 hive-partitioned scan with partition PRUNING — the biggest
+    // scan lever at 100 TB: a one-lang query over a lang-partitioned lake
+    // must read one directory, not the corpus. The fixture layout is
+    // staged once per sf dir (Sources.stageDocumentsByLang — on a real
+    // lake the table already lives partitioned); RelationalSpec gates
+    // that the executed plan carries a non-empty PartitionFilters and
+    // reads only the lang=en directory. The oracle runs on the original
+    // single-file table — pruning must not change results.
+    Q("scan_partitioned",
+      s"""SELECT doc_id, lang, source, n_chars,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes
+         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val staged = graft.sources.Sources.stageDocumentsByLang(s, d)
+      s.read.parquet(staged)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr("cast(octet_length(text) as bigint)").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+
     // §2.2
     Q("project_select",
       // (l_orderkey, l_linenumber) is NOT unique in the fixture data —

@@ -56,4 +56,21 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Hive-partitioned documents layout (`lang=<v>/part-*.parquet`), staged
+    * once per sf dir under java.io.tmpdir and reused. This exists because
+    * the driver fixtures are single parquet files: on a real lake the
+    * table is ALREADY laid out this way and `scan_partitioned` reads it
+    * directly — partition pruning is the single biggest scan lever at
+    * 100 TB (a one-lang query must read one directory, not the corpus).
+    * The `_SUCCESS` marker gates re-staging; the write itself is the
+    * partitioned-sink path `writeParquet` already exposes.
+    */
+  def stageDocumentsByLang(spark: SparkSession, sfDir: String): String = synchronized {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/documents_by_lang"
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      writeParquet(graft.Tables.documents(spark, sfDir), out, Seq("lang"))
+    out
+  }
 }

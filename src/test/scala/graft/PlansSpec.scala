@@ -41,6 +41,30 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"pruned read schema expected:\n$plan")
   }
 
+  test("scan_partitioned prunes to the lang=en directory and matches the flat scan") {
+    val q = SparkEntry.queries("scan_partitioned")(s, d)
+    val plan = q.queryExecution.executedPlan.toString
+    // pruning evidence: the lang predicate must land in PartitionFilters
+    // (directory-level skip), NOT as a data filter over the full corpus
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains("lang") && f.contains("= en")),
+      s"lang=en not in PartitionFilters:\n$plan")
+    // lang is a directory key, so the parquet data read carries only the
+    // remaining columns — no lang column decoded from file bytes
+    assert("ReadSchema: [^\\n]*".r.findFirstIn(plan).exists(rs => !rs.contains("lang")),
+      s"partition column unexpectedly in ReadSchema:\n$plan")
+    // pruning must not change results vs the unpartitioned fixture scan
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    val flat = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        expr("cast(octet_length(text) as bigint)").as("n_bytes"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == flat, "partitioned scan diverges from flat scan")
+  }
+
   test("hot group: one group spread over many partitions still yields exact top-k") {
     import s.implicits._
     // 10k rows, ONE group, 32 input partitions — the window formulation

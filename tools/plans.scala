@@ -18,7 +18,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "scale_minmax", "events_hourly_profile", "agg_approx_percentile",
   "topk_group_native", "events_twa", "skew_profile", "sessionize_typed",
   "orders_rfm", "basket_pairs", "revenue_gini", "session_stats",
-  "basket_lift", "events_dau_wau")
+  "basket_lift", "events_dau_wau", "scan_partitioned")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -98,6 +98,11 @@ executed plans):
   `class_rebalance` is a per-label window + 1-row broadcast min;
   `bpe_pair_counts` partial-aggregates exploded pairs map-side into
   `TakeOrderedAndProject`.
+- **r10 partitioned scan**: `scan_partitioned` reads the hive-partitioned
+  documents layout with the lang predicate as a `PartitionFilters` entry
+  (directory skip, no data read outside `lang=en/`) and `lang` absent
+  from `ReadSchema` -- the partition-pruning lever that turns a one-slice
+  query over a 100 TB lake into a one-directory read.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
