@@ -73,6 +73,42 @@ object Relational {
         .orderBy("doc_id")
     },
 
+    // §2.1 keyed CSV ingest: schema-first read (inference is a full extra
+    // pass at 100 TB) of the staged sidecar, row-level output — a hash
+    // match vs the oracle reading the PARQUET original proves every cell
+    // survived the text round-trip, not just the row count.
+    Q("ingest_csv",
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val staged = graft.sources.Sources.stageDocumentsCsv(s, d)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      graft.sources.Sources.readCsv(s, staged, schema)
+        .orderBy("doc_id")
+    },
+
+    // §2.1 keyed JSON-lines ingest: schema-first read → normalize
+    // (trim/case-fold the slice key, drop degenerate rows) → stable
+    // projection; the oracle applies the same normalization to the
+    // parquet original.
+    Q("ingest_json",
+      s"""SELECT doc_id, upper(trim(lang)) AS lang_uc, source, n_chars
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val staged = graft.sources.Sources.stageDocumentsJsonl(s, d)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      graft.sources.Sources.readJsonLines(s, staged, schema)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), upper(trim(col("lang"))).as("lang_uc"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // §2.2
     Q("project_select",
       // (l_orderkey, l_linenumber) is NOT unique in the fixture data —

@@ -73,4 +73,31 @@ object Sources {
       writeParquet(graft.Tables.documents(spark, sfDir), out, Seq("lang"))
     out
   }
+
+  /** CSV / JSON-lines sidecars for the keyed ingest queries (`ingest_csv`,
+    * `ingest_json`): the driver fixtures ship only parquet, so the text
+    * files are derived from `documents` once per sf dir — which is also
+    * what makes them ORACLE-comparable: DuckDB reads the parquet original,
+    * Spark reads the staged text, and a hash match proves every cell
+    * survived the format round-trip. Metadata columns only (doc_id, lang,
+    * source, n_chars — verified delimiter-free domains); free text stays
+    * in parquet where escaping is the format's problem, not the query's.
+    */
+  def stageDocumentsCsv(spark: SparkSession, sfDir: String): String = synchronized {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/documents_csv"
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      writeCsv(graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source", "n_chars"), out)
+    out
+  }
+
+  def stageDocumentsJsonl(spark: SparkSession, sfDir: String): String = synchronized {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/documents_jsonl"
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      writeJsonLines(graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source", "n_chars"), out)
+    out
+  }
 }
