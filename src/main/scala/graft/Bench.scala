@@ -125,6 +125,14 @@ object Bench {
     val line = sb.toString
     assert(line.length <= budget, s"contract line ${line.length} > $budget")
     println(line)
+    // r9's driver archive had the full contract line in the stdout tail
+    // yet recorded parsed:null — when run under sbt, stdout lines carry an
+    // "[info] " prefix (and possibly ANSI codes) a strict parser rejects.
+    // Also drop the line in a file so the bench result survives any
+    // stdout-decoration regardless of the launcher.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case _: Throwable => () } // best-effort; stdout stays the contract
     spark.stop()
   }
 }
