@@ -57,22 +57,35 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
-  /** Hive-partitioned documents layout (`lang=<v>/part-*.parquet`), staged
-    * once per sf dir under java.io.tmpdir and reused. This exists because
-    * the driver fixtures are single parquet files: on a real lake the
-    * table is ALREADY laid out this way and `scan_partitioned` reads it
-    * directly — partition pruning is the single biggest scan lever at
-    * 100 TB (a one-lang query must read one directory, not the corpus).
-    * The `_SUCCESS` marker gates re-staging; the write itself is the
-    * partitioned-sink path `writeParquet` already exposes.
+  /** One staging mechanism for every derived fixture layout below: a
+    * per-sfDir cache dir under java.io.tmpdir, keyed by the sanitized
+    * path PLUS its hash (two dirs that sanitize alike must not share a
+    * cache), re-staged when missing OR when the source
+    * `documents.parquet` is newer than the `_SUCCESS` marker — a
+    * regenerated fixture must not keep serving the previous corpus.
     */
-  def stageDocumentsByLang(spark: SparkSession, sfDir: String): String = synchronized {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/documents_by_lang"
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
-      writeParquet(graft.Tables.documents(spark, sfDir), out, Seq("lang"))
+  private def stage(spark: SparkSession, sfDir: String, name: String)(
+      write: (DataFrame, String) => Unit): String = synchronized {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      f"-${sfDir.hashCode & 0xffffff}%06x"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/$name"
+    val marker = new java.io.File(s"$out/_SUCCESS")
+    val source = new java.io.File(s"$sfDir/documents.parquet")
+    if (!marker.exists() || source.lastModified() > marker.lastModified())
+      write(graft.Tables.documents(spark, sfDir), out)
     out
   }
+
+  /** Hive-partitioned documents layout (`lang=<v>/part-*.parquet`). This
+    * exists because the driver fixtures are single parquet files: on a
+    * real lake the table is ALREADY laid out this way and
+    * `scan_partitioned` reads it directly — partition pruning is the
+    * single biggest scan lever at 100 TB (a one-lang query must read one
+    * directory, not the corpus).
+    */
+  def stageDocumentsByLang(spark: SparkSession, sfDir: String): String =
+    stage(spark, sfDir, "documents_by_lang")(
+      (df, out) => writeParquet(df, out, Seq("lang")))
 
   /** CSV / JSON-lines sidecars for the keyed ingest queries (`ingest_csv`,
     * `ingest_json`): the driver fixtures ship only parquet, so the text
@@ -83,21 +96,11 @@ object Sources {
     * source, n_chars — verified delimiter-free domains); free text stays
     * in parquet where escaping is the format's problem, not the query's.
     */
-  def stageDocumentsCsv(spark: SparkSession, sfDir: String): String = synchronized {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/documents_csv"
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
-      writeCsv(graft.Tables.documents(spark, sfDir)
-        .select("doc_id", "lang", "source", "n_chars"), out)
-    out
-  }
+  def stageDocumentsCsv(spark: SparkSession, sfDir: String): String =
+    stage(spark, sfDir, "documents_csv")(
+      (df, out) => writeCsv(df.select("doc_id", "lang", "source", "n_chars"), out))
 
-  def stageDocumentsJsonl(spark: SparkSession, sfDir: String): String = synchronized {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/documents_jsonl"
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
-      writeJsonLines(graft.Tables.documents(spark, sfDir)
-        .select("doc_id", "lang", "source", "n_chars"), out)
-    out
-  }
+  def stageDocumentsJsonl(spark: SparkSession, sfDir: String): String =
+    stage(spark, sfDir, "documents_jsonl")(
+      (df, out) => writeJsonLines(df.select("doc_id", "lang", "source", "n_chars"), out))
 }

@@ -72,9 +72,12 @@ def cells_equal_tolerant(a, b):
 
 def cells_equal_strict(a, b):
     """Driver-faithful equality: no Decimal->float, no tolerance. NaN==NaN
-    (parquet hash treats them as equal bit patterns)."""
+    (parquet hash treats them as equal bit patterns); -0.0 != 0.0 (equal
+    under ==, but different bit patterns to a hash)."""
     if isinstance(a, float) and isinstance(b, float):
-        return (a == b) or (math.isnan(a) and math.isnan(b))
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(
             cells_equal_strict(x, y) for x, y in zip(a, b))
@@ -93,14 +96,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    dirs = sorted(d for d in os.listdir(out_dir)
-                  if os.path.isdir(f"{out_dir}/{d}"))
-    for key in dirs:
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(f"{out_dir}/{d}"))
+    # iterate the UNION of output dirs and declared oracles: an oracled
+    # query whose Verify run crashed leaves no dir, and skipping it would
+    # print an all-green summary for a driver-red round
+    for key in sorted(dirs | set(oracles)):
         if key_filter and key not in key_filter:
             continue
         files = glob.glob(f"{out_dir}/{key}/*.parquet")
         if not files:
-            print(f"FAIL {key}: no spark output parquet")
+            print(f"FAIL {key}: no spark output parquet (query crashed in Verify?)")
             n_fail += 1
             continue
         sdf = con.execute(

@@ -11,15 +11,10 @@ Usage: python3 tools/oracle_lint.py <sfDir> <verifyOutDir>
 import json, sys, glob, os
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def canon_type(t):
-    s = str(t)
-    s = s.replace("large_string", "string").replace("string_view", "string")
-    s = s.replace("large_list", "list")
-    return s
+# one source of truth for table list + type canonicalization: a drifted
+# copy here would let this lint disagree with the value gate
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from compare import TABLES, canon_type
 
 
 def main():
