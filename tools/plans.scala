@@ -18,7 +18,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "scale_minmax", "events_hourly_profile", "agg_approx_percentile",
   "topk_group_native", "events_twa", "skew_profile", "sessionize_typed",
   "orders_rfm", "basket_pairs", "revenue_gini", "session_stats",
-  "basket_lift", "events_dau_wau", "scan_partitioned")
+  "basket_lift", "events_dau_wau", "scan_partitioned",
+  "ingest_csv", "ingest_json")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
