@@ -51,6 +51,16 @@ object Bench {
       .selectExpr("get_json_object(j, '$.a.b') as v",
         "from_json(j, 'a struct<b:bigint>') as s")
       .write.format("noop").mode("overwrite").save()
+    // decimal aggregation paths (sum/avg over DECIMAL(18,6) with arithmetic)
+    // JIT separately from the long/double agg warmed above — agg_hash_sum
+    // (TPC-H Q1 shape, first heavy decimal query alphabetically) otherwise
+    // absorbs their first-touch
+    spark.range(100000)
+      .selectExpr("cast(id as decimal(18,6)) as d", "id % 3 as g")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("sum(d * (1 - d))"),
+        org.apache.spark.sql.functions.expr("avg(d)"))
+      .write.format("noop").mode("overwrite").save()
     spark.range(20000)
       .selectExpr("concat('tok', id % 97, ' x y z') as t")
       .selectExpr(
