@@ -30,6 +30,17 @@ object Bench {
           System.err.println(s"[bench] table warm-up failed: ${e.getMessage}")
         }
       }
+    // the derived-layout queries (scan_partitioned, ingest_csv,
+    // ingest_json) stage sidecar fixtures on first touch — on a cold
+    // /tmp that is a full documents rewrite which must not be billed to
+    // the first timed execution; staging is idempotent, so run it here
+    try {
+      graft.sources.Sources.stageDocumentsByLang(spark, sfDir)
+      graft.sources.Sources.stageDocumentsCsv(spark, sfDir)
+      graft.sources.Sources.stageDocumentsJsonl(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stage warm-up failed: ${e.getMessage}")
+    }
     val wa = spark.range(100000).selectExpr("id % 100 as k", "id as v")
     val wb = spark.range(1000).selectExpr("id as k2", "id as v2")
     wa.join(wb, wa("k") === wb("k2")).groupBy("k").count()

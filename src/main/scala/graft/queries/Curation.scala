@@ -354,8 +354,13 @@ object Curation {
        |GROUP BY v.event_type, m.n ORDER BY v.event_type""".stripMargin) { (s, d) =>
     val v = Tables.events(s, d)
       .select(col("event_type"), expr("cast(floor(value * 1000d) as bigint)").as("sv"))
+    // decimal-before-multiply/sum: the oracle's Σsv and Σsv² run in
+    // HUGEINT; LongType sums wrap once n·sv (or n·sv²) passes 9.2e18 —
+    // widen to decimal so mean/var stay exact at corpus scale (the final
+    // outputs are DOUBLE/BIGINT either way)
     val st = v.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("sv").as("s1"), sum(expr("sv * sv")).as("s2"))
+      .agg(count(lit(1)).as("n"), sum(expr("cast(sv as decimal(19,0))")).as("s1"),
+        sum(expr("cast(sv as decimal(19,0)) * sv")).as("s2"))
       .withColumn("mean", expr("cast(s1 as double) / cast(n as double)"))
       .withColumn("var", expr(
         "cast(s2 as double) / cast(n as double) - " +

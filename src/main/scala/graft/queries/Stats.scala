@@ -154,7 +154,10 @@ object Stats {
       .withColumn("lp_e6", expr(
         "cast(floor(ln(cast(c as double) / cast(t as double)) * 1000000.0d + 0.5d) as bigint)"))
       .groupBy("source", "n_langs", "t")
-      .agg(sum(expr("c * lp_e6")).as("slp"))
+      // decimal-before-multiply: DuckDB computes Σ c·lp in HUGEINT; a
+      // LongType product wraps past 9.2e18 (c ~1e12 × lp_e6 ~4e7 exceeds
+      // it), so widen one operand — decimal(38,0) stays exact to 38 digits
+      .agg(sum(expr("cast(c as decimal(19,0)) * lp_e6")).as("slp"))
       .select(col("source"), col("n_langs"), col("t").as("n_docs"),
         expr("-cast(slp as double) / (cast(t as double) * 1000000.0d)").as("entropy"))
       .orderBy("source")
@@ -192,10 +195,14 @@ object Stats {
     val tg = g.agg(sum("cg").as("tg"))
     c.join(broadcast(ts), "source").join(broadcast(g), "lang")
       .crossJoin(broadcast(tg))
+      // decimal-before-multiply: the oracle's c·tg and t·cg are exact in
+      // HUGEINT; LongType products wrap once corpus counts pass ~3e9×3e9,
+      // so widen one operand per product (exact to 38 digits, identical
+      // double after the cast)
       .withColumn("lr_e6", expr(
-        "cast(floor(ln(cast(c * tg as double) / cast(t * cg as double)) * 1000000.0d + 0.5d) as bigint)"))
+        "cast(floor(ln(cast(cast(c as decimal(19,0)) * tg as double) / cast(cast(t as decimal(19,0)) * cg as double)) * 1000000.0d + 0.5d) as bigint)"))
       .groupBy("source", "t")
-      .agg(sum(expr("c * lr_e6")).as("slr"))
+      .agg(sum(expr("cast(c as decimal(19,0)) * lr_e6")).as("slr"))
       .select(col("source"), col("t").as("n_docs"),
         expr("cast(slr as double) / (cast(t as double) * 1000000.0d)").as("kl"))
       .orderBy("source")
@@ -334,12 +341,17 @@ object Stats {
         expr("cast(ts_us div 86400000000 as bigint)").as("day_idx"))
       .groupBy("event_type", "day_idx")
       .agg(count(lit(1)).as("c"))
+    // decimal-before-multiply on every count product: DuckDB evaluates
+    // c², (cn−s)², n·q and s² in HUGEINT; LongType versions wrap once a
+    // single (type, day) count passes ~3e9 — decimal(38,0) keeps the
+    // discriminant exact to 38 digits, so the boolean matches at scale
     val m = dc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("c").as("s"),
-        sum(expr("c * c")).as("q"))
+        sum(expr("cast(c as decimal(19,0)) * c")).as("q"))
     dc.join(broadcast(m), "event_type")
       .select(col("event_type"), col("day_idx"), col("c"),
-        expr("(c * n - s) * (c * n - s) > 4 * (n * q - s * s)").as("is_anomaly"))
+        expr("(cast(c as decimal(19,0)) * n - s) * (cast(c as decimal(19,0)) * n - s)" +
+          " > 4 * (cast(n as decimal(19,0)) * q - cast(s as decimal(19,0)) * s)").as("is_anomaly"))
       .orderBy("event_type", "day_idx")
   }
 

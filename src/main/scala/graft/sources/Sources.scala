@@ -57,21 +57,32 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Bumped whenever any stage* writer below changes shape (columns,
+    * format, partitioning) — it participates in the cache key, so edited
+    * staging code can never keep serving sidecars written by the old
+    * code. */
+  private val StageFormatVersion = 2
+
   /** One staging mechanism for every derived fixture layout below: a
     * per-sfDir cache dir under java.io.tmpdir, keyed by the sanitized
     * path PLUS its hash (two dirs that sanitize alike must not share a
-    * cache), re-staged when missing OR when the source
-    * `documents.parquet` is newer than the `_SUCCESS` marker — a
-    * regenerated fixture must not keep serving the previous corpus.
+    * cache) PLUS the source `documents.parquet`'s (length, mtime) and
+    * the writer-format version. Keying on source identity makes
+    * invalidation direction-free: a regenerated fixture gets a new key
+    * even if its mtime moved BACKWARD (tar/mv preserve original
+    * timestamps, which a newer-than comparison misses), and a writer
+    * change re-stages via the version bump. Stale keys are simply
+    * abandoned under tmpdir.
     */
   private def stage(spark: SparkSession, sfDir: String, name: String)(
       write: (DataFrame, String) => Unit): String = synchronized {
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
       f"-${sfDir.hashCode & 0xffffff}%06x"
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/$name"
-    val marker = new java.io.File(s"$out/_SUCCESS")
     val source = new java.io.File(s"$sfDir/documents.parquet")
-    if (!marker.exists() || source.lastModified() > marker.lastModified())
+    val srcKey = s"v$StageFormatVersion-${source.length()}-${source.lastModified()}"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stage/$safe/$name-$srcKey"
+    val marker = new java.io.File(s"$out/_SUCCESS")
+    if (!marker.exists())
       write(graft.Tables.documents(spark, sfDir), out)
     out
   }
