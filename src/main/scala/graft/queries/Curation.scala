@@ -513,8 +513,43 @@ object Curation {
       .orderBy("prev", "next")
   }
 
+  /** Deterministic 5-fold cross-validation assignment with a per-fold
+    * stratification audit — the ML-experiment plumbing step before any
+    * train/eval split ships: every vector gets fold = Knuth-hash(vec_id)
+    * mod 5 (multiplicative hashing, NOT vec_id % 5 — sequential ids would
+    * stripe correlated neighbors into the same fold), and the output is
+    * the (fold, label) count matrix with each fold's label share, which
+    * is what reviewers check for stratification skew. Parity: the hash
+    * product runs decimal-before-multiply (vec_id·2654435761 wraps
+    * LongType once ids pass ~3.5e9) and the 2^32 mod keeps the mixed
+    * high bits; all counts exact BIGINT, the share a final double with
+    * identical shape. Shape: map-side fold/label tagging + ONE combinable
+    * aggregate to a 50-row matrix + a 5-row broadcast join — scale-free.
+    */
+  private val mlFolds = Q("ml_folds",
+    s"""WITH f AS (SELECT
+       |    CAST(CAST(CAST(vec_id AS DECIMAL(19,0)) * 2654435761 % 4294967296 AS BIGINT) % 5 AS INT) AS fold,
+       |    label FROM embeddings),
+       |m AS (SELECT fold, label, count(*) AS n FROM f GROUP BY fold, label),
+       |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_n FROM m GROUP BY fold)
+       |SELECT m.fold, m.label, m.n, t.fold_n,
+       |  CAST(m.n AS DOUBLE) / CAST(t.fold_n AS DOUBLE) AS label_share
+       |FROM m JOIN t ON m.fold = t.fold
+       |ORDER BY m.fold, m.label""".stripMargin) { (s, d) =>
+    val f = Tables.embeddings(s, d).select(
+      expr("cast(cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint) % 5 as int)")
+        .as("fold"),
+      col("label"))
+    val m = f.groupBy("fold", "label").agg(count(lit(1)).as("n"))
+    val t = m.groupBy("fold").agg(sum("n").as("fold_n"))
+    m.join(broadcast(t), "fold")
+      .select(col("fold"), col("label"), col("n"), col("fold_n"),
+        expr("cast(n as double) / cast(fold_n as double)").as("label_share"))
+      .orderBy("fold", "label")
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
-    eventsTransitions)
+    eventsTransitions, mlFolds)
 }

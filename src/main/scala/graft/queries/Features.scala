@@ -570,7 +570,115 @@ object Features {
       .orderBy("week_idx")
   }
 
+  /** Daily OHLC downsample of the event value stream per type — the
+    * canonical time-series compaction (open/high/low/close + volume) that
+    * turns an unbounded event log into a bounded |types|×|days| summary
+    * for dashboards and features. Exactness: values snap to integer
+    * cents; open/close are selected by row_number over the total
+    * (ts_us, event_id) order — event_id breaks ts collisions, so first
+    * and last are engine-deterministic, never min_by/arg_min whose tie
+    * policy is engine-specific. Shape: both window passes and the final
+    * aggregate share ONE (event_type, day_idx) hash exchange (the windows
+    * sort within partitions; no global sort), and the aggregate is
+    * combinable — scale-safe at any event volume.
+    */
+  private val eventsOhlc = Q("events_ohlc",
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+       |    epoch_us(ts) AS ts_us, event_id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       |r AS (SELECT event_type, day_idx, vc,
+       |    row_number() OVER (PARTITION BY event_type, day_idx
+       |      ORDER BY ts_us, event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY event_type, day_idx
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+       |  FROM e)
+       |SELECT event_type, day_idx, count(*) AS n,
+       |  max(CASE WHEN rn_a = 1 THEN vc END) AS open_c,
+       |  max(vc) AS high_c, min(vc) AS low_c,
+       |  max(CASE WHEN rn_d = 1 THEN vc END) AS close_c
+       |FROM r GROUP BY event_type, day_idx
+       |ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+    val wa = Window.partitionBy("event_type", "day_idx")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wd = Window.partitionBy("event_type", "day_idx")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day_idx"),
+        col("ts_us"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("n"),
+        max(expr("case when rn_a = 1 then vc end")).as("open_c"),
+        max("vc").as("high_c"), min("vc").as("low_c"),
+        max(expr("case when rn_d = 1 then vc end")).as("close_c"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  /** DuckDB twin of the 5-iteration PageRank loop: nested CTEs it0..it5,
+    * each computing r' = (15·S)//(100·n) + (85·Σ_{u→v} r(u)//deg(u))//100
+    * from the previous iteration — generated by the same loop count as
+    * the Spark side so the twins cannot drift. */
+  private val pagerankOracle: String = {
+    val iters = (1 to 5).map { k =>
+      s"""it$k AS (SELECT n.p_name AS node,
+         |    (15000000000000 // (100 * c.n_cnt)) + (85 * COALESCE(s.s, 0)) // 100 AS r
+         |  FROM n CROSS JOIN c LEFT JOIN (
+         |    SELECT sym.b AS node, CAST(sum(it${k - 1}.r // deg.deg) AS BIGINT) AS s
+         |    FROM sym JOIN it${k - 1} ON sym.a = it${k - 1}.node JOIN deg ON deg.a = sym.a
+         |    GROUP BY sym.b) s ON s.node = n.p_name)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${variantEdgesCte(2)},
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_cnt FROM n),
+       |it0 AS (SELECT p_name AS node, 1000000000000 // c.n_cnt AS r FROM n CROSS JOIN c),
+       |$iters
+       |SELECT node AS p_name, r AS pr5 FROM it5 ORDER BY p_name""".stripMargin
+  }
+
+  /** Fixed-iteration PageRank (5 rounds, damping 0.85) over the lev ≤ 2
+    * name-variant graph — the graph-centrality analytic that ranks which
+    * canonical entities dominate a dirty-categorical column, and the
+    * template for any iterative fixed-point computation on Spark (one
+    * shuffle join + one combinable aggregate per round, O(rounds) plan).
+    * Exactness: rank mass is the integer S = 10¹² split by integer
+    * division at every step — r(u)//deg(u) per edge, (15·S)//(100·n)
+    * teleport, (85·Σ)//100 damping — so five rounds of arithmetic stay
+    * bit-identical cross-engine (`//`/`div` both truncate; all values
+    * positive and ≤ 85·S ≪ 2⁶³). Dangling/isolated nodes keep the
+    * teleport mass only (their share is dropped, the standard
+    * simplification — identical on both sides by construction). The
+    * symmetric edge list is vocab-bounded and cached for the 5 reuses
+    * (session owner retires it via clearCache, the Caching contract).
+    */
+  private val graphPagerank = Q("graph_pagerank", pagerankOracle) { (s, d) =>
+    val (names, edges) = variantEdges(s, d, maxDist = 2)
+    val sym = graft.Caching.ensureCached(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val cnt = names.agg(count(lit(1)).as("n_cnt"))
+    val nodes = names.select(col("p_name").as("node"))
+    var r = nodes.crossJoin(broadcast(cnt))
+      .select(col("node"), expr("1000000000000 div n_cnt").as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = sym.join(r, sym("a") === r("node"))
+        .join(deg, "a")
+        .select(col("b"), expr("r div deg").as("m"))
+        .groupBy("b").agg(sum("m").as("s"))
+      r = nodes.crossJoin(broadcast(cnt))
+        .join(contrib, col("node") === contrib("b"), "left_outer")
+        .select(col("node"),
+          expr("(15000000000000 div (100 * n_cnt)) + (85 * coalesce(s, 0)) div 100").as("r"))
+    }
+    r.select(col("node").as("p_name"), col("r").as("pr5")).orderBy("p_name")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
-    featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau)
+    featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau,
+    eventsOhlc, graphPagerank)
 }

@@ -213,6 +213,50 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     },
 
+    // SEMANTIC duplicate clustering: connected components over the
+    // embedding-cosine pair graph (sim >= 0.4, the dedup_embedding edge
+    // set) — the embedding-space twin of dedup_cluster's lexical CC.
+    // Same corpus bound as dedup_embedding (vec_id < 4096, enforced
+    // in-query on both engines): exact all-pairs cosine is the bounded
+    // form; the unbounded 100 TB edge generator is the banded
+    // ann_lsh_bucket family feeding the same ConnectedComponents
+    // operator. Isolated vectors are their own cluster (minLabel keeps
+    // unreferenced nodes). Oracled end-to-end via a recursive-CTE
+    // reachability twin.
+    Q("embedding_cluster",
+      s"""WITH RECURSIVE ep AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 4096 AND b.vec_id < 4096
+         |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         |sym AS (SELECT a, b FROM ep UNION SELECT b, a FROM ep
+         |  UNION SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 4096),
+         |reach(node, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+         |SELECT node AS vec_id, min(r) AS cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY min(r)) AS INT) AS cluster_size,
+         |  CAST(node = min(r) AS BOOLEAN) AS is_rep
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
+      val a = TextSim.withVecNorm(
+        e.select(col("vec_id").as("a"), col("embedding")), "a")
+      val b = TextSim.withVecNorm(
+        e.select(col("vec_id").as("b"), col("embedding")), "b")
+      val edges = broadcast(a).join(b, expr("a < b"))
+        .filter(expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2) >= 0.4"))
+        .select(col("a"), col("b"))
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(e.select(col("vec_id").as("node")), edges)
+      val w = Window.partitionBy("cluster_id")
+      labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
+        .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    },
+
     // SimHash near-dup candidates: 64-bit signature over 3-gram shingle
     // xxhash64s (frequency-weighted — shingles, not distinct tokens: on a
     // small shared vocabulary token-set signatures collapse to hamming 0

@@ -572,8 +572,64 @@ object Stats {
         .orderBy("doc_id")
     }, None)
 
+  /** Population Stability Index between the first and second half of the
+    * event stream, per event type — the distribution-drift monitor a
+    * training pipeline runs between two corpus snapshots before deciding
+    * whether a refresh changed the data mix. The month is split at its
+    * integer midpoint day (derived from the data, so the key works at any
+    * sf); each type's per-half shares p, q contribute (p−q)·ln(p/q).
+    * Parity: counts are exact BIGINTs; the single ln runs over a ratio of
+    * exact decimal products (decimal-before-multiply — c·t products wrap
+    * LongType at corpus scale) and floor-scales to ×10⁶ BEFORE the
+    * (p−q)-weighting, which then stays in exact decimal arithmetic until
+    * the final double division (identical shape both engines). Types
+    * missing from either half are dropped (ln undefined) — common-support
+    * PSI, documented; on this fixture every type appears in both halves.
+    * Every term is ≥ 0 by construction (sign(p−q) == sign(ln p/q) and the
+    * half-up rounding cannot flip a sign) — gated in StatsSpec. Shape:
+    * two combinable aggregates + two 1-row broadcasts; scale-safe.
+    */
+  private val driftPsi = Q("drift_psi",
+    s"""WITH dd AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM dd),
+       |ct AS (SELECT event_type,
+       |    CAST(sum(CASE WHEN day < m THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       |    CAST(sum(CASE WHEN day >= m THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+       |  FROM dd CROSS JOIN mid GROUP BY event_type
+       |  HAVING sum(CASE WHEN day < m THEN 1 ELSE 0 END) > 0
+       |     AND sum(CASE WHEN day >= m THEN 1 ELSE 0 END) > 0),
+       |t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+       |    CAST(sum(c_cur) AS BIGINT) AS t_cur FROM ct)
+       |SELECT event_type, c_ref AS n_ref, c_cur AS n_cur,
+       |  CAST((CAST(c_ref AS DECIMAL(19,0)) * t_cur - CAST(c_cur AS DECIMAL(19,0)) * t_ref)
+       |      * CAST(floor(ln(CAST(CAST(c_ref AS DECIMAL(19,0)) * t_cur AS DOUBLE)
+       |                    / CAST(CAST(c_cur AS DECIMAL(19,0)) * t_ref AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |    AS DOUBLE)
+       |  / (CAST(CAST(t_ref AS DECIMAL(19,0)) * t_cur AS DOUBLE) * 1000000.0) AS psi_contrib
+       |FROM ct CROSS JOIN t ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dd = Tables.events(s, d).select(col("event_type"),
+      expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+    val mid = dd.agg(expr("(min(day) + max(day) + 1) div 2").as("m"))
+    val ct = dd.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(sum(expr("case when day < m then 1 else 0 end")).as("c_ref"),
+        sum(expr("case when day >= m then 1 else 0 end")).as("c_cur"))
+      .filter(col("c_ref") > 0 && col("c_cur") > 0)
+    val t = ct.agg(sum("c_ref").as("t_ref"), sum("c_cur").as("t_cur"))
+    ct.crossJoin(broadcast(t))
+      .withColumn("lr_e6", expr(
+        "cast(floor(ln(cast(cast(c_ref as decimal(19,0)) * t_cur as double)" +
+          " / cast(cast(c_cur as decimal(19,0)) * t_ref as double)) * 1000000.0d + 0.5d) as bigint)"))
+      .select(col("event_type"), col("c_ref").as("n_ref"), col("c_cur").as("n_cur"),
+        expr("cast((cast(c_ref as decimal(19,0)) * t_cur - cast(c_cur as decimal(19,0)) * t_ref)" +
+          " * lr_e6 as double)" +
+          " / (cast(cast(t_ref as decimal(19,0)) * t_cur as double) * 1000000.0d)").as("psi_contrib"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile,
-    ordersRfm, textCompressibility)
+    ordersRfm, textCompressibility, driftPsi)
 }

@@ -105,6 +105,45 @@ object TextSim {
         .orderBy("vec_id", "rnk")
     },
 
+    // Binarized-embedding similarity (sign-bit sketch + Hamming top-k):
+    // each 64-float vector compresses to a 63-bit sign sketch (bit i =
+    // embedding[i] > 0; bit 63 unused — 1<<63 is the sign bit and DuckDB's
+    // list_sum would widen it differently), and neighbor search runs on
+    // 8-byte integers via codegen'd XOR + POPCOUNT — the ~32× compression
+    // that makes a 100 TB corpus's candidate scan memory- and SIMD-cheap
+    // before an exact re-rank. Deterministic by construction (float > 0
+    // compare + integer ops, no RNG planes like ann_lsh_bucket) so it
+    // oracles hash-exact. Probe set bounded (vec_id < 50, broadcast);
+    // the sketch column itself is map-only and corpus-wide.
+    Q("sim_signbit_hamming",
+      s"""WITH sk AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 63),
+         |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS sk
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS ham
+         |  FROM sk a JOIN sk b ON b.vec_id <> a.vec_id WHERE a.vec_id < 50),
+         |r AS (SELECT a_id, b_id, ham,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY ham, b_id) AS rnk FROM pairs)
+         |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, ham AS hamming
+         |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
+      val skExpr = "aggregate(sequence(0, 62), cast(0 as bigint), (acc, i) -> " +
+        "acc + (case when element_at(embedding, i + 1) > 0 " +
+        "then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end))"
+      val sk = Tables.embeddings(s, d).select(col("vec_id"), expr(skExpr).as("sk"))
+      val a = sk.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("sk").as("a_sk"))
+      val b = sk.select(col("vec_id").as("b_id"), col("sk").as("b_sk"))
+      val w = Window.partitionBy("a_id").orderBy(col("ham").asc, col("b_id").asc)
+      broadcast(a).join(b, expr("a_id <> b_id"))
+        .withColumn("ham", expr("cast(bit_count(a_sk ^ b_sk) as int)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), col("ham").as("hamming"))
+        .orderBy("vec_id", "rnk")
+    },
+
     // majority label among top-5 neighbors — the RF-candidate-scoring analog
     Q("knn_label",
       s"""WITH sims AS (

@@ -274,6 +274,29 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows.map(_._2).sum == 2 * e)
   }
 
+  test("ml_folds: Knuth-hash fold matrix matches a BigInt re-derivation") {
+    val vecs = Tables.embeddings(s, d).select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def fold(id: Long): Int =
+      (((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong % 5).toInt
+    val want = vecs.groupBy { case (id, lbl) => (fold(id), lbl) }
+      .view.mapValues(_.length.toLong).toMap
+    val foldN = want.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val rows = run("ml_folds").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(rows.map(_._1).toSet == want.keySet)
+    rows.foreach { case ((f, l), (n, fn, share)) =>
+      assert(n == want((f, l)), s"fold $f label $l count")
+      assert(fn == foldN(f), s"fold $f total")
+      assert(share == n.toDouble / fn, s"fold $f label $l share")
+    }
+    assert(foldN.keySet == (0 to 4).toSet, "all 5 folds populated")
+    // multiplicative hashing must actually decorrelate sequential ids:
+    // no fold may be empty or hold the majority of the data
+    assert(foldN.values.max < vecs.length / 2)
+  }
+
   test("events_zscore plans the 5-row stats side as a broadcast join") {
     val df = run("events_zscore")
     df.collect()

@@ -315,4 +315,61 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         canonical(fam.filter(_.startsWith("old")).head))
     assert(res.size < names.length, "at least one variant family must merge")
   }
+
+  test("events_ohlc matches a brute-force per (type, day) open/high/low/close scan") {
+    val evs = Tables.events(s, d).select("event_type", "ts_us", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = evs.groupBy(e => (e._1, Math.floorDiv(e._2, 86400000000L)))
+      .map { case (k, grp) =>
+        val byTs = grp.sortBy(e => (e._2, e._3))
+        k -> ((grp.length.toLong, byTs.head._4, grp.map(_._4).max,
+          grp.map(_._4).min, byTs.last._4))
+      }
+    val rows = SparkEntry.queries("events_ohlc")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(rows.map(_._1).toSet == want.keySet)
+    rows.foreach { case (k, got) => assert(got == want(k), s"bar $k: $got != ${want(k)}") }
+    // open != close somewhere, else the first/last selection is vacuous
+    assert(rows.exists { case (_, (_, o, _, _, c)) => o != c })
+  }
+
+  test("graph_pagerank matches a driver-side integer PageRank re-derivation") {
+    def lev(a: String, b: String): Int = {
+      val m = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) m(i)(0) = i
+      for (j <- 0 to b.length) m(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val names = Tables.part(s, d).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val edges = names.groupBy(_.split(" ").last).values.toSeq.flatMap { grp =>
+      val g = grp.toSeq
+      for { a <- g; b <- g; if a < b && lev(a, b) <= 2 } yield (a, b)
+    }
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = names.length.toLong
+    val S = 1000000000000L
+    var r = names.map(_ -> S / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = sym.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = names.map(nm =>
+        nm -> (15 * S / (100 * n) + 85 * contrib.getOrElse(nm, 0L) / 100)).toMap
+    }
+    val got = SparkEntry.queries("graph_pagerank")(s, d).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got.keySet == r.keySet)
+    r.foreach { case (nm, pr) => assert(got(nm) == pr, s"$nm: ${got(nm)} != $pr") }
+    // isolated nodes hold exactly the teleport mass; linked ones exceed it
+    val teleport = 15 * S / (100 * n)
+    val linked = deg.keySet
+    names.filterNot(linked).foreach(nm => assert(got(nm) == teleport))
+    assert(names.exists(nm => got(nm) > teleport), "some node must gain link mass")
+  }
 }

@@ -98,6 +98,58 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(recall >= 0.35, s"IVF recall@3 $recall")
   }
 
+  test("embedding_cluster matches union-find over brute-force cosine >= 0.4 pairs") {
+    val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- vecs.indices; j <- i + 1 until vecs.length) {
+      val (da, db) = (vecs(i)._2, vecs(j)._2)
+      var dot = 0.0; var n2a = 0.0; var n2b = 0.0
+      var k = 0
+      while (k < da.length) { dot += da(k) * db(k); n2a += da(k) * da(k); n2b += db(k) * db(k); k += 1 }
+      // mirror the query's exact expression: dot / sqrt(n2a * n2b)
+      if (dot / math.sqrt(n2a * n2b) >= 0.4) {
+        val (ra, rb) = (find(vecs(i)._1), find(vecs(j)._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = vecs.map(_._1).map(id => id -> find(id)).toMap
+    val sizes = want.values.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = SparkEntry.queries("embedding_cluster")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.length == vecs.length)
+    rows.foreach { case (id, cl, sz, rep) =>
+      assert(cl == want(id), s"vec $id cluster $cl != ${want(id)}")
+      assert(sz == sizes(cl), s"cluster $cl size")
+      assert(rep == (id == cl), s"vec $id is_rep")
+    }
+    assert(sizes.values.max >= 2, "fixture must contain at least one true near-dup pair")
+  }
+
+  test("sim_signbit_hamming matches brute-force sign sketches + hamming top-3") {
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(vecs.forall(_._2.length >= 63))
+    val sk = vecs.map { case (id, e) =>
+      id -> (0 until 63).foldLeft(0L)((acc, i) =>
+        acc + (if (e(i) > 0) 1L << i else 0L))
+    }.toMap
+    val want = sk.keys.filter(_ < 50).flatMap { a =>
+      sk.toSeq.filter(_._1 != a)
+        .map { case (b, s2) => (b, java.lang.Long.bitCount(sk(a) ^ s2)) }
+        .sortBy { case (b, h) => (h, b) }.take(3)
+        .zipWithIndex.map { case ((b, h), i) => (a, b, i + 1, h) }
+    }.toSet
+    val got = SparkEntry.queries("sim_signbit_hamming")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    // sketches must discriminate: the top-1 hamming cannot be globally 0
+    assert(want.exists { case (_, _, rnk, h) => rnk == 1 && h > 0 })
+  }
+
   test("RF pipeline learns a separable target from embeddings") {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.classification.RandomForestClassifier

@@ -358,6 +358,37 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("drift_psi: contributions nonneg, ln margins safe, matches re-derivation") {
+    val evs = Tables.events(s, d).select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 86400000000L)))
+    val days = evs.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    val cnt = evs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 < mid).toLong, g.count(_._2 >= mid).toLong)
+    }.toMap.filter { case (_, (a, b)) => a > 0 && b > 0 }
+    val tRef = cnt.values.map(_._1).sum
+    val tCur = cnt.values.map(_._2).sum
+    val rows = SparkEntry.queries("drift_psi")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == cnt.keySet)
+    rows.foreach { case (t, nr, nc, psi) =>
+      val (wr, wc) = cnt(t)
+      assert(nr == wr && nc == wc, s"$t half counts")
+      val p = BigInt(nr) * tCur
+      val q = BigInt(nc) * tRef
+      val x = math.log(p.toDouble / q.toDouble) * 1e6 + 0.5
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) /
+        math.ulp(math.max(math.abs(x), 1.0))
+      assert(marginUlps > 1000, s"$t ln floor margin $marginUlps ulps")
+      val lr = math.floor(x).toLong
+      val want = (BigDecimal(p - q) * BigDecimal(lr)).toDouble /
+        ((BigInt(tRef) * BigInt(tCur)).toDouble * 1e6)
+      assert(psi == want, s"$t psi $psi != $want")
+      assert(psi >= 0.0, s"$t PSI term must be nonnegative")
+    }
+    assert(rows.exists(_._4 > 0), "some type must drift on this fixture")
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))

@@ -19,7 +19,9 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "topk_group_native", "events_twa", "skew_profile", "sessionize_typed",
   "orders_rfm", "basket_pairs", "revenue_gini", "session_stats",
   "basket_lift", "events_dau_wau", "scan_partitioned",
-  "ingest_csv", "ingest_json")
+  "ingest_csv", "ingest_json", "ml_folds", "events_ohlc",
+  "graph_pagerank", "embedding_cluster", "drift_psi",
+  "sim_signbit_hamming")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -104,6 +106,16 @@ executed plans):
   (directory skip, no data read outside `lang=en/`) and `lang` absent
   from `ReadSchema` -- the partition-pruning lever that turns a one-slice
   query over a 100 TB lake into a one-directory read.
+- **r10 batch 2**: `ml_folds`/`drift_psi` are map-side tagging into
+  combinable aggregates plus 1-or-5-row broadcasts; `events_ohlc`'s two
+  row_number windows and final aggregate share ONE `(event_type, day_idx)`
+  exchange (no global sort); `graph_pagerank` is the iterative fixed-point
+  template -- per round one shuffle join against the cached vocab-bounded
+  symmetric edge list plus one combinable aggregate, O(rounds) stages;
+  `embedding_cluster` bounds its exact cosine pair join in-query
+  (broadcast probe side) and reuses the ConnectedComponents min-label
+  loop; `sim_signbit_hamming` compresses vectors to one BIGINT map-side,
+  so the candidate join carries 8-byte sketches, never float arrays.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
