@@ -601,7 +601,102 @@ object LlmOps {
           countDistinct("b_id").cast("int").as("n_bench_docs"))
         .orderBy("doc_id")
     },
+
+    // Distributed fixed-iteration k-means (k=4, 3 Lloyd rounds) over the
+    // embedding corpus — the fully-distributed trainer that closes
+    // ann_ivf's one scale caveat (its quantizer fits on a driver-collected
+    // sample; this one never leaves the cluster). Everything runs in
+    // exact ×10⁶-quantized integer space so all three rounds are
+    // bit-identical cross-engine: distances are BIGINT sums of squared
+    // integer gaps, assignment is min(struct(d2, c)) — a COMBINABLE
+    // argmin aggregate, no per-vector window — with the (distance, id)
+    // tie-break explicit, and centroid updates are truncating integer
+    // means (`div`/`//` both truncate toward zero). Seeds = the 4
+    // lowest-vec_id vectors (TakeOrdered, deterministic). Per round: one
+    // broadcast of the k×d centroid table + one shuffle of |V|·k skinny
+    // distance rows + one co-keyed join back — O(rounds) stages, no
+    // driver-side data. Output: per-cluster size, exact-decimal inertia
+    // (to the round-2 centroids vectors were assigned against), and the
+    // round-3 centroid component checksum.
+    Q("kmeans_iter", kmeansOracle) { (s, d) =>
+      import s.implicits._
+      val v = graft.Caching.ensureCached(Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+          .as("qv")))
+      // The model state (k×d = 256 longs) lives on the driver between
+      // rounds — model size, not data size (the broadcast-equivalent
+      // bound, like ExactQuantiles' partition counts). Baking each
+      // round's centroids in as a literal keeps every round ONE pass
+      // over the cached corpus instead of a lineage that re-executes
+      // all prior rounds per action.
+      var cent: Seq[(Long, Seq[Long])] = v.orderBy("vec_id").limit(4)
+        .collect().toSeq.sortBy(_.getLong(0)).zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+      def assignAgainst(c: Seq[(Long, Seq[Long])]) =
+        v.crossJoin(broadcast(c.toDF("c", "cv")))
+          .select(col("vec_id"), col("c"), expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)")
+            .as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("c"))).as("m"))
+          .select(col("vec_id"), col("m.c").as("c"), col("m.d2").as("d2"))
+      var asgn: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        asgn = assignAgainst(cent)
+        cent = v.join(asgn.select("vec_id", "c"), "vec_id")
+          .select(col("c"), posexplode(col("qv")))
+          .groupBy("c", "pos")
+          .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
+          .collect().toSeq
+          .groupBy(_.getLong(0)).toSeq
+          .map { case (c, rows) =>
+            (c, rows.sortBy(_.getInt(1)).map(_.getLong(2))) }
+          .sortBy(_._1)
+      }
+      val cks = cent.map { case (c, cv) => (c, cv.sum) }.toDF("c", "cent_sum")
+      asgn.groupBy("c")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(d2 as decimal(38,0))) as double) / 1e12").as("inertia"))
+        .join(broadcast(cks), "c")
+        .select(col("c"), col("n"), col("inertia"), col("cent_sum"))
+        .orderBy("c")
+    },
   )
+
+  /** DuckDB twin of the 3-round integer k-means: nested CTEs d/a/cl/cent
+    * per Lloyd round, generated by the same loop count as the Spark side
+    * so the twins cannot drift. `//` and `div` both truncate toward zero,
+    * so the integer centroid means agree; `row_number ORDER BY d2, c`
+    * mirrors `min(struct(d2, c))`. */
+  private def kmeansOracle: String = {
+    val iters = (1 to 3).map { k =>
+      s"""d$k AS (SELECT v.vec_id, ct.c,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (v.qv[i] - ct.cv[i]) * (v.qv[i] - ct.cv[i]))) AS BIGINT) AS d2
+         |  FROM v CROSS JOIN cent${k - 1} ct),
+         |a$k AS (SELECT vec_id, c, d2 FROM (SELECT vec_id, c, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d$k) t
+         |  WHERE rn = 1),
+         |cl$k AS (SELECT a.c, u.pos, CAST(sum(u.x) // count(*) AS BIGINT) AS cve
+         |  FROM a$k a JOIN u ON a.vec_id = u.vec_id
+         |  GROUP BY a.c, u.pos),
+         |cent$k AS (SELECT c, list(cve ORDER BY pos) AS cv FROM cl$k GROUP BY c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos FROM v),
+       |cent0 AS (SELECT CAST(rn - 1 AS BIGINT) AS c, qv AS cv
+       |  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) t WHERE rn <= 4),
+       |$iters
+       |SELECT a3.c, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(a3.d2 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS inertia,
+       |  ck.cent_sum
+       |FROM a3 JOIN (SELECT c, CAST(list_sum(cv) AS BIGINT) AS cent_sum FROM cent3) ck
+       |  ON a3.c = ck.c
+       |GROUP BY a3.c, ck.cent_sum ORDER BY a3.c""".stripMargin
+  }
 
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped
     * shared-shingle exact-Jaccard pair graph (jac >= 0.5), shared by the

@@ -150,6 +150,42 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(want.exists { case (_, _, rnk, h) => rnk == 1 && h > 0 })
   }
 
+  test("kmeans_iter matches a driver-side integer Lloyd re-derivation") {
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(f => math.floor(f.toDouble * 1000000 + 0.5).toLong)))
+      .sortBy(_._1)
+    var cent: Map[Long, Array[Long]] = vecs.take(4).zipWithIndex
+      .map { case ((_, q), i) => i.toLong -> q }.toMap
+    var asgn: Map[Long, (Long, Long)] = Map.empty // vec -> (cluster, d2)
+    for (_ <- 1 to 3) {
+      asgn = vecs.map { case (id, q) =>
+        val (d2, c) = cent.toSeq.map { case (c0, cv) =>
+          var acc = 0L; var i = 0
+          while (i < q.length) { val g = q(i) - cv(i); acc += g * g; i += 1 }
+          (acc, c0)
+        }.min
+        id -> ((c, d2))
+      }.toMap
+      cent = vecs.groupBy(v => asgn(v._1)._1).map { case (c, grp) =>
+        // Long / truncates toward zero, matching div / //
+        c -> Array.tabulate(grp.head._2.length)(i => grp.map(_._2(i)).sum / grp.length)
+      }
+    }
+    val rows = SparkEntry.queries("kmeans_iter")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val byC = vecs.groupBy(v => asgn(v._1)._1)
+    assert(rows.keySet == byC.keySet)
+    byC.foreach { case (c, grp) =>
+      val (n, inertia, centSum) = rows(c)
+      assert(n == grp.length, s"cluster $c size")
+      val want = grp.map(v => BigInt(asgn(v._1)._2)).sum.toDouble / 1e12
+      assert(inertia == want, s"cluster $c inertia $inertia != $want")
+      assert(centSum == cent(c).sum, s"cluster $c centroid checksum")
+    }
+    assert(rows.size >= 2, "clustering must keep at least two clusters")
+  }
+
   test("RF pipeline learns a separable target from embeddings") {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.classification.RandomForestClassifier

@@ -21,7 +21,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "basket_lift", "events_dau_wau", "scan_partitioned",
   "ingest_csv", "ingest_json", "ml_folds", "events_ohlc",
   "graph_pagerank", "embedding_cluster", "drift_psi",
-  "sim_signbit_hamming")
+  "sim_signbit_hamming", "kmeans_iter")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -115,7 +115,10 @@ executed plans):
   `embedding_cluster` bounds its exact cosine pair join in-query
   (broadcast probe side) and reuses the ConnectedComponents min-label
   loop; `sim_signbit_hamming` compresses vectors to one BIGINT map-side,
-  so the candidate join carries 8-byte sketches, never float arrays.
+  so the candidate join carries 8-byte sketches, never float arrays;
+  `kmeans_iter` holds the k×d model on the driver between rounds (the
+  broadcast-equivalent bound) so each Lloyd round is ONE pass over the
+  cached corpus -- combinable min(struct) argmin, no per-vector window.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
