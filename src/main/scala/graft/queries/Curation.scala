@@ -125,6 +125,38 @@ object Curation {
       .limit(100)
   }
 
+  /** Inverted-index construction: token → document-frequency + the first
+    * 8 postings (doc_ids ascending), top-100 tokens by (df DESC, token) —
+    * the retrieval-index build step of a search/RAG corpus pipeline. The
+    * posting list is CAPPED IN THE PLAN, not after collection: a
+    * row_number window ranks postings per token and only rn ≤ 8 rows
+    * enter the collect_list, so no aggregate ever buffers an unbounded
+    * doc list (the full-posting variant would be the classic 100 TB
+    * hot-token OOM). Per-doc dedup runs map-side via array_distinct
+    * BEFORE the explode; the window and the df aggregate share ONE (tok)
+    * exchange, and the top-100 plans as TakeOrderedAndProject.
+    */
+  private val invertedIndex = Q("inverted_index",
+    s"""WITH raw AS (SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       |dt AS (SELECT DISTINCT doc_id, tok FROM raw),
+       |r AS (SELECT doc_id, tok,
+       |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM dt)
+       |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 8) AS postings
+       |FROM r GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin) { (s, d) =>
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+    val w = Window.partitionBy("tok").orderBy("doc_id")
+    dt.withColumn("rn", row_number().over(w))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))).as("postings"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(100)
+  }
+
   /** TF-IDF corpus-relevance scoring — the ranking pass a training-data
     * pipeline runs over token_vocab's tf/df: score(lang, tok) =
     * tf · ln((N_lang + 1)/(df + 1)), emitted floor-scaled to ×10⁶ so the
@@ -551,5 +583,5 @@ object Curation {
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
-    eventsTransitions, mlFolds)
+    eventsTransitions, mlFolds, invertedIndex)
 }

@@ -268,6 +268,53 @@ object Stats {
       .limit(50)
   }
 
+  /** The BPE trainer's SECOND iteration: rank the winning pair from the
+    * first pass (cnt DESC, pair — deterministic), apply the merge to the
+    * token stream, and recount adjacent symbol pairs over the merged
+    * sequences — the step that makes byte-pair encoding iterative.
+    * The merge applies via `replace(tok, pair, chr(1))`: left-to-right
+    * non-overlapping on both engines (the greedy BPE application order),
+    * with the control char standing in for the merged symbol so adjacent
+    * 2-char windows over the replaced string ARE the new symbol pairs;
+    * the sentinel expands back to the merged pair in the output. Shape:
+    * the winning pair is model state (ONE row, broadcast); both passes
+    * are map-only explodes into combinable aggregates; top-50 plans as
+    * TakeOrderedAndProject. The merged-symbol alphabet stays
+    * charset²-bounded, so the recount table is bounded forever.
+    */
+  private val bpeApplyMerge = Q("bpe_apply_merge",
+    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents),
+       |p1 AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+       |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+       |        FROM toks WHERE length(tok) >= 2) t),
+       |top1 AS (SELECT pair FROM p1 GROUP BY pair
+       |  ORDER BY count(*) DESC, pair LIMIT 1),
+       |rep AS (SELECT replace(tok, (SELECT pair FROM top1), chr(1)) AS r
+       |  FROM toks),
+       |p2 AS (SELECT replace(substr(r, CAST(i AS INTEGER), 2), chr(1),
+       |    (SELECT pair FROM top1)) AS pair
+       |  FROM (SELECT r, unnest(generate_series(1, length(r) - 1)) AS i
+       |        FROM rep WHERE length(r) >= 2) t)
+       |SELECT pair, count(*) AS cnt FROM p2
+       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val top1 = toks.filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1).select("pair")
+    toks.crossJoin(broadcast(top1))
+      .select(col("pair"), expr("replace(tok, pair, char(1))").as("r"))
+      .filter(length(col("r")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(r) - 1), i -> replace(substring(r, i, 2), char(1), pair))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(50)
+  }
+
   /** Octile winsorization: clip l_extendedprice to the per-group 1/8 and
     * 7/8 quantiles and report clip counts + the exact winsorized sum —
     * the standard heavy-tail preprocessor. Cut points are deliberately
@@ -631,5 +678,5 @@ object Stats {
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile,
-    ordersRfm, textCompressibility, driftPsi)
+    ordersRfm, textCompressibility, driftPsi, bpeApplyMerge)
 }

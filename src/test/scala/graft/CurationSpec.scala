@@ -274,6 +274,21 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows.map(_._2).sum == 2 * e)
   }
 
+  test("inverted_index matches a brute-force posting-list build") {
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").distinct))
+    val byTok = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = byTok.toSeq
+      .map { case (t, ids) => (t, ids.length.toLong, ids.take(8)) }
+      .sortBy { case (t, df, _) => (-df, t) }.take(100)
+    val res = run("inverted_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(res.toSeq == want, "posting lists diverge from brute force")
+    assert(res.forall(_._3.length <= 8), "posting cap must hold")
+    assert(res.exists(_._2 > 8), "some token must have df beyond the cap")
+  }
+
   test("ml_folds: Knuth-hash fold matrix matches a BigInt re-derivation") {
     val vecs = Tables.embeddings(s, d).select("vec_id", "label").collect()
       .map(r => (r.getLong(0), r.getInt(1)))

@@ -389,6 +389,25 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows.exists(_._4 > 0), "some type must drift on this fixture")
   }
 
+  test("bpe_apply_merge recount matches a brute-force merge of the winning pair") {
+    val toks = Tables.documents(s, d).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" "))
+    val top = toks.filter(_.length >= 2).flatMap(t => t.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, c) => (-c, p) }.head._1
+    // java String.replace is left-to-right non-overlapping — the greedy
+    // BPE application order both engines' replace() implements
+    val brute = toks.map(_.replace(top, "\u0001")).filter(_.length >= 2)
+      .flatMap(t => t.sliding(2)).map(_.replace("\u0001", top))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+    val res = SparkEntry.queries("bpe_apply_merge")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(res.toSeq == brute.take(50), "merged-pair recount diverges from brute force")
+    assert(res.exists(p => p._1.length == 3 && p._1.contains(top)),
+      "some pair must contain the expanded merged symbol")
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))

@@ -21,7 +21,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "basket_lift", "events_dau_wau", "scan_partitioned",
   "ingest_csv", "ingest_json", "ml_folds", "events_ohlc",
   "graph_pagerank", "embedding_cluster", "drift_psi",
-  "sim_signbit_hamming", "kmeans_iter")
+  "sim_signbit_hamming", "kmeans_iter", "bpe_apply_merge",
+  "inverted_index")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -118,7 +119,11 @@ executed plans):
   so the candidate join carries 8-byte sketches, never float arrays;
   `kmeans_iter` holds the k×d model on the driver between rounds (the
   broadcast-equivalent bound) so each Lloyd round is ONE pass over the
-  cached corpus -- combinable min(struct) argmin, no per-vector window.
+  cached corpus -- combinable min(struct) argmin, no per-vector window;
+  `bpe_apply_merge` broadcasts the 1-row winning pair and keeps both
+  recount passes map-only into combinable aggregates; `inverted_index`
+  caps posting lists in the plan (row_number <= 8 before collect_list)
+  with the window and df aggregate sharing one (tok) exchange.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
