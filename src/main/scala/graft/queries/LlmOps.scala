@@ -193,22 +193,16 @@ object LlmOps {
     // dedup_simhash family. The bounded side is broadcast so the plan is
     // an explicitly-bounded BroadcastNestedLoopJoin, not one over an
     // unbounded corpus.
+    // Oracle cosine uses TextSim.cosineSql — the builtin
+    // list_cosine_similarity rounds 1 ulp differently on ~1/3 of pairs
+    // (two sqrts vs one), which can flip the >= 0.4 edge predicate on a
+    // near-threshold pair; cosineSql is bit-identical to the Spark side
+    // on every fixture pair, so the edge SET matches by construction.
     Q("dedup_embedding",
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS sim3
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE a.vec_id < 4096 AND b.vec_id < 4096
-         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      graft.functions.DotProduct.register(s)
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
-      val a = TextSim.withVecNorm(
-        e.select(col("vec_id").as("a_id"), col("embedding")), "a")
-      val b = TextSim.withVecNorm(
-        e.select(col("vec_id").as("b_id"), col("embedding")), "b")
-      broadcast(a).join(b, expr("a_id < b_id"))
-        .withColumn("sim", expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
-        .filter(col("sim") >= 0.4)
+      s"""WITH ${TextSim.cosineEdgesCte(4096, "0.4")}
+         |SELECT a_id, b_id, round(sim, 3) AS sim3
+         |FROM ep ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      TextSim.cosineEdges(s, d, bound = 4096, thr = 0.4)
         .select(col("a_id"), col("b_id"), round(col("sim"), 3).as("sim3"))
         .orderBy("a_id", "b_id")
     },
@@ -224,12 +218,9 @@ object LlmOps {
     // unreferenced nodes). Oracled end-to-end via a recursive-CTE
     // reachability twin.
     Q("embedding_cluster",
-      s"""WITH RECURSIVE ep AS (
-         |  SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE a.vec_id < 4096 AND b.vec_id < 4096
-         |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4),
-         |sym AS (SELECT a, b FROM ep UNION SELECT b, a FROM ep
+      s"""WITH RECURSIVE ${TextSim.cosineEdgesCte(4096, "0.4")},
+         |sym AS (SELECT a_id AS a, b_id AS b FROM ep
+         |  UNION SELECT b_id, a_id FROM ep
          |  UNION SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 4096),
          |reach(node, r) AS (
          |  SELECT a, b FROM sym
@@ -239,17 +230,15 @@ object LlmOps {
          |  CAST(count(*) OVER (PARTITION BY min(r)) AS INT) AS cluster_size,
          |  CAST(node = min(r) AS BOOLEAN) AS is_rep
          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin) { (s, d) =>
-      graft.functions.DotProduct.register(s)
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
-      val a = TextSim.withVecNorm(
-        e.select(col("vec_id").as("a"), col("embedding")), "a")
-      val b = TextSim.withVecNorm(
-        e.select(col("vec_id").as("b"), col("embedding")), "b")
-      val edges = broadcast(a).join(b, expr("a < b"))
-        .filter(expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2) >= 0.4"))
-        .select(col("a"), col("b"))
-      val labels = graft.operators.ConnectedComponents
-        .minLabel(e.select(col("vec_id").as("node")), edges)
+      // cache the O(n²/2)-cosine edge list: ConnectedComponents consumes
+      // it more than once (size probe + label loop) and the pair join is
+      // the dominant stage — uncached it would execute per consumer
+      val edges = graft.Caching.ensureCached(
+        TextSim.cosineEdges(s, d, bound = 4096, thr = 0.4)
+          .select(col("a_id").as("a"), col("b_id").as("b")))
+      val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
+        .select(col("vec_id").as("node"))
+      val labels = graft.operators.ConnectedComponents.minLabel(nodes, edges)
       val w = Window.partitionBy("cluster_id")
       labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
@@ -642,8 +631,12 @@ object LlmOps {
           .agg(min(struct(col("d2"), col("c"))).as("m"))
           .select(col("vec_id"), col("m.c").as("c"), col("m.d2").as("d2"))
       var asgn: org.apache.spark.sql.DataFrame = null
-      for (_ <- 1 to 3) {
+      for (k <- 1 to 3) {
         asgn = assignAgainst(cent)
+        // the final round's assignment feeds BOTH the centroid update
+        // collect and the returned output plan — cache it so the
+        // distance pass runs once, not twice
+        if (k == 3) asgn = graft.Caching.ensureCached(asgn)
         cent = v.join(asgn.select("vec_id", "c"), "vec_id")
           .select(col("c"), posexplode(col("qv")))
           .groupBy("c", "pos")

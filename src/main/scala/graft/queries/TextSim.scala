@@ -19,14 +19,55 @@ import graft.{Q, Tables}
 object TextSim {
 
   /** Shared double-precision cosine between two float-array columns.
-    * `dot / sqrt(na * nb)` — single sqrt, matching DuckDB's
-    * list_cosine_similarity evaluation shape.
+    * `dot / sqrt(na * nb)` — left-fold dot, single sqrt of the norm
+    * product. NOT DuckDB's `list_cosine_similarity` shape: that builtin
+    * was measured to diverge 1 ulp from this expression on 40 032 of the
+    * 124 750 sf0.01 pairs, enough to flip a `>= threshold` edge — oracles
+    * must use [[cosineSql]] (bit-identical on every pair) instead.
     */
   def cosineExpr(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), cast(0 as double), (acc, v) -> acc + v)"
     s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
   }
+
+  /** DuckDB twin of [[cosineExpr]]/the `dot_d / sqrt(a_n2 * b_n2)` form,
+    * with the EXACT evaluation shape of the Spark side: sequential
+    * left-to-right product sum, one sqrt over the norm product. Verified
+    * bit-identical to the Spark sims on all 124 750 sf0.01 pairs (where
+    * `list_cosine_similarity` differed on 40 032 — two sqrts round
+    * differently at 1 ulp). `$a`/`$b` are embeddings-table aliases.
+    */
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE)))"
+    s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
+  }
+
+  /** The bounded exact cosine pair join shared by `dedup_embedding` and
+    * `embedding_cluster`: corpus fenced in-query (`vec_id < bound`, the
+    * documented exact form — the unbounded path is banded LSH), oriented
+    * `a_id < b_id`, edges kept at `sim >= thr`. One place owns the
+    * threshold and bound so the two queries can never drift apart.
+    */
+  def cosineEdges(s: SparkSession, d: String, bound: Int, thr: Double): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < bound)
+    val a = withVecNorm(e.select(col("vec_id").as("a_id"), col("embedding")), "a")
+    val b = withVecNorm(e.select(col("vec_id").as("b_id"), col("embedding")), "b")
+    broadcast(a).join(b, expr("a_id < b_id"))
+      .withColumn("sim", expr(s"${dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)"))
+      .filter(col("sim") >= thr)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** DuckDB CTE twin of [[cosineEdges]]: `ep(a_id, b_id, sim)`. */
+  def cosineEdgesCte(bound: Int, thr: String): String =
+    s"""ep AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosineSql("a", "b")} AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE a.vec_id < $bound AND b.vec_id < $bound
+       |    AND ${cosineSql("a", "b")} >= $thr)""".stripMargin
 
   /** Double dot product of two pre-cast double-array columns, via the
     * native codegen'd `dot_d` expression (same left-to-right accumulation
@@ -85,15 +126,18 @@ object TextSim {
       ).orderBy("lang")
     },
 
+    // the rank ORDER BY uses cosineSql (bit-identical to the Spark sims)
+    // — the builtin list_cosine_similarity is 1 ulp off on ~1/3 of pairs,
+    // enough to swap two near-tied neighbors' ranks cross-engine
     Q("sim_cosine_topk",
       s"""SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(sim, 3) AS sim3
          |FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,
+         |    ${cosineSql("a", "b")} AS sim,
          |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rnk
+         |      ORDER BY ${cosineSql("a", "b")} DESC, b.vec_id) AS rnk
          |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 50)
+         |  WHERE a.vec_id < 50) t
          |WHERE rnk <= 3
          |ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
@@ -148,7 +192,7 @@ object TextSim {
     Q("knn_label",
       s"""WITH sims AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS lbl,
-         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+         |    ${cosineSql("a", "b")} AS sim
          |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
          |  WHERE a.vec_id < 50),
          |top5 AS (
