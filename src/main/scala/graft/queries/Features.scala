@@ -618,6 +618,52 @@ object Features {
       .orderBy("event_type", "day_idx")
   }
 
+  /** Time-series gap fill with forward carry (resample + ffill): the
+    * hourly value stream per event type is re-gridded onto the complete
+    * [min, max] hour domain and each missing cell carries the last observed
+    * value forward — the regularization step before any fixed-step model
+    * consumes an irregular stream. Leading cells before a type's first
+    * observation stay NULL on both engines. Shape: the unbounded event
+    * stream collapses FIRST via one combinable (type, hour) aggregate;
+    * the domain table is |types|×|hours| (time-bounded, not data-bounded),
+    * built from a 1-row broadcast of the global bounds; the fill window
+    * partitions per type over that bounded grid. Hour sums are exact
+    * cents BIGINTs.
+    */
+  private val resampleFfill = Q("resample_ffill",
+    s"""WITH hourly AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY event_type, hr),
+       |b AS (SELECT CAST(min(hr) AS BIGINT) AS lo, CAST(max(hr) AS BIGINT) AS hi
+       |  FROM hourly),
+       |dom AS (SELECT t.event_type, d.hr
+       |  FROM (SELECT DISTINCT event_type FROM hourly) t
+       |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b),
+       |    (SELECT hi FROM b))) AS hr) d),
+       |j AS (SELECT dom.event_type, dom.hr, hourly.v
+       |  FROM dom LEFT JOIN hourly USING (event_type, hr))
+       |SELECT event_type, hr, v IS NOT NULL AS observed,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       |FROM j ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val hourly = graft.Caching.ensureCached(Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(ts_us div 3600000000 as bigint)").as("hr"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .groupBy("event_type", "hr").agg(sum("vc").as("v")))
+    val b = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val dom = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(b))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dom.join(hourly, Seq("event_type", "hr"), "left_outer")
+      .select(col("event_type"), col("hr"), col("v").isNotNull.as("observed"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("event_type", "hr")
+  }
+
   /** DuckDB twin of the 5-iteration PageRank loop: nested CTEs it0..it5,
     * each computing r' = (15·S)//(100·n) + (85·Σ_{u→v} r(u)//deg(u))//100
     * from the previous iteration — generated by the same loop count as
@@ -680,5 +726,5 @@ object Features {
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
     featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau,
-    eventsOhlc, graphPagerank)
+    eventsOhlc, graphPagerank, resampleFfill)
 }

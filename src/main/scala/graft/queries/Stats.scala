@@ -315,6 +315,60 @@ object Stats {
       .orderBy(col("cnt").desc, col("pair")).limit(50)
   }
 
+  /** Token co-occurrence PMI: pointwise mutual information
+    * ln(c_ab·N / (c_a·c_b)) for the top-50 co-occurring token pairs —
+    * the collocation detector ("new york" vs chance) a corpus pipeline
+    * runs before phrase mining. Document-level co-occurrence on the
+    * per-doc DISTINCT sorted vocabulary: the pair explosion is bounded
+    * by per-doc vocab², never corpus size (the basket_pairs discipline),
+    * and singles/doc-count sides are vocab-bounded broadcasts. The rank
+    * is the exact integer (cab DESC, a, b) order — no double decides the
+    * cut; PMI itself is one ln over exact decimal products,
+    * floor-scaled to ×10⁶ (margins spec-gated).
+    */
+  private val tokenPmi = Q("token_pmi",
+    s"""WITH dt AS (SELECT doc_id,
+       |    list_sort(list_distinct(string_split(lower(text), ' '))) AS ts
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dt),
+       |singles AS (SELECT t, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(ts) AS t FROM dt) u GROUP BY t),
+       |ix AS (SELECT ts, unnest(generate_series(1, len(ts))) AS i FROM dt),
+       |pairs AS (SELECT ts[CAST(i AS INTEGER)] AS a, ts[CAST(j AS INTEGER)] AS b
+       |  FROM (SELECT ts, i, unnest(generate_series(CAST(i AS INTEGER) + 1, len(ts))) AS j
+       |        FROM ix) t2),
+       |cp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM pairs GROUP BY a, b)
+       |SELECT a, b, cab,
+       |  CAST(floor(ln(CAST(CAST(cab AS DECIMAL(19,0)) * n_docs AS DOUBLE)
+       |             / CAST(CAST(sa.c1 AS DECIMAL(19,0)) * sb.c1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+       |FROM cp JOIN singles sa ON cp.a = sa.t JOIN singles sb ON cp.b = sb.t
+       |CROSS JOIN n
+       |ORDER BY cab DESC, a, b LIMIT 50""".stripMargin) { (s, d) =>
+    val dt = graft.Caching.ensureCached(Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(split(lower(text), ' ')))").as("ts")))
+    val n = dt.agg(count(lit(1)).as("n_docs"))
+    val singles = dt.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    dt.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ts) - 1),
+          |  i -> transform(sequence(i + 1, size(ts)),
+          |    j -> struct(element_at(ts, i) as a, element_at(ts, j) as b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .join(broadcast(singles.select(col("t").as("a"), col("c1").as("ca"))), "a")
+      .join(broadcast(singles.select(col("t").as("b"), col("c1").as("cb"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        expr("cast(floor(ln(cast(cast(cab as decimal(19,0)) * n_docs as double)" +
+          " / cast(cast(ca as decimal(19,0)) * cb as double)) * 1000000 + 0.5) as bigint)")
+          .as("pmi_e6"))
+      .orderBy(col("cab").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   /** Octile winsorization: clip l_extendedprice to the per-group 1/8 and
     * 7/8 quantiles and report clip counts + the exact winsorized sum —
     * the standard heavy-tail preprocessor. Cut points are deliberately
@@ -678,5 +732,5 @@ object Stats {
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile,
-    ordersRfm, textCompressibility, driftPsi, bpeApplyMerge)
+    ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, tokenPmi)
 }

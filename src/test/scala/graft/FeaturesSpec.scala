@@ -316,6 +316,32 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.size < names.length, "at least one variant family must merge")
   }
 
+  test("resample_ffill matches a brute-force forward fill over the hour grid") {
+    val evs = Tables.events(s, d).select("event_type", "ts_us", "value").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 3600000000L),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val hourly = evs.groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum).toMap
+    val hrs = hourly.keys.map(_._2)
+    val (lo, hi) = (hrs.min, hrs.max)
+    val types = hourly.keys.map(_._1).toSeq.distinct
+    val rows = SparkEntry.queries("resample_ffill")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(rows.size == types.size * (hi - lo + 1).toInt)
+    types.foreach { t =>
+      var lastSeen: Option[Long] = None
+      (lo to hi).foreach { h =>
+        val obs = hourly.get((t, h))
+        if (obs.isDefined) lastSeen = obs
+        val (gotObs, gotFill) = rows((t, h))
+        assert(gotObs == obs.isDefined, s"($t,$h) observed flag")
+        assert(gotFill == lastSeen, s"($t,$h) fill value")
+      }
+    }
+    assert(rows.values.exists { case (o, f) => !o && f.isDefined },
+      "the fixture must exercise at least one filled gap")
+  }
+
   test("events_ohlc matches a brute-force per (type, day) open/high/low/close scan") {
     val evs = Tables.events(s, d).select("event_type", "ts_us", "event_id", "value")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -389,6 +389,33 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows.exists(_._4 > 0), "some type must drift on this fixture")
   }
 
+  test("token_pmi matches brute-force co-occurrence and ln margins are safe") {
+    val docs = Tables.documents(s, d).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").distinct.sorted)
+    val nDocs = docs.length.toLong
+    val c1 = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cab = docs.flatMap { ts =>
+      for { i <- ts.indices; j <- i + 1 until ts.length } yield (ts(i), ts(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = cab.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(50)
+    val res = SparkEntry.queries("token_pmi")(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(res.length == top.length)
+    res.zip(top).foreach { case ((a, b, c, pmiE6), ((wa, wb), wc)) =>
+      assert(a == wa && b == wb && c == wc, s"pair ($a,$b) rank/count")
+      val p = BigInt(c) * nDocs
+      val q = BigInt(c1(a)) * c1(b)
+      val x = math.log(p.toDouble / q.toDouble) * 1e6 + 0.5
+      val marginUlps = math.min(x - math.floor(x), math.ceil(x) - x) /
+        math.ulp(math.max(math.abs(x), 1.0))
+      assert(marginUlps > 1000, s"($a,$b) ln floor margin $marginUlps ulps")
+      assert(pmiE6 == math.floor(x).toLong, s"($a,$b) pmi_e6")
+    }
+    // the score must discriminate: the top-count pairs cannot all carry
+    // the same association strength on this fixture
+    assert(res.map(_._4).distinct.length > 10 && res.exists(_._4 > 0))
+  }
+
   test("bpe_apply_merge recount matches a brute-force merge of the winning pair") {
     val toks = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))

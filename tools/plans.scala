@@ -22,7 +22,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "ingest_csv", "ingest_json", "ml_folds", "events_ohlc",
   "graph_pagerank", "embedding_cluster", "drift_psi",
   "sim_signbit_hamming", "kmeans_iter", "bpe_apply_merge",
-  "inverted_index")
+  "inverted_index", "token_pmi", "resample_ffill")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -123,7 +123,11 @@ executed plans):
   `bpe_apply_merge` broadcasts the 1-row winning pair and keeps both
   recount passes map-only into combinable aggregates; `inverted_index`
   caps posting lists in the plan (row_number <= 8 before collect_list)
-  with the window and df aggregate sharing one (tok) exchange.
+  with the window and df aggregate sharing one (tok) exchange;
+  `token_pmi` bounds the pair explosion by per-doc vocab and broadcasts
+  the vocab-bounded singles; `resample_ffill` collapses the stream via
+  one combinable (type, hour) aggregate before the time-bounded domain
+  grid and per-type fill window ever exist.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
