@@ -664,6 +664,60 @@ object Features {
       .orderBy("event_type", "hr")
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss projection 64 → 8 dims in
+    * exact integer space — the map-only dimensionality reduction that
+    * turns a 100 TB embedding corpus into a 8× smaller sketch before
+    * clustering/ANN. The plane entry sign(i,j) is the top bit of the
+    * Knuth multiplicative hash of the plane index (i·64+j+1)·2654435761
+    * mod 2³² — pure integer arithmetic, identical on both engines, no
+    * RNG (measured balanced: 256 of 512 entries positive); components
+    * are the usual ×10⁶ quantized BIGINTs, so each projected coordinate
+    * is an exact integer sum. Zero shuffle, zero joins — one codegen'd
+    * projection; the final ORDER BY is presentation only.
+    */
+  private val embeddingProject = Q("embedding_project",
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (SELECT vec_id,
+       |  list_transform(generate_series(0, 7), i ->
+       |    CAST(list_sum(list_transform(generate_series(0, 63), j ->
+       |      (CASE WHEN ((i * 64 + j + 1) * 2654435761) % 4294967296 < 2147483648
+       |        THEN 1 ELSE -1 END) * qv[j + 1])) AS BIGINT)) AS proj
+       |  FROM v)
+       |SELECT vec_id, proj, CAST(list_sum(proj) AS BIGINT) AS proj_sum
+       |FROM p ORDER BY vec_id""".stripMargin) { (s, d) =>
+    // The Spark side inlines the ±1 planes as LITERAL signed terms (one
+    // flat codegen'd expression, 512 add/subs): the semantically
+    // identical nested-HOF form (aggregate inside transform, hash
+    // computed per element) measured 11.98 s at sf0.1 — non-codegen
+    // lambda evaluation per (row, i, j) — vs sub-second flat. The
+    // literals come from jlSign, the same formula the oracle evaluates
+    // in SQL; FeaturesSpec re-derives the hash against the output, so
+    // the two formula copies cannot drift silently.
+    val projExpr = "array(" + (0 until 8).map { i =>
+      (0 until 64).map { j =>
+        s"${if (jlSign(i, j) > 0) "" else "- "}element_at(qv, ${j + 1})"
+      }.mkString(" + ").replace("+ - ", "- ")
+    }.mkString(", ") + ")"
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+        .as("qv"))
+      .select(col("vec_id"), expr(projExpr).as("proj"))
+      .select(col("vec_id"), col("proj"),
+        expr("aggregate(proj, cast(0 as bigint), (acc, x) -> acc + x)").as("proj_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** Sign of JL plane (i, j): top bit of the Knuth multiplicative hash of
+    * the plane index — the ONE definition behind embedding_project's
+    * Spark literals and (as inline SQL) its DuckDB oracle. */
+  private def jlSign(i: Int, j: Int): Long = {
+    val h = (BigInt(i.toLong * 64 + j + 1) * BigInt(2654435761L)) mod BigInt(4294967296L)
+    if (h < BigInt(2147483648L)) 1L else -1L
+  }
+
   /** DuckDB twin of the 5-iteration PageRank loop: nested CTEs it0..it5,
     * each computing r' = (15·S)//(100·n) + (85·Σ_{u→v} r(u)//deg(u))//100
     * from the previous iteration — generated by the same loop count as
@@ -726,5 +780,5 @@ object Features {
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
     featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau,
-    eventsOhlc, graphPagerank, resampleFfill)
+    eventsOhlc, graphPagerank, resampleFfill, embeddingProject)
 }

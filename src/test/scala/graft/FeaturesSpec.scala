@@ -316,6 +316,28 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.size < names.length, "at least one variant family must merge")
   }
 
+  test("embedding_project matches a BigInt re-derivation and planes are balanced") {
+    def sign(i: Int, j: Int): Long = {
+      val h = (BigInt(i.toLong * 64 + j + 1) * BigInt(2654435761L)) mod BigInt(4294967296L)
+      if (h < BigInt(2147483648L)) 1L else -1L
+    }
+    // the hash plane family must be balanced, else the projection skews
+    val plus = (for { i <- 0 until 8; j <- 0 until 64 } yield sign(i, j)).count(_ == 1L)
+    assert(math.abs(plus - 256) <= 32, s"plane sign balance: $plus of 512 positive")
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(f => math.floor(f.toDouble * 1000000 + 0.5).toLong)))
+    val res = SparkEntry.queries("embedding_project")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSeq, r.getLong(2)))).toMap
+    assert(res.size == vecs.length)
+    vecs.foreach { case (id, qv) =>
+      val want = (0 until 8).map(i => (0 until 64).map(j => sign(i, j) * qv(j)).sum)
+      val (proj, sum) = res(id)
+      assert(proj == want, s"vec $id projection")
+      assert(sum == want.sum, s"vec $id checksum")
+    }
+  }
+
   test("resample_ffill matches a brute-force forward fill over the hour grid") {
     val evs = Tables.events(s, d).select("event_type", "ts_us", "value").collect()
       .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 3600000000L),

@@ -22,7 +22,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "ingest_csv", "ingest_json", "ml_folds", "events_ohlc",
   "graph_pagerank", "embedding_cluster", "drift_psi",
   "sim_signbit_hamming", "kmeans_iter", "bpe_apply_merge",
-  "inverted_index", "token_pmi", "resample_ffill")
+  "inverted_index", "token_pmi", "resample_ffill",
+  "embedding_project")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
