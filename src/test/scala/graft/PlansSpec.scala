@@ -151,4 +151,47 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(res == Seq(("a", 1L), ("a", 2L), ("b", 9L)))
   }
+
+  // AQE's executedPlan.toString prints "== Final Plan ==" AND
+  // "== Initial Plan ==" — counting node occurrences over the whole
+  // string double-counts; gate on the final section only
+  private def finalPlan(q: org.apache.spark.sql.DataFrame): String = {
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    val i = p.indexOf("== Initial Plan ==")
+    if (i >= 0) p.take(i) else p
+  }
+
+  test("embedding_project computes with zero shuffle (presentation sort only)") {
+    val plan = finalPlan(SparkEntry.queries("embedding_project")(s, d))
+    // the projection itself is map-only; only the final ORDER BY may
+    // introduce a range exchange — any hash exchange means a shuffle
+    // crept into the computation
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+  }
+
+  test("inverted_index: one token exchange shared by window and aggregate, TakeOrdered cut") {
+    val plan = finalPlan(SparkEntry.queries("inverted_index")(s, d))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"window + df aggregate must share ONE (tok) exchange, saw $hashExchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as a bounded heap, not a global sort:\n$plan")
+  }
+
+  test("token_pmi broadcasts the model sides and cuts via TakeOrdered") {
+    val plan = finalPlan(SparkEntry.queries("token_pmi")(s, d))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"singles joins must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-50 must plan bounded:\n$plan")
+  }
+
+  test("kmeans_iter plans the argmin as a combinable aggregate, not a window") {
+    val plan = finalPlan(SparkEntry.queries("kmeans_iter")(s, d))
+    assert(!plan.contains("Window"),
+      s"min(struct(d2,c)) must plan as an aggregate, no per-vector window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid/checksum sides must broadcast:\n$plan")
+  }
 }
