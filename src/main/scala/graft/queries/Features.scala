@@ -697,8 +697,9 @@ object Features {
     // the two formula copies cannot drift silently.
     val projExpr = "array(" + (0 until 8).map { i =>
       (0 until 64).map { j =>
-        s"${if (jlSign(i, j) > 0) "" else "- "}element_at(qv, ${j + 1})"
-      }.mkString(" + ").replace("+ - ", "- ")
+        val sign = if (jlSign(i, j) > 0) "+" else "-"
+        s"$sign element_at(qv, ${j + 1})"
+      }.mkString(" ").stripPrefix("+ ")
     }.mkString(", ") + ")"
     Tables.embeddings(s, d)
       .select(col("vec_id"), expr(

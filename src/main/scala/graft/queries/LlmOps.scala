@@ -34,6 +34,12 @@ object LlmOps {
 
   private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString(", ")
 
+  /** Lloyd round count — the ONE copy behind kmeans_iter's Spark loop,
+    * its final-round cache trigger, and the oracle's generated CTE
+    * chain. Declared BEFORE `all`: the Q list builds eagerly at object
+    * init and bakes this into the oracle string. */
+  private val kmeansRounds = 3
+
   val all: Seq[Q] = Seq(
 
     // n-gram-overlap language-ID heuristic; deterministic argmax tie-break
@@ -199,10 +205,10 @@ object LlmOps {
     // near-threshold pair; cosineSql is bit-identical to the Spark side
     // on every fixture pair, so the edge SET matches by construction.
     Q("dedup_embedding",
-      s"""WITH ${TextSim.cosineEdgesCte(4096, "0.4")}
+      s"""WITH ${TextSim.cosineEdgesCte(TextSim.DedupCosineBound, TextSim.DedupCosineThrSql)}
          |SELECT a_id, b_id, round(sim, 3) AS sim3
          |FROM ep ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      TextSim.cosineEdges(s, d, bound = 4096, thr = 0.4)
+      TextSim.cosineEdges(s, d, TextSim.DedupCosineBound, TextSim.DedupCosineThr)
         .select(col("a_id"), col("b_id"), round(col("sim"), 3).as("sim3"))
         .orderBy("a_id", "b_id")
     },
@@ -218,7 +224,7 @@ object LlmOps {
     // unreferenced nodes). Oracled end-to-end via a recursive-CTE
     // reachability twin.
     Q("embedding_cluster",
-      s"""WITH RECURSIVE ${TextSim.cosineEdgesCte(4096, "0.4")},
+      s"""WITH RECURSIVE ${TextSim.cosineEdgesCte(TextSim.DedupCosineBound, TextSim.DedupCosineThrSql)},
          |sym AS (SELECT a_id AS a, b_id AS b FROM ep
          |  UNION SELECT b_id, a_id FROM ep
          |  UNION SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 4096),
@@ -234,7 +240,7 @@ object LlmOps {
       // it more than once (size probe + label loop) and the pair join is
       // the dominant stage — uncached it would execute per consumer
       val edges = graft.Caching.ensureCached(
-        TextSim.cosineEdges(s, d, bound = 4096, thr = 0.4)
+        TextSim.cosineEdges(s, d, TextSim.DedupCosineBound, TextSim.DedupCosineThr)
           .select(col("a_id").as("a"), col("b_id").as("b")))
       val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 4096)
         .select(col("vec_id").as("node"))
@@ -631,12 +637,12 @@ object LlmOps {
           .agg(min(struct(col("d2"), col("c"))).as("m"))
           .select(col("vec_id"), col("m.c").as("c"), col("m.d2").as("d2"))
       var asgn: org.apache.spark.sql.DataFrame = null
-      for (k <- 1 to 3) {
+      for (k <- 1 to kmeansRounds) {
         asgn = assignAgainst(cent)
         // the final round's assignment feeds BOTH the centroid update
         // collect and the returned output plan — cache it so the
         // distance pass runs once, not twice
-        if (k == 3) asgn = graft.Caching.ensureCached(asgn)
+        if (k == kmeansRounds) asgn = graft.Caching.ensureCached(asgn)
         cent = v.join(asgn.select("vec_id", "c"), "vec_id")
           .select(col("c"), posexplode(col("qv")))
           .groupBy("c", "pos")
@@ -663,7 +669,7 @@ object LlmOps {
     * so the integer centroid means agree; `row_number ORDER BY d2, c`
     * mirrors `min(struct(d2, c))`. */
   private def kmeansOracle: String = {
-    val iters = (1 to 3).map { k =>
+    val iters = (1 to kmeansRounds).map { k =>
       s"""d$k AS (SELECT v.vec_id, ct.c,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
          |      i -> (v.qv[i] - ct.cv[i]) * (v.qv[i] - ct.cv[i]))) AS BIGINT) AS d2
@@ -683,12 +689,12 @@ object LlmOps {
        |cent0 AS (SELECT CAST(rn - 1 AS BIGINT) AS c, qv AS cv
        |  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) t WHERE rn <= 4),
        |$iters
-       |SELECT a3.c, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(CAST(a3.d2 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS inertia,
+       |SELECT a$kmeansRounds.c, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(a$kmeansRounds.d2 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS inertia,
        |  ck.cent_sum
-       |FROM a3 JOIN (SELECT c, CAST(list_sum(cv) AS BIGINT) AS cent_sum FROM cent3) ck
-       |  ON a3.c = ck.c
-       |GROUP BY a3.c, ck.cent_sum ORDER BY a3.c""".stripMargin
+       |FROM a$kmeansRounds JOIN (SELECT c, CAST(list_sum(cv) AS BIGINT) AS cent_sum FROM cent$kmeansRounds) ck
+       |  ON a$kmeansRounds.c = ck.c
+       |GROUP BY a$kmeansRounds.c, ck.cent_sum ORDER BY a$kmeansRounds.c""".stripMargin
   }
 
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped

@@ -40,9 +40,16 @@ object TextSim {
     */
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
-      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE)))"
+      s"list_sum(list_transform(generate_series(1, len($x.embedding)), i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE)))"
     s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
   }
+
+  /** The one owner of the dedup edge-set parameters: both engines'
+    * sides of `dedup_embedding`/`embedding_cluster` derive from these
+    * (SQL literal and Double kept adjacent so they cannot drift). */
+  val DedupCosineBound: Int = 4096
+  val DedupCosineThrSql: String = "0.4"
+  val DedupCosineThr: Double = 0.4
 
   /** The bounded exact cosine pair join shared by `dedup_embedding` and
     * `embedding_cluster`: corpus fenced in-query (`vec_id < bound`, the

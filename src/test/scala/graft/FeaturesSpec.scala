@@ -340,7 +340,7 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
 
   test("resample_ffill matches a brute-force forward fill over the hour grid") {
     val evs = Tables.events(s, d).select("event_type", "ts_us", "value").collect()
-      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 3600000000L),
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L, // truncating like div, incl. pre-epoch
         math.floor(r.getDouble(2) * 100 + 0.5).toLong))
     val hourly = evs.groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum).toMap
     val hrs = hourly.keys.map(_._2)
@@ -368,7 +368,7 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val evs = Tables.events(s, d).select("event_type", "ts_us", "event_id", "value")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         math.floor(r.getDouble(3) * 100 + 0.5).toLong))
-    val want = evs.groupBy(e => (e._1, Math.floorDiv(e._2, 86400000000L)))
+    val want = evs.groupBy(e => (e._1, e._2 / 86400000000L)) // truncating like div
       .map { case (k, grp) =>
         val byTs = grp.sortBy(e => (e._2, e._3))
         k -> ((grp.length.toLong, byTs.head._4, grp.map(_._4).max,

@@ -360,7 +360,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
 
   test("drift_psi: contributions nonneg, ln margins safe, matches re-derivation") {
     val evs = Tables.events(s, d).select("event_type", "ts_us").collect()
-      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 86400000000L)))
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000L)) // truncating like div
     val days = evs.map(_._2)
     val mid = (days.min + days.max + 1) / 2
     val cnt = evs.groupBy(_._1).view.mapValues { g =>
@@ -391,7 +391,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
 
   test("token_pmi matches brute-force co-occurrence and ln margins are safe") {
     val docs = Tables.documents(s, d).select("text").collect()
-      .map(_.getString(0).toLowerCase.split(" ").distinct.sorted)
+      .map(_.getString(0).toLowerCase.split(" ", -1).distinct.sorted) // -1: keep trailing empties like split()/string_split
     val nDocs = docs.length.toLong
     val c1 = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val cab = docs.flatMap { ts =>
