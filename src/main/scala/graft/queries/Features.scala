@@ -159,10 +159,20 @@ object Features {
       maxDist: Int): (DataFrame, DataFrame) = {
     val names = Tables.part(s, d).select(col("p_name")).distinct()
     val withNoun = names.withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    // banded distance: the 3-arg levenshtein computes only a 2·maxDist+1
+    // band of the DP matrix and returns -1 past the threshold —
+    // O(maxDist·len) per pair instead of O(len²), the form that holds
+    // when the blocked candidate set is huge. A length-gap prefilter
+    // (|len(a)−len(b)| ≤ maxDist implies nothing about the band result
+    // but is necessary for distance ≤ maxDist) runs first in codegen so
+    // most pairs never reach the DP at all. -1 sorts below every
+    // threshold, so the predicate must exclude it explicitly.
+    val lv = levenshtein(col("a.p_name"), col("b.p_name"), maxDist)
     val edges = withNoun.as("a").join(withNoun.as("b"),
         col("a.noun") === col("b.noun") &&
           col("a.p_name") < col("b.p_name") &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= maxDist)
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= maxDist &&
+          lv >= 0 && lv <= maxDist)
       .select(col("a.p_name").as("a"), col("b.p_name").as("b"))
     (names, edges)
   }
@@ -743,39 +753,20 @@ object Features {
 
   /** Fixed-iteration PageRank (5 rounds, damping 0.85) over the lev ≤ 2
     * name-variant graph — the graph-centrality analytic that ranks which
-    * canonical entities dominate a dirty-categorical column, and the
-    * template for any iterative fixed-point computation on Spark (one
-    * shuffle join + one combinable aggregate per round, O(rounds) plan).
-    * Exactness: rank mass is the integer S = 10¹² split by integer
-    * division at every step — r(u)//deg(u) per edge, (15·S)//(100·n)
-    * teleport, (85·Σ)//100 damping — so five rounds of arithmetic stay
-    * bit-identical cross-engine (`//`/`div` both truncate; all values
-    * positive and ≤ 85·S ≪ 2⁶³). Dangling/isolated nodes keep the
-    * teleport mass only (their share is dropped, the standard
-    * simplification — identical on both sides by construction). The
-    * symmetric edge list is vocab-bounded and cached for the 5 reuses
-    * (session owner retires it via clearCache, the Caching contract).
+    * canonical entities dominate a dirty-categorical column. Execution is
+    * [[graft.operators.Pagerank]]'s hybrid: the name-variant graph is
+    * vocab-bounded (the broadcast-equivalent regime), so it solves on the
+    * driver in the same exact integer arithmetic as the operator's
+    * distributed fixed-point loop — both paths and the DuckDB oracle are
+    * bit-identical by construction (truncating division of the integer
+    * mass S = 10¹² everywhere; ScaleSpec pins local == forced-loop).
     */
   private val graphPagerank = Q("graph_pagerank", pagerankOracle) { (s, d) =>
     val (names, edges) = variantEdges(s, d, maxDist = 2)
-    val sym = graft.Caching.ensureCached(
-      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
-    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
-    val cnt = names.agg(count(lit(1)).as("n_cnt"))
-    val nodes = names.select(col("p_name").as("node"))
-    var r = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), expr("1000000000000 div n_cnt").as("r"))
-    for (_ <- 1 to 5) {
-      val contrib = sym.join(r, sym("a") === r("node"))
-        .join(deg, "a")
-        .select(col("b"), expr("r div deg").as("m"))
-        .groupBy("b").agg(sum("m").as("s"))
-      r = nodes.crossJoin(broadcast(cnt))
-        .join(contrib, col("node") === contrib("b"), "left_outer")
-        .select(col("node"),
-          expr("(15000000000000 div (100 * n_cnt)) + (85 * coalesce(s, 0)) div 100").as("r"))
-    }
-    r.select(col("node").as("p_name"), col("r").as("pr5")).orderBy("p_name")
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    graft.operators.Pagerank
+      .fixedRounds(names.select(col("p_name").as("node")), sym, rounds = 5)
+      .select(col("node").as("p_name"), col("r").as("pr5")).orderBy("p_name")
   }
 
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,

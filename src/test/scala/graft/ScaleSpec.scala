@@ -96,6 +96,36 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("Pagerank.fixedRounds: local and forced-distributed paths agree with a reference") {
+    import graft.operators.Pagerank
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(20)
+      // directed edges incl. a guaranteed dangling node (n-1 never a source)
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n - 1).toLong, rnd.nextInt(n).toLong)).distinct
+      // reference: direct integer recurrence, same truncating arithmetic
+      val S = 1000000000000L
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = (0L until n.toLong).map(v => v -> S / n).toMap
+      for (_ <- 1 to 5) {
+        val sums = edges.groupBy(_._2).view.mapValues(
+          _.map { case (a, _) => r(a) / deg(a) }.sum).toMap
+        r = (0L until n.toLong).map(v =>
+          v -> ((15L * S) / (100L * n) + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      val nodes = (0L until n.toLong).toDF("node")
+      val local = Pagerank.fixedRounds(nodes, edges.toDF("a", "b"), rounds = 5)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(local == r, s"local path, trial $trial (n=$n)")
+      val loop = Pagerank.fixedRounds(nodes, edges.toDF("a", "b"), rounds = 5,
+        localSolveMaxSize = -1L)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(loop == r, s"forced-loop path, trial $trial (n=$n)")
+    }
+  }
+
   test("ConnectedComponents.minLabel: chains close transitively, islands stay apart") {
     import graft.operators.ConnectedComponents
     import s.implicits._

@@ -111,9 +111,14 @@ executed plans):
 - **r10 batch 2**: `ml_folds`/`drift_psi` are map-side tagging into
   combinable aggregates plus 1-or-5-row broadcasts; `events_ohlc`'s two
   row_number windows and final aggregate share ONE `(event_type, day_idx)`
-  exchange (no global sort); `graph_pagerank` is the iterative fixed-point
-  template -- per round one shuffle join against the cached vocab-bounded
-  symmetric edge list plus one combinable aggregate, O(rounds) stages;
+  exchange (no global sort); `graph_pagerank` runs operators/Pagerank's
+  hybrid -- under the broadcast-equivalent bound the rounds solve on the
+  driver in the same truncating integer arithmetic (so the sf0.1 plan
+  below is a local-result scan; the composed loop on this 64-node graph
+  paid ~3 s of micro-exchange + per-stage AQE overhead), and past the
+  bound the distributed fixed-point template runs: per round one shuffle
+  join against the cached symmetric edge list plus one combinable
+  aggregate, O(rounds) stages (forced-loop path gated in ScaleSpec);
   `embedding_cluster` bounds its exact cosine pair join in-query
   (broadcast probe side) and reuses the ConnectedComponents min-label
   loop; `sim_signbit_hamming` compresses vectors to one BIGINT map-side,
