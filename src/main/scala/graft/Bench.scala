@@ -78,6 +78,16 @@ object Bench {
         "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)) as grams")
       .selectExpr("explode(grams) as g").groupBy("g").count()
       .write.format("noop").mode("overwrite").save()
+    // r10 expression families with their own codegen classes: banded
+    // 3-arg levenshtein (variant-edge kernel; distinct impl from the
+    // 2-arg form) and posexplode (kmeans_iter centroid update) — first
+    // touch otherwise lands on whichever consumer runs first
+    spark.range(5000)
+      .selectExpr("concat('name', id % 50) as a", "concat('name', (id + 1) % 50) as b")
+      .selectExpr("levenshtein(a, b, 2) as lv3", "levenshtein(a, b) as lv2",
+        "posexplode(array(length(a), length(b)))")
+      .groupBy("lv3").count()
+      .write.format("noop").mode("overwrite").save()
     // warm the gram-pipeline operator classes too (higher-order transform +
     // explode + distinct + window + cached self-join + CC): whichever dedup
     // query ran first otherwise absorbed their one-time JIT — measured 8.8 s
