@@ -44,20 +44,30 @@ object Pagerank {
     */
   def fixedRounds(nodes: DataFrame, edges: DataFrame, rounds: Int,
       localSolveMaxSize: Long = 1L << 20): DataFrame = {
-    val spark = nodes.sparkSession
     val sym = graft.Caching.ensureCached(edges.select(col("a"), col("b")))
     val m = sym.count()
-    val n = nodes.count()
-    if (n + m <= localSolveMaxSize) localSolve(spark, nodes, sym, rounds, n)
-    else distributedLoop(spark, nodes, sym, rounds)
+    // never count `nodes` (possibly corpus-sized) unless the edge count
+    // alone fits the bound — mirrors ConnectedComponents, which also
+    // never runs an eager job over the node frame on the big-graph path
+    if (m <= localSolveMaxSize) {
+      val n = nodes.count()
+      if (n + m <= localSolveMaxSize) return localSolve(nodes, sym, rounds, n)
+    }
+    distributedLoop(nodes, sym, rounds)
   }
 
-  private def localSolve(spark: SparkSession, nodes: DataFrame,
-      sym: DataFrame, rounds: Int, n: Long): DataFrame = {
+  private def localSolve(nodes: DataFrame, sym: DataFrame, rounds: Int,
+      n: Long): DataFrame = {
     import scala.collection.mutable
-    val ns: Array[Any] = nodes.select(col("node")).collect().map(_.get(0))
+    val nodeCol = nodes.select(col("node"))
+    val ns: Array[Any] = nodeCol.collect().map(_.get(0))
     val es: Array[(Any, Any)] =
       sym.collect().map(r => (r.get(0), r.get(1)))
+    // the local result references nothing distributed — drop the cached
+    // edge list now (the Caching contract: operator-owned intermediates
+    // the returned frame no longer needs must not stay pinned). The
+    // distributed path keeps it: its returned plan reads sym lazily.
+    sym.unpersist(blocking = false)
     val deg = mutable.HashMap.empty[Any, Long]
     es.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
     var r = mutable.HashMap.empty[Any, Long]
@@ -65,7 +75,10 @@ object Pagerank {
     for (_ <- 1 to rounds) {
       val s = mutable.HashMap.empty[Any, Long]
       es.foreach { case (a, b) =>
-        s(b) = s.getOrElse(b, 0L) + r(a) / deg(a)
+        // an edge whose source is outside `nodes` carries no rank — the
+        // same silent drop the distributed path's inner join performs,
+        // so the two hybrid paths stay identical on unclean input
+        r.get(a).foreach(ra => s(b) = s.getOrElse(b, 0L) + ra / deg(a))
       }
       val next = mutable.HashMap.empty[Any, Long]
       ns.foreach { v =>
@@ -73,7 +86,9 @@ object Pagerank {
       }
       r = next
     }
-    val nodeField = nodes.schema.fields.head
+    // schema from the SELECTED node column (nodes may carry more fields
+    // in any order), not fields.head of the caller's frame
+    val nodeField = nodeCol.schema.fields.head
     val schema = org.apache.spark.sql.types.StructType(Seq(
       nodeField.copy(name = "node"),
       org.apache.spark.sql.types.StructField("r",
@@ -81,11 +96,11 @@ object Pagerank {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       new java.util.ArrayList[org.apache.spark.sql.Row](ns.length)
     ns.foreach(v => rows.add(org.apache.spark.sql.Row(v, r(v))))
-    spark.createDataFrame(rows, schema)
+    nodes.sparkSession.createDataFrame(rows, schema)
   }
 
-  private def distributedLoop(spark: SparkSession, nodes: DataFrame,
-      sym: DataFrame, rounds: Int): DataFrame = {
+  private def distributedLoop(nodes: DataFrame, sym: DataFrame,
+      rounds: Int): DataFrame = {
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val cnt = nodes.agg(count(lit(1)).as("n_cnt"))
     var r = nodes.crossJoin(broadcast(cnt))

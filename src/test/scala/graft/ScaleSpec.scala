@@ -102,16 +102,21 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val rnd = new scala.util.Random(7L)
     for (trial <- 1 to 3) {
       val n = 10 + rnd.nextInt(20)
-      // directed edges incl. a guaranteed dangling node (n-1 never a source)
+      // directed edges incl. a guaranteed dangling node (n-1 never a
+      // source) and one edge from OUTSIDE the node set — both paths must
+      // silently drop its contribution (the distributed inner join's
+      // behavior, mirrored by localSolve's r.get guard)
       val edges = Seq.fill(n * 2)(
-        (rnd.nextInt(n - 1).toLong, rnd.nextInt(n).toLong)).distinct
-      // reference: direct integer recurrence, same truncating arithmetic
+        (rnd.nextInt(n - 1).toLong, rnd.nextInt(n).toLong)).distinct :+
+        (n + 5L, 0L)
+      // reference: direct integer recurrence, same truncating arithmetic;
+      // sources outside the node set carry no rank
       val S = 1000000000000L
       val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       var r = (0L until n.toLong).map(v => v -> S / n).toMap
       for (_ <- 1 to 5) {
         val sums = edges.groupBy(_._2).view.mapValues(
-          _.map { case (a, _) => r(a) / deg(a) }.sum).toMap
+          _.flatMap { case (a, _) => r.get(a).map(_ / deg(a)) }.sum).toMap
         r = (0L until n.toLong).map(v =>
           v -> ((15L * S) / (100L * n) + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
       }
