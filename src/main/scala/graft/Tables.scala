@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Schema-aware readers for the driver-generated parquet tables
   * (TESTDATA.md / FIXTURES.md). One parquet file per table per sf dir.
@@ -22,9 +23,63 @@ object Tables {
     * inferred one (identical nullability), so supplying it changes nothing
     * but the construction cost. Cleared never: entries are per-path, and
     * staged/mutable layouts (Sources.*) do not go through this reader.
+    * KNOWN LIMIT: if a fixture file is regenerated with a different
+    * encoding MID-JVM, the memo serves the stale schema until restart —
+    * acceptable because the guard below catches the drift on the next
+    * fresh JVM with one actionable error instead of N cryptic ones
+    * (exactly what happened when events.ts changed encoding between
+    * rounds 10 and 11).
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Fixture fingerprint guard: the column names (and, for drift-prone
+    * columns, the set of acceptable Spark types) each reader relies on.
+    * Checked once per path, at first inference. When the driver
+    * regenerates a fixture with a new encoding, this fails FAST with one
+    * actionable message naming the table/column and both types — instead
+    * of dozens of identical analysis errors deep inside queries (the
+    * round-10 failure mode: events.ts silently moved from
+    * TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and 35 queries crashed).
+    * Types are intentionally loose where ingestion legitimately branches
+    * (events.ts) and name-only elsewhere — the goal is a clear tripwire,
+    * not a frozen schema.
+    */
+  private val expectedColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label")
+  )
+
+  private def guardSchema(name: String, path: String, schema: StructType): Unit =
+    expectedColumns.get(name).foreach { want =>
+      val have = schema.fieldNames.toSet
+      val missing = want.filterNot(have)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"Fixture schema drift in $path: missing column(s) ${missing.mkString(", ")} " +
+          s"(loaded: ${schema.simpleString}). The driver regenerated the fixture with a new " +
+          s"layout — re-derive the reader from observation (see SURVEY.md §1.2 / FIXTURES.md) " +
+          s"instead of patching call sites.")
+      if (name == "events") {
+        val t = schema("ts").dataType
+        val ok = t == LongType || t == TimestampNTZType || t == TimestampType
+        if (!ok)
+          throw new IllegalStateException(
+            s"Fixture schema drift in $path: events.ts loaded as ${t.simpleString}; Tables.events " +
+            s"handles bigint (nanos-as-long), timestamp_ntz (µs/ms NTZ) and timestamp (µs/ms " +
+            s"UTC-adjusted). The fixture's ts encoding changed — extend the branch in " +
+            s"Tables.events and update SURVEY.md §1.2 + FIXTURES.md.")
+      }
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -32,6 +87,7 @@ object Tables {
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
+      guardSchema(name, path, df.schema)
       schemaCache.putIfAbsent(path, df.schema)
       df
     }
@@ -47,24 +103,58 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which stock Spark 4.1.2
-    * rejects (PARQUET_TYPE_ILLEGAL). Verified workaround (SURVEY.md §1.2):
-    * read nanos as long, derive
-    *   - `ts_us`  : BIGINT microseconds (integer `div`, never `/1000` —
-    *                double division loses ULPs at 1.7e18 ns), and
+  /** `events.ts` ingestion — branches on the LOADED Spark type because the
+    * driver has shipped this column under two encodings already (round ≤10:
+    * INT64 TIMESTAMP(NANOS) which stock Spark rejects without
+    * `nanosAsLong`; round 11+: INT64 TIMESTAMP(MICROS, adjustedToUTC=false)
+    * which loads natively as timestamp_ntz — verified via pyarrow footers,
+    * 2026-08-13). A real lake has µs, ms and ns parquet timestamps side by
+    * side, so ONE hard-coded encoding is a correctness bug waiting for the
+    * next regeneration; this is the single ingestion point for all ~36
+    * events consumers, which only ever read the derived columns:
+    *   - `ts_us`  : BIGINT microseconds since epoch (exact integer math), and
     *   - `ts_ntz` : TIMESTAMP_NTZ at microsecond precision.
-    * This truncation matches DuckDB 1.0, which silently reads the same
-    * column µs-truncated — so every oracle comparison runs in the µs domain.
-    * The conf is set here (idempotent) because Verify/Bench build their own
-    * sessions.
+    * All derivations are TIMEZONE-INDEPENDENT (timestampdiff/timestampadd
+    * against a TIMESTAMP_NTZ epoch literal — verified to produce identical
+    * values under an America/New_York session), so Bench — which does not
+    * pin spark.sql.session.timeZone the way Verify/tests do — can never
+    * derive shifted values. DuckDB 1.0 reads the same column as naive
+    * TIMESTAMP at µs precision either way, so every oracle comparison runs
+    * in the µs domain with identical values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // guard the set: SET on an already-true conf still bumps session-state
-    // modification tracking on every one of the ~40 events-reading queries
+    // Kept for robustness against a NANOS-encoded fixture (a no-op for the
+    // current MICROS encoding). Guard the set: SET on an already-true conf
+    // still bumps session-state modification tracking on every one of the
+    // ~40 events-reading queries.
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_ntz", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    withEventTime(table(s, d, "events"))
+  }
+
+  /** The ts_us/ts_ntz derivation, shared by the batch reader above and any
+    * `readStream` over the same layout (StreamingSpec's file-source parity
+    * test goes through this exact function, so the batch and stream paths
+    * cannot drift). Works on batch AND streaming DataFrames — it only
+    * inspects the analyzed schema and adds projections.
+    */
+  def withEventTime(raw: DataFrame): DataFrame = {
+    val epochNtz = "timestamp_ntz'1970-01-01 00:00:00'"
+    raw.schema("ts").dataType match {
+      case TimestampNTZType => // current fixtures: parquet TIMESTAMP(MICROS, utc=false)
+        raw.withColumn("ts_us", expr(s"timestampdiff(MICROSECOND, $epochNtz, ts)"))
+          .withColumn("ts_ntz", col("ts"))
+      case LongType => // historical fixtures: TIMESTAMP(NANOS) via nanosAsLong.
+        // Integer `div`, never `/1000` — double division loses ULPs at 1.7e18 ns;
+        // the µs truncation matches DuckDB's read of the same column.
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_ntz", expr(s"timestampadd(MICROSECOND, ts div 1000, $epochNtz)"))
+      case TimestampType => // UTC-adjusted parquet (not yet seen from the driver)
+        raw.withColumn("ts_us", expr("unix_micros(ts)"))
+          .withColumn("ts_ntz", expr(s"timestampadd(MICROSECOND, unix_micros(ts), $epochNtz)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as ${other.simpleString} — unsupported encoding; see Tables.guardSchema")
+    }
   }
 }

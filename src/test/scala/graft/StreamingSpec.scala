@@ -131,11 +131,13 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(TestSpark.sf + "/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(s, d).schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts_ntz", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    // raw file schema (no derived cols); the stream re-derives ts_us/ts_ntz
+    // through the SAME Tables.withEventTime the batch reader uses.
+    val schema = s.read.parquet(dir.toString).schema
+    val stream = Tables.withEventTime(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
       .groupBy(window(col("ts_ntz"), "1 hour").as("w"), col("event_type")).count()
     val q = stream.writeStream.format("memory").queryName("file_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
