@@ -134,7 +134,10 @@ object Curation {
     * doc list (the full-posting variant would be the classic 100 TB
     * hot-token OOM). Per-doc dedup runs map-side via array_distinct
     * BEFORE the explode; the window and the df aggregate share ONE (tok)
-    * exchange, and the top-100 plans as TakeOrderedAndProject.
+    * exchange, and the top-100 plans as TakeOrderedAndProject. The posting
+    * list is emitted comma-joined (§7.3 rule 5 — the agg_collect_list
+    * discipline): the driver's pandas comparator cannot hash an ARRAY
+    * column, and sorted ints join identically in both engines.
     */
   private val invertedIndex = Q("inverted_index",
     s"""WITH raw AS (SELECT doc_id,
@@ -143,7 +146,8 @@ object Curation {
        |r AS (SELECT doc_id, tok,
        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM dt)
        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
-       |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 8) AS postings
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |    FILTER (WHERE rn <= 8) AS postings
        |FROM r GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin) { (s, d) =>
     val dt = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -152,7 +156,8 @@ object Curation {
     dt.withColumn("rn", row_number().over(w))
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))).as("postings"))
+        expr("array_join(transform(sort_array(collect_list(CASE WHEN rn <= 8 THEN doc_id END)), x -> cast(x as string)), ',')")
+          .as("postings"))
       .orderBy(col("df").desc, col("tok"))
       .limit(100)
   }

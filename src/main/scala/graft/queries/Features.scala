@@ -695,7 +695,8 @@ object Features {
        |      (CASE WHEN ((i * 64 + j + 1) * 2654435761) % 4294967296 < 2147483648
        |        THEN 1 ELSE -1 END) * qv[j + 1])) AS BIGINT)) AS proj
        |  FROM v)
-       |SELECT vec_id, proj, CAST(list_sum(proj) AS BIGINT) AS proj_sum
+       |SELECT vec_id, array_to_string(proj, ',') AS proj,
+       |  CAST(list_sum(proj) AS BIGINT) AS proj_sum
        |FROM p ORDER BY vec_id""".stripMargin) { (s, d) =>
     // The Spark side inlines the ±1 planes as LITERAL signed terms (one
     // flat codegen'd expression, 512 add/subs): the semantically
@@ -711,12 +712,17 @@ object Features {
         s"$sign element_at(qv, ${j + 1})"
       }.mkString(" ").stripPrefix("+ ")
     }.mkString(", ") + ")"
+    // §7.3 rule 5: the 8-coordinate vector leaves the engine comma-joined
+    // (BIGINT→string renders identically in both engines, sign included) so
+    // the driver's pandas comparator can hash it; proj_sum alone would not
+    // pin the vector. The intermediate stays a real array column.
     Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
         .as("qv"))
       .select(col("vec_id"), expr(projExpr).as("proj"))
-      .select(col("vec_id"), col("proj"),
+      .select(col("vec_id"),
+        expr("array_join(transform(proj, x -> cast(x as string)), ',')").as("proj"),
         expr("aggregate(proj, cast(0 as bigint), (acc, x) -> acc + x)").as("proj_sum"))
       .orderBy("vec_id")
   }

@@ -283,7 +283,8 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map { case (t, ids) => (t, ids.length.toLong, ids.take(8)) }
       .sortBy { case (t, df, _) => (-df, t) }.take(100)
     val res = run("inverted_index").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSeq))
     assert(res.toSeq == want, "posting lists diverge from brute force")
     assert(res.forall(_._3.length <= 8), "posting cap must hold")
     assert(res.exists(_._2 > 8), "some token must have df beyond the cap")

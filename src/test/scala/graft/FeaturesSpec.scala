@@ -328,7 +328,8 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
         .map(f => math.floor(f.toDouble * 1000000 + 0.5).toLong)))
     val res = SparkEntry.queries("embedding_project")(s, d).collect()
-      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSeq, r.getLong(2)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getString(1).split(",").map(_.toLong).toSeq, r.getLong(2)))).toMap
     assert(res.size == vecs.length)
     vecs.foreach { case (id, qv) =>
       val want = (0 until 8).map(i => (0 until 64).map(j => sign(i, j) * qv(j)).sum)

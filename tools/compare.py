@@ -86,7 +86,44 @@ def cells_equal_strict(a, b):
     return type(a) is type(b) and a == b
 
 
+def driver_canon(tbl, side, key):
+    """Replicate the driver's pandas canonicalization EXACTLY: to_pandas(),
+    then sort_values over ALL columns (sorted by name). The driver runs this
+    before hashing, so anything that makes it throw there must throw HERE --
+    round 9 (Decimal) and round 10 (ARRAY outputs -> 'unhashable type:
+    numpy.ndarray' in sort_values) both slipped through because the local
+    gate skipped this step. Returns the canonicalized frame; raises
+    whatever pandas raises."""
+    pdf = tbl.to_pandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+def selftest():
+    """Prove the gate trips on an array-typed output column (the r10 driver
+    failure mode). Exits 0 if driver_canon raises on an ARRAY frame and
+    accepts a flat frame; exits 1 otherwise."""
+    con = duckdb.connect()
+    arr = con.execute(
+        "SELECT 1 AS id, [1, 2, 3] AS postings UNION ALL "
+        "SELECT 2, [4, 5, 6] ORDER BY id").fetch_arrow_table()
+    flat = con.execute(
+        "SELECT 1 AS id, '1,2,3' AS postings").fetch_arrow_table()
+    try:
+        driver_canon(arr, "spark", "selftest")
+    except Exception as e:
+        driver_canon(flat, "spark", "selftest")  # must NOT raise
+        print(f"SELFTEST PASS: array frame raised ({type(e).__name__}: {e}), "
+              "flat frame accepted")
+        sys.exit(0)
+    print("SELFTEST FAIL: driver_canon accepted an ARRAY column -- the local "
+          "gate no longer replicates the driver's pandas sort_values crash")
+    sys.exit(1)
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     key_filter = set(sys.argv[3:])
     con = duckdb.connect()
@@ -122,6 +159,17 @@ def main():
             odf = con.execute(oracles[key]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {key}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # Driver-crash parity gate: run the driver's exact pandas
+        # canonicalization on both frames before any value compare.
+        try:
+            driver_canon(sdf, "spark", key)
+            driver_canon(odf, "oracle", key)
+        except Exception as e:
+            print(f"DRIVER-FAIL {key}: driver pandas canonicalization would "
+                  f"crash ({type(e).__name__}: {e}) -- flatten the output "
+                  "(SURVEY.md 7.3 rule 5)")
             n_fail += 1
             continue
         scols, ocols = sorted(sdf.column_names), sorted(odf.column_names)
