@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-ingestion hardening: the first-touch schema guard must turn
+  * driver-side fixture regeneration (the round-10/11 events.ts encoding
+  * change) into ONE actionable error, and the events time derivation must
+  * produce identical values under every encoding branch.
+  */
+class TablesSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  private def stage(dir: String)(write: String => Unit): String = {
+    val d = s"target/tmp/tables_guard/$dir"
+    write(d)
+    d
+  }
+
+  test("guard: a re-encoded events.ts fails fast with an actionable message") {
+    val d = stage("bad_ts_type") { d =>
+      // ts as plain string — an encoding Tables.events does not support
+      Seq((1L, "2024-01-01 00:00:00", 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val e = intercept[IllegalStateException](Tables.events(s, d))
+    assert(e.getMessage.contains("events.ts"), e.getMessage)
+    assert(e.getMessage.contains("encoding changed"), e.getMessage)
+  }
+
+  test("guard: a dropped fixture column fails fast naming the column") {
+    val d = stage("missing_col") { d =>
+      Seq((1L, "x")).toDF("doc_id", "text") // lang/source/n_chars dropped
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val e = intercept[IllegalStateException](Tables.documents(s, d))
+    assert(e.getMessage.contains("missing column"), e.getMessage)
+    assert(e.getMessage.contains("lang"), e.getMessage)
+  }
+
+  test("withEventTime: NTZ and nanos-long encodings derive identical ts_us/ts_ntz") {
+    // the same instants expressed in both historical fixture encodings
+    val us = Seq(1704067798778549L, 1721044800000000L, 0L, -1000001L)
+    val ntz = us.toDF("us")
+      .selectExpr("timestampadd(MICROSECOND, us, timestamp_ntz'1970-01-01 00:00:00') as ts")
+    val nanos = us.map(_ * 1000L).toDF("ts") // LongType nanos, as under nanosAsLong
+    val a = Tables.withEventTime(ntz).select("ts_us", "ts_ntz").collect()
+    val b = Tables.withEventTime(nanos).select("ts_us", "ts_ntz").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq == us)
+  }
+}
