@@ -98,8 +98,35 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   =
+    withNtz(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    withNtz(table(s, d, "lineitem"), "l_shipdate")
+
+  /** Normalize a wall-clock timestamp column to TIMESTAMP_NTZ regardless of
+    * its parquet encoding — the same drift-robustness class as
+    * `withEventTime`, for the orders/lineitem date columns (currently
+    * ms-NTZ, a pass-through; a regenerated UTC-adjusted or DATE encoding
+    * would otherwise crash every date-consuming query the way events.ts
+    * did in round 10→11). The LTZ branch converts timezone-independently
+    * (unix_micros is epoch-exact; timestampadd against an NTZ epoch literal
+    * re-renders the same instant as UTC wall-clock — verified invariant
+    * under an America/New_York session incl. DST). Pass-through keeps the
+    * loaded column untouched, so parquet filter pushdown on these columns
+    * is unchanged for the current fixtures.
+    */
+  def withNtz(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case TimestampNTZType => d
+        case TimestampType => d.withColumn(c,
+          expr(s"timestampadd(MICROSECOND, unix_micros($c), timestamp_ntz'1970-01-01 00:00:00')"))
+        case DateType => d.withColumn(c, col(c).cast(TimestampNTZType))
+        case other => throw new IllegalStateException(
+          s"$c loaded as ${other.simpleString} — unsupported wall-clock encoding; the fixture " +
+          s"changed (see SURVEY.md §1.2): extend Tables.withNtz and update FIXTURES.md.")
+      }
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -40,6 +40,24 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lang"), e.getMessage)
   }
 
+  test("withNtz: NTZ passes through untouched; LTZ and DATE re-render as UTC wall-clock") {
+    val ntz = s.sql("SELECT timestamp_ntz'2024-07-15 12:34:56.789' AS d")
+    assert(Tables.withNtz(ntz, "d").schema("d").dataType.simpleString == "timestamp_ntz")
+    assert(Tables.withNtz(ntz, "d").queryExecution.analyzed == ntz.queryExecution.analyzed,
+      "pass-through must not rewrite the plan (pushdown preservation)")
+    // LTZ: the instant 2024-07-15 12:34:56 UTC must render as that UTC
+    // wall-clock, independent of session tz (epoch-exact conversion)
+    val ltz = s.sql("SELECT timestamp'2024-07-15 12:34:56' AS d") // UTC session
+    val got = Tables.withNtz(ltz, "d").selectExpr("cast(d as string)").head.getString(0)
+    assert(got == "2024-07-15 12:34:56", got)
+    val dt = s.sql("SELECT date'2024-07-15' AS d")
+    assert(Tables.withNtz(dt, "d").selectExpr("cast(d as string)").head.getString(0)
+      == "2024-07-15 00:00:00")
+    val bad = s.sql("SELECT 'x' AS d")
+    val e = intercept[IllegalStateException](Tables.withNtz(bad, "d"))
+    assert(e.getMessage.contains("unsupported wall-clock encoding"), e.getMessage)
+  }
+
   test("withEventTime: NTZ and nanos-long encodings derive identical ts_us/ts_ntz") {
     // the same instants expressed in both historical fixture encodings
     val us = Seq(1704067798778549L, 1721044800000000L, 0L, -1000001L)
