@@ -79,6 +79,19 @@ object Tables {
             s"UTC-adjusted). The fixture's ts encoding changed — extend the branch in " +
             s"Tables.events and update SURVEY.md §1.2 + FIXTURES.md.")
       }
+      // Two more crash-radius-~25-query typed columns: one clear error
+      // beats dozens of identical analysis failures (the events lesson).
+      if (name == "embeddings" && schema("embedding").dataType != ArrayType(FloatType, true) &&
+          schema("embedding").dataType != ArrayType(FloatType, false))
+        throw new IllegalStateException(
+          s"Fixture schema drift in $path: embeddings.embedding loaded as " +
+          s"${schema("embedding").dataType.simpleString}, expected array<float> — the similarity/" +
+          s"ANN family's quantization (×10⁶ floor on FLOAT inputs) assumes float32 values; " +
+          s"re-derive the readers and goldens from observation (FIXTURES.md).")
+      if (name == "documents" && schema("text").dataType != StringType)
+        throw new IllegalStateException(
+          s"Fixture schema drift in $path: documents.text loaded as " +
+          s"${schema("text").dataType.simpleString}, expected string — see FIXTURES.md.")
     }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

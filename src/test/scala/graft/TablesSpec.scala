@@ -40,6 +40,16 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lang"), e.getMessage)
   }
 
+  test("guard: a re-typed embedding column fails fast with the quantization rationale") {
+    val d = stage("bad_embedding") { d =>
+      Seq((1L, Seq(0.1, 0.2), 3)).toDF("vec_id", "embedding", "label") // array<double>
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    }
+    val e = intercept[IllegalStateException](Tables.embeddings(s, d))
+    assert(e.getMessage.contains("embeddings.embedding"), e.getMessage)
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+  }
+
   test("withNtz: NTZ passes through untouched; LTZ and DATE re-render as UTC wall-clock") {
     val ntz = s.sql("SELECT timestamp_ntz'2024-07-15 12:34:56.789' AS d")
     assert(Tables.withNtz(ntz, "d").schema("d").dataType.simpleString == "timestamp_ntz")
