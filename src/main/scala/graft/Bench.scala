@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every time derivation is timezone-independent by construction
+      // (Tables.withEventTime/withNtz), but pin UTC anyway so Bench runs
+      // under the exact session the BASELINE.md protocol documents and
+      // Verify/tests use — no timing-only path may diverge semantically
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
