@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star `[N]`): image/audio/video are
@@ -49,30 +48,82 @@ object Multimodal {
     }
   }
 
-  /** 24 deterministic random hyperplanes (seed 42) packed into a 24-bit
-    * sign signature — the bucketing primitive for LSH ANN (6 bands of 4
-    * bits). Sized empirically on the fixture: 16 planes / 4 bands gave
-    * recall@3 0.39; 24 planes / 6 bands gives 0.59 for ~1.4x the
-    * candidate set (measured round 7), and wider 6-8 bit bands collapse
-    * recall below 0.2 because fixture neighbours are only moderately
-    * angularly close.
+  /** Sign of deterministic hyperplane entry (p, j): the top bit of the
+    * Knuth multiplicative hash of the flat plane index
+    * (p·64 + j + 1)·2654435761 mod 2³² — the SAME ±1 plane family as
+    * `embedding_project`'s JL projection (Features.jlSign delegates here),
+    * extended from 8 to 24 planes. Pure integer arithmetic, identical as
+    * Spark literals and as inline DuckDB SQL; no RNG anywhere.
     */
-  lazy val lshSignatureUdf: UserDefinedFunction = {
-    val rnd = new scala.util.Random(42)
-    val planes: Array[Array[Double]] = Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
-    udf((emb: Seq[Float]) => {
-      var sig = 0L
-      var p = 0
-      while (p < 24) {
-        var dot = 0.0
-        var i = 0
-        val plane = planes(p)
-        val n = math.min(emb.length, 64)
-        while (i < n) { dot += emb(i) * plane(i); i += 1 }
-        if (dot > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    })
+  def planeSign(p: Int, j: Int): Long = {
+    val h = (BigInt(p.toLong * 64 + j + 1) * BigInt(2654435761L)) mod BigInt(4294967296L)
+    if (h < BigInt(2147483648L)) 1L else -1L
   }
+
+  /** Sign of LSH hyperplane entry (p, j): [[planeSign]]'s Knuth hash plus
+    * an avalanche round — xor-fold the top half down, then multiply by the
+    * 31-bit mixing constant 0x7feb352d (lowbias32 family; 31-bit so the
+    * DuckDB-side INT64 product cannot overflow). The extra round matters:
+    * consecutive flat indices step by the golden-ratio constant, so the
+    * raw Knuth top bit makes every plane a window of ONE quasi-periodic
+    * ±1 sequence — correlated planes cost real LSH recall (measured r12:
+    * knn_label_ann agreement 0.70 raw vs 0.84 mixed; balance 747/1536
+    * positive, mean plane-pair agreement 0.50). Pure integer arithmetic,
+    * bit-identical as Spark literals and inline DuckDB SQL.
+    */
+  def lshPlaneSign(p: Int, j: Int): Long = {
+    val m32 = BigInt(4294967296L)
+    val h = (BigInt(p.toLong * 64 + j + 1) * BigInt(2654435761L)) mod m32
+    val g = ((h ^ (h >> 16)) * BigInt(2146121005L)) mod m32
+    if (g < BigInt(2147483648L)) 1L else -1L
+  }
+
+  /** ×10⁶ quantization of the float embedding to exact BIGINT components —
+    * the shared prepass (`qv` column) under [[lshSigExpr]]; the same
+    * round-half-up formula `embedding_project` uses, so a signature bit is
+    * a comparison of an exact integer sum, never a float threshold. */
+  val quantizeExpr: String =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
+
+  /** DuckDB twin of [[quantizeExpr]]. */
+  val quantizeSql: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+
+  /** 32 deterministic ±1 hyperplanes packed into a 32-bit sign signature —
+    * the bucketing primitive for LSH ANN (`ann_lsh_bucket` 8×4-bit bands,
+    * `knn_label_ann` 10×3-bit). Plane family DERANDOMIZED round 12 from
+    * seeded Gaussians to [[lshPlaneSign]] hash signs over [[quantizeExpr]]
+    * integer components, which makes the signature — and therefore both
+    * ANN keys — bit-exact cross-engine and fully oracle-checkable. Shapes
+    * re-swept r12 on the fixture (sf0.001, 50 probes): ann 8×4 recall@3
+    * 0.66 at 41% avg candidates (6×4: 0.58/33%); knn 10×3 label agreement
+    * 0.88 at 72% (the r7 8×3 shape fell to 0.74 under ±1 planes — hash
+    * signs discriminate slightly worse than Gaussians per plane, so both
+    * keys buy recall back with more planes, not coarser bands). Evaluates
+    * over a `qv` BIGINT-array column as ONE flat codegen'd expression
+    * (32 × 64 signed adds) — the nested-HOF form is not codegen'd and
+    * measured ~14× slower on the JL twin.
+    */
+  lazy val lshSigExpr: String = (0 until 32).map { p =>
+    val terms = (0 until 64).map { j =>
+      val sign = if (lshPlaneSign(p, j) > 0) "+" else "-"
+      s"$sign element_at(qv, ${j + 1})"
+    }.mkString(" ").stripPrefix("+ ")
+    s"(case when ($terms) > 0 then shiftleft(cast(1 as bigint), $p) else cast(0 as bigint) end)"
+  }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of [[lshSigExpr]] (nested-HOF form over a `qv` column —
+    * oracle-side only, where the 500-row sf0.01 corpus makes the
+    * per-element lambda cost irrelevant). The repeated Knuth-hash
+    * subexpression is [[lshPlaneSign]]'s `h` — a lambda can't bind a
+    * local, so it appears twice inside the xor.
+    */
+  val lshSigSql: String =
+    """CAST(list_sum(list_transform(generate_series(0, 31), p ->
+      |      CASE WHEN list_sum(list_transform(generate_series(0, 63), j ->
+      |          (CASE WHEN ((xor(((p * 64 + j + 1) * 2654435761) % 4294967296,
+      |                           (((p * 64 + j + 1) * 2654435761) % 4294967296) >> 16))
+      |                      * 2146121005) % 4294967296 < 2147483648
+      |           THEN 1 ELSE -1 END) * qv[j + 1])) > 0
+      |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 }

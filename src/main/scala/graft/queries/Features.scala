@@ -728,12 +728,12 @@ object Features {
   }
 
   /** Sign of JL plane (i, j): top bit of the Knuth multiplicative hash of
-    * the plane index — the ONE definition behind embedding_project's
-    * Spark literals and (as inline SQL) its DuckDB oracle. */
-  private def jlSign(i: Int, j: Int): Long = {
-    val h = (BigInt(i.toLong * 64 + j + 1) * BigInt(2654435761L)) mod BigInt(4294967296L)
-    if (h < BigInt(2147483648L)) 1L else -1L
-  }
+    * the plane index — planes 0–7 of the shared deterministic family in
+    * [[graft.multimodal.Multimodal.planeSign]] (which the LSH ANN keys
+    * extend to 24), behind embedding_project's Spark literals and (as
+    * inline SQL) its DuckDB oracle. */
+  private def jlSign(i: Int, j: Int): Long =
+    graft.multimodal.Multimodal.planeSign(i, j)
 
   /** DuckDB twin of the 5-iteration PageRank loop: nested CTEs it0..it5,
     * each computing r' = (15·S)//(100·n) + (85·Σ_{u→v} r(u)//deg(u))//100

@@ -295,11 +295,20 @@ object LlmOps {
         .orderBy("da", "db")
     }, None),
 
-    // ANN: 24 deterministic random hyperplanes -> 6x4-bit band buckets ->
-    // candidate equi-join -> exact cosine re-rank, top-3. The 100 TB path
-    // for similarity search (recall vs brute force asserted in MlSpec;
-    // band shape measured in round 7 — see lshSignatureUdf scaladoc).
-    Q("ann_lsh_bucket", { (s: SparkSession, d: String) =>
+    // ANN: 32 deterministic ±1 hash-sign hyperplanes -> 8x4-bit band
+    // buckets -> candidate equi-join -> exact cosine re-rank, top-3. The
+    // 100 TB path for similarity search (recall vs brute force asserted in
+    // MlSpec; band shape re-swept r12 — see lshSigExpr scaladoc).
+    // Oracled hash-exact since r12: the signature is integer arithmetic
+    // (Multimodal.lshPlaneSign), so DuckDB rebuilds the identical buckets.
+    Q("ann_lsh_bucket",
+      s"""WITH ${lshOracleCtes(nBands = 8, bandBits = 4)},
+         |r AS (SELECT a_id, b_id, sim,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rnk
+         |  FROM sims)
+         |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk,
+         |  round(sim, 3) AS sim3
+         |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       lshCandidates(s, d, probeLimit = 50)
         .withColumn("rnk", row_number().over(w))
@@ -307,26 +316,33 @@ object LlmOps {
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
           col("rnk"), round(col("sim"), 3).as("sim3"))
         .orderBy("vec_id", "rnk")
-    }, None),
+    },
 
     // the 100 TB form of knn_label: majority label over the LSH candidate
     // set instead of the brute-force all-pairs scan — same vote windows as
     // knn_label, candidates from the same banded join as ann_lsh_bucket.
     // A probe whose buckets surface fewer than 5 candidates votes over
-    // what it has (standard ANN behavior). Engine-specific hash in the
-    // bucketing => rows-only; label agreement vs brute-force knn_label is
-    // gated in MlSpec.
-    Q("knn_label_ann", { (s: SparkSession, d: String) =>
+    // what it has (standard ANN behavior). Oracled hash-exact since r12
+    // (deterministic hash-sign planes); label agreement vs brute-force
+    // knn_label additionally gated in MlSpec.
+    Q("knn_label_ann",
+      s"""WITH ${lshOracleCtes(nBands = 10, bandBits = 3)},
+         |top5 AS (SELECT * FROM sims
+         |  QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) <= 5),
+         |votes AS (SELECT a_id, b_lbl, count(*) AS votes FROM top5 GROUP BY a_id, b_lbl)
+         |SELECT a_id AS vec_id, b_lbl AS pred_label, votes FROM votes
+         |QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY votes DESC, b_lbl) = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val wTop = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       val wVote = Window.partitionBy("a_id").orderBy(col("votes").desc, col("b_lbl"))
-      // COARSER bands than ann_lsh_bucket (8×3-bit vs 6×4-bit from the
-      // same 24-bit signature — FEWER bits per band ⇒ more collisions per
+      // COARSER bands than ann_lsh_bucket (10×3-bit vs 8×4-bit from the
+      // same 32-bit signature — FEWER bits per band ⇒ more collisions per
       // band ⇒ a wider candidate set): a LABEL vote needs the top-5
       // neighbor set to be near-exact, so the candidate join trades more
       // candidates for the recall the vote requires. To tune recall UP,
       // reduce bits per band or add bands; adding bits per band collapses
-      // recall (see lshSignatureUdf's measurements).
-      lshCandidates(s, d, probeLimit = 50, nBands = 8, bandBits = 3)
+      // recall (see lshSigExpr's measurements).
+      lshCandidates(s, d, probeLimit = 50, nBands = 10, bandBits = 3)
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5)
         .groupBy("a_id", "b_lbl").agg(count(lit(1)).as("votes"))
@@ -334,7 +350,7 @@ object LlmOps {
         .filter(col("vr") === 1)
         .select(col("a_id").as("vec_id"), col("b_lbl").as("pred_label"), col("votes"))
         .orderBy("vec_id")
-    }, None),
+    },
 
     // ANN variant 2 — IVF: seeded KMeans coarse quantizer, probe the
     // nProbe nearest centroids, exact cosine re-rank of candidates only.
@@ -770,12 +786,15 @@ object LlmOps {
   }
 
   /** Shared LSH candidate generator for `ann_lsh_bucket` / `knn_label_ann`:
-    * 24 deterministic hyperplanes -> banded buckets -> banded equi-join of
-    * the bounded probe set (vec_id < probeLimit, broadcast) against the
-    * full corpus. Returns one row per DISTINCT (probe, candidate) pair as
-    * (a_id, b_id, b_lbl, sim) — never an all-pairs product: a pair appears
-    * only if some band collides, and the join is shuffle-parallel on
-    * (band index, band value) with the probe side broadcast.
+    * 32 deterministic ±1 hash-sign hyperplanes over ×10⁶-quantized integer
+    * components (Multimodal.lshSigExpr — bit-exact cross-engine, so both
+    * consumers oracle hash-exact since r12) -> banded buckets -> banded
+    * equi-join of the bounded probe set (vec_id < probeLimit, broadcast)
+    * against the full corpus. Returns one row per DISTINCT (probe,
+    * candidate) pair as (a_id, b_id, b_lbl, sim) — never an all-pairs
+    * product: a pair appears only if some band collides, and the join is
+    * shuffle-parallel on (band index, band value) with the probe side
+    * broadcast.
     *
     * The exact cosine is computed MAP-SIDE, in the broadcast join's output
     * projection, and the multi-band duplicates are then collapsed by an
@@ -787,12 +806,35 @@ object LlmOps {
     * expression on identical inputs, so the collapsed value is THE value,
     * deterministically.
     */
+  /** DuckDB CTE twin of [[lshCandidates]] up to `sims(a_id, b_id, b_lbl,
+    * sim)`: quantize → 32-plane hash-sign signature → banded buckets →
+    * distinct candidate pairs (probe side vec_id < 50) → exact cosine.
+    * Generated from the same (nBands, bandBits) the Spark side uses, so
+    * the twins cannot drift; the signature arithmetic is
+    * Multimodal.lshSigSql — integer-exact, bit-identical to lshSigExpr.
+    */
+  private def lshOracleCtes(nBands: Int, bandBits: Int): String = {
+    val mask = (1 << bandBits) - 1
+    s"""qq AS (SELECT vec_id, label, ${Multimodal.quantizeSql} AS qv FROM embeddings),
+       |sg AS (SELECT vec_id, label, ${Multimodal.lshSigSql} AS sig FROM qq),
+       |bands AS (SELECT vec_id, label, bi, (sig >> (bi * $bandBits)) & $mask AS bv
+       |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${nBands - 1})) AS bi) bb),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS b_lbl
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 50),
+       |sims AS (SELECT c.a_id, c.b_id, c.b_lbl, ${TextSim.cosineSql("a", "b")} AS sim
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+       |    JOIN embeddings b ON b.vec_id = c.b_id)""".stripMargin
+  }
+
   private def lshCandidates(s: SparkSession, d: String, probeLimit: Int,
-      nBands: Int = 6, bandBits: Int = 4): org.apache.spark.sql.DataFrame = {
-    require(nBands * bandBits <= 24, "signature is 24 bits")
+      nBands: Int = 8, bandBits: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(nBands * bandBits <= 32, "signature is 32 bits")
     graft.functions.DotProduct.register(s)
-    val sigU = Multimodal.lshSignatureUdf
-    val e = Tables.embeddings(s, d).withColumn("sig", sigU(col("embedding")))
+    val e = Tables.embeddings(s, d)
+      .withColumn("qv", expr(Multimodal.quantizeExpr))
+      .withColumn("sig", expr(Multimodal.lshSigExpr))
+      .drop("qv")
     val bands = e.select(col("vec_id"), col("embedding"), col("label"), col("sig"),
       explode(expr(s"array(${(0 until nBands).mkString(", ")})")).as("bi"))
       .withColumn("bv", expr(s"(shiftright(sig, bi * $bandBits)) & ${(1 << bandBits) - 1}"))

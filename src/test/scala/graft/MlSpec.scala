@@ -57,9 +57,12 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"recovered only $found of $planted planted pairs")
   }
 
-  // gates pinned at ~80% of recall measured in round 7 (LSH 0.593 with
-  // 24 planes / 6x4-bit bands; IVF 0.440 with nProbe=3) so a silent
-  // regression to near-random bucketing fails loudly
+  // gates pinned at ~70-80% of measured recall (r12 derandomized planes:
+  // LSH 0.66 with 32 hash-sign planes / 8x4-bit bands; IVF 0.440 with
+  // nProbe=3) so a silent regression to near-random bucketing fails
+  // loudly. These are SEMANTIC gates on top of the DuckDB hash-exact
+  // oracle both LSH keys also carry since r12: the oracle proves the
+  // buckets are reproduced bit-for-bit, this proves they are USEFUL.
   test("LSH ANN keeps recall >= 0.45 vs brute-force top-3") {
     val ann = SparkEntry.queries("ann_lsh_bucket")(s, d)
       .select("vec_id", "neighbor_id")
@@ -72,11 +75,11 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
 
   test("knn_label_ann agrees with brute-force knn_label on >= 80% of probes") {
     // the ANN-candidate vote must reproduce the exact-scan vote for most
-    // probes: neighbor SETS differ (LSH recall@3 ~0.59) but the majority
-    // LABEL is far more stable than the neighbor list. 0.80 is the
-    // round-9 measured agreement (0.90, with the coarser 8×3-bit vote
-    // bands) less a safety margin — a regression to random bucketing
-    // (~1/|labels| agreement) fails loudly.
+    // probes: neighbor SETS differ but the majority LABEL is far more
+    // stable than the neighbor list. r12 measured agreement 0.88 with the
+    // derandomized 32-plane / 10×3-bit vote bands (the r7 Gaussian 8×3
+    // shape measured 0.90); 0.80 keeps the same safety margin — a
+    // regression to random bucketing (~1/|labels| agreement) fails loudly.
     val ann = SparkEntry.queries("knn_label_ann")(s, d)
       .select(col("vec_id"), col("pred_label").as("ann_lbl"))
     val brute = SparkEntry.queries("knn_label")(s, d)
