@@ -563,9 +563,17 @@ object Curation {
     * identical shape. Shape: map-side fold/label tagging + ONE combinable
     * aggregate to a 50-row matrix + a 5-row broadcast join — scale-free.
     */
+  /** The ONE fold-assignment formula behind `ml_folds` and `ml_score`:
+    * Knuth-hash(vec_id) mod 5, decimal-before-multiply (see mlFolds
+    * scaladoc for why not vec_id % 5). Identical text on both engines. */
+  private val foldExpr =
+    "cast(cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint) % 5 as int)"
+  private val foldSql =
+    "CAST(CAST(CAST(vec_id AS DECIMAL(19,0)) * 2654435761 % 4294967296 AS BIGINT) % 5 AS INT)"
+
   private val mlFolds = Q("ml_folds",
     s"""WITH f AS (SELECT
-       |    CAST(CAST(CAST(vec_id AS DECIMAL(19,0)) * 2654435761 % 4294967296 AS BIGINT) % 5 AS INT) AS fold,
+       |    $foldSql AS fold,
        |    label FROM embeddings),
        |m AS (SELECT fold, label, count(*) AS n FROM f GROUP BY fold, label),
        |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_n FROM m GROUP BY fold)
@@ -574,8 +582,7 @@ object Curation {
        |FROM m JOIN t ON m.fold = t.fold
        |ORDER BY m.fold, m.label""".stripMargin) { (s, d) =>
     val f = Tables.embeddings(s, d).select(
-      expr("cast(cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint) % 5 as int)")
-        .as("fold"),
+      expr(foldExpr).as("fold"),
       col("label"))
     val m = f.groupBy("fold", "label").agg(count(lit(1)).as("n"))
     val t = m.groupBy("fold").agg(sum("n").as("fold_n"))
@@ -585,8 +592,76 @@ object Curation {
       .orderBy("fold", "label")
   }
 
+  /** Deterministic ML-inference under the oracle (r12) — the keyed twin
+    * of the MlSpec RF pipeline, on the same derived separable target (the
+    * sign of the first embedding component; the fixture's `label` column
+    * is independent of the vectors, so supervised structure must come
+    * from a derived target): a nearest-centroid classifier FIT on the
+    * ml_folds train split (folds 1–4) and SCORED on the held-out fold 0,
+    * entirely in exact ×10⁶-quantized integer space. The per-class score
+    * is the exact integer 2·x·μ_c − |μ_c|² (the monotone twin of
+    * −|x−μ_c|², all BIGINT), fold assignment is the shared Knuth-hash
+    * formula, and centroid means use truncating integer division
+    * (`div`/`//`, the kmeans_iter discipline) — every output column is an
+    * exact integer, so the full fit+score pipeline hash-matches DuckDB.
+    * Shape at scale: fit = ONE combinable (class, pos) aggregate reduced
+    * to a 2×64 model table, model broadcast back, scoring map-side with a
+    * combinable struct-argmax — the standard broadcast-inference plan; no
+    * driver round-trip. Holdout accuracy (0.87 at sf0.01, 0.92 at sf0.1)
+    * gated > majority and ≥ 0.7 in MlSpec.
+    */
+  private val mlScore = Q("ml_score",
+    s"""WITH q AS (SELECT vec_id, $foldSql AS fold,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |t AS (SELECT vec_id, fold, qv,
+       |    CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END AS target FROM q),
+       |u AS (SELECT target, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos
+       |  FROM t WHERE fold <> 0),
+       |cl AS (SELECT target AS c, pos, CAST(sum(x) // count(*) AS BIGINT) AS cve
+       |  FROM u GROUP BY target, pos),
+       |cent AS (SELECT c, list(cve ORDER BY pos) AS cv FROM cl GROUP BY c),
+       |sc AS (SELECT t.vec_id, t.target, c.c,
+       |    CAST(2 * list_sum(list_transform(generate_series(1, 64), i -> t.qv[i] * c.cv[i]))
+       |       - list_sum(list_transform(generate_series(1, 64), i -> c.cv[i] * c.cv[i])) AS BIGINT) AS s
+       |  FROM t CROSS JOIN cent c WHERE t.fold = 0),
+       |r AS (SELECT vec_id, target, c, s,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn FROM sc)
+       |SELECT vec_id, CAST(target AS INT) AS target, CAST(c AS INT) AS pred,
+       |  s AS score, CAST(CASE WHEN c = target THEN 1 ELSE 0 END AS INT) AS correct
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val q = graft.Caching.ensureCached(Tables.embeddings(s, d).select(
+      col("vec_id"), expr(foldExpr).as("fold"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+        .as("qv"))
+      .withColumn("target", expr("case when element_at(qv, 1) > 0 then 1 else 0 end")))
+    val cl = q.filter(col("fold") =!= 0)
+      .select(col("target").as("c"), posexplode(col("qv")))
+      .groupBy("c", "pos")
+      .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
+    // collect_list order is partition-dependent; array_sort on the
+    // (pos, cve) struct restores the deterministic component order
+    val cent = cl.groupBy("c")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cve))), x -> x.cve)").as("cv"))
+    val sc = q.filter(col("fold") === 0)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("target"), col("c"),
+        expr("""cast(2 * aggregate(zip_with(qv, cv, (a, b) -> a * b),
+               |  cast(0 as bigint), (acc, v) -> acc + v)
+               |  - aggregate(cv, cast(0 as bigint), (acc, v) -> acc + v * v)
+               |  as bigint)""".stripMargin).as("s"))
+    // argmax class by (score desc, class asc) as a COMBINABLE aggregate:
+    // min(struct(-s, c)) — no per-vector window pass (kmeans_iter shape)
+    sc.groupBy(col("vec_id"), col("target"))
+      .agg(min(struct((-col("s")).as("ns"), col("c"))).as("m"))
+      .select(col("vec_id"), col("target").cast("int").as("target"),
+        col("m.c").cast("int").as("pred"), (-col("m.ns")).as("score"),
+        expr("cast(case when m.c = target then 1 else 0 end as int)").as("correct"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
-    eventsTransitions, mlFolds, invertedIndex)
+    eventsTransitions, mlFolds, mlScore, invertedIndex)
 }

@@ -212,6 +212,25 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(acc >= 0.7, s"accuracy $acc")
   }
 
+  test("ml_score holdout accuracy beats majority (deterministic inference path)") {
+    // the oracled fit+score twin of the RF pipeline above: same derived
+    // separable target, but a nearest-centroid model in exact integer
+    // space scored on the held-out ml_folds fold 0 — accuracy must beat
+    // the majority class (numpy re-derivation r12: 0.79 sf0.001 / 0.87
+    // sf0.01 / 0.92 sf0.1; majority ~0.5) and clear the RF test's 0.7 bar
+    val out = SparkEntry.queries("ml_score")(s, d)
+    val n = out.count().toDouble
+    assert(n > 0)
+    val acc = out.filter(col("correct") === 1).count() / n
+    val majority = {
+      val pos = out.filter(col("target") === 1).count().toDouble / n
+      math.max(pos, 1 - pos)
+    }
+    info(f"ml_score holdout accuracy: $acc%.3f (majority $majority%.3f, n=${n.toInt})")
+    assert(acc > majority, s"accuracy $acc did not beat majority $majority")
+    assert(acc >= 0.7, s"accuracy $acc")
+  }
+
   test("schema-first CSV and JSON-lines ingest round-trips") {
     import graft.sources.Sources
     import org.apache.spark.sql.types._
