@@ -536,6 +536,38 @@ object Stats {
     }, None)
 
 
+  /** The ORACLED exact companion of [[aggApproxPercentile]] (split out
+    * r12 so the rows-only set shrinks where the math allows): the same
+    * lineitem price quartiles through the same distributed
+    * [[graft.operators.ExactQuantiles]] order-statistics pass, but
+    * WITHOUT the engine-specific GK sketch riding alongside — quartile
+    * cuts on integer cents interpolate at exact quarter points, so the
+    * ×4-scaled values are exact BIGINTs and `quantile_cont` rebuilds them
+    * bit-for-bit (the skew_profile discipline). agg_approx_percentile
+    * keeps exhibiting the sketch error next to these values; this key
+    * pins the exact side under the driver's hash.
+    */
+  private val aggQuartilesExact = Q("agg_quartiles_exact",
+    s"""WITH t AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS vi FROM lineitem),
+       |q AS (SELECT CAST(quantile_cont(vi, 0.25) * 4 AS BIGINT) AS q1,
+       |    CAST(quantile_cont(vi, 0.5) * 4 AS BIGINT) AS q2,
+       |    CAST(quantile_cont(vi, 0.75) * 4 AS BIGINT) AS q3 FROM t)
+       |SELECT p, exact_x4, CAST(exact_x4 AS DOUBLE) / 4 AS exact_cents FROM (
+       |  SELECT CAST(0.25 AS DOUBLE) AS p, q1 AS exact_x4 FROM q
+       |  UNION ALL SELECT CAST(0.5 AS DOUBLE), q2 FROM q
+       |  UNION ALL SELECT CAST(0.75 AS DOUBLE), q3 FROM q) s
+       |ORDER BY p""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val t = Tables.lineitem(s, d)
+      .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("vi"))
+    val exact = graft.operators.ExactQuantiles
+      .scaled(t, "vi", Seq(0.25, 0.5, 0.75), 4)
+    Seq(0.25, 0.5, 0.75).zip(exact)
+      .map { case (p, q4) => (p, q4, q4.toDouble / 4) }
+      .toDF("p", "exact_x4", "exact_cents")
+      .orderBy("p")
+  }
+
   /** Join-key skew diagnostic: the distribution of per-key row counts for
     * a prospective join key (orders per customer) — octile quantiles, max
     * and key cardinality. THE question this answers at 100 TB is "does
@@ -731,6 +763,7 @@ object Stats {
 
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
-    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile, skewProfile,
+    eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
+    aggQuartilesExact, skewProfile,
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, tokenPmi)
 }
