@@ -46,89 +46,60 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stage warm-up failed: ${e.getMessage}")
     }
-    val wa = spark.range(100000).selectExpr("id % 100 as k", "id as v")
-    val wb = spark.range(1000).selectExpr("id as k2", "id as v2")
-    wa.join(wb, wa("k") === wb("k2")).groupBy("k").count()
-      .write.format("noop").mode("overwrite").save()
-    // the tiny build side auto-broadcasts above, so that join only warms
-    // BroadcastHashJoin — hint merge to load SortMergeJoinExec too
-    wa.join(wb.hint("merge"), wa("k") === wb("k2")).groupBy("k").count()
-      .write.format("noop").mode("overwrite").save()
-    wa.selectExpr("k", "v",
-        "row_number() over (partition by k order by v) as rn",
-        "sum(v) over (partition by k order by v rows between 1 preceding and current row) as rs")
-      .filter("rn <= 2").write.format("noop").mode("overwrite").save()
-    // r9 driver run showed fn_json (9.1 s vs 1.9 s isolated median) and
-    // bpe_pair_counts (9.1 vs 0.8) absorbing first-touch JIT of the
-    // JSON-path and substring/sequence codegen classes, which none of the
-    // warmups above load — touch both expression families once
-    spark.range(20000)
-      .selectExpr("concat('{\"a\":{\"b\":', id, '}}') as j")
-      .selectExpr("get_json_object(j, '$.a.b') as v",
-        "from_json(j, 'a struct<b:bigint>') as s")
-      .write.format("noop").mode("overwrite").save()
-    // decimal aggregation paths (sum/avg over DECIMAL(18,6) with arithmetic)
-    // JIT separately from the long/double agg warmed above — agg_hash_sum
-    // (TPC-H Q1 shape, first heavy decimal query alphabetically) otherwise
-    // absorbs their first-touch
-    spark.range(100000)
-      .selectExpr("cast(id as decimal(18,6)) as d", "id % 3 as g")
-      .groupBy("g")
-      .agg(org.apache.spark.sql.functions.expr("sum(d * (1 - d))"),
-        org.apache.spark.sql.functions.expr("avg(d)"))
-      .write.format("noop").mode("overwrite").save()
-    spark.range(20000)
-      .selectExpr("concat('tok', id % 97, ' x y z') as t")
-      .selectExpr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)) as grams")
-      .selectExpr("explode(grams) as g").groupBy("g").count()
-      .write.format("noop").mode("overwrite").save()
-    // r10 expression families with their own codegen classes: banded
-    // 3-arg levenshtein (variant-edge kernel; no benchmarked query uses
-    // the 2-arg form anymore) and posexplode (kmeans_iter centroid
-    // update) — first touch otherwise lands on whichever consumer runs
-    // first. Both expressions feed the aggregate so neither is pruned.
-    spark.range(5000)
-      .selectExpr("concat('name', id % 50) as a", "concat('name', (id + 1) % 50) as b")
-      .selectExpr("levenshtein(a, b, 2) as lv3",
-        "posexplode(array(length(a), length(b)))")
-      .groupBy("lv3").count()
-      .write.format("noop").mode("overwrite").save()
-    // warm the gram-pipeline operator classes too (higher-order transform +
-    // explode + distinct + window + cached self-join + CC): whichever dedup
-    // query ran first otherwise absorbed their one-time JIT — measured 8.8 s
-    // first-touch vs 2.2 s steady-state for the identical cold query (r9).
-    // Prefer the sibling sf0.001 fixture (warmup ~1 s); if the layout
-    // doesn't have one, warm on sfDir itself — a one-time cost outside the
-    // timed region beats skewing the first dedup query. Caches are cleared
-    // before timing either way.
+    // ONE data-driven warm list (consolidated r12 from ~110 lines of
+    // accreted synthetic-shape warms): run each listed REAL query once,
+    // untimed, against the tiny sf0.001 sibling. The r10 lesson stands —
+    // synthetic shapes don't load every codegen class the real plans
+    // compile, so each family below is warmed by a real query that plans
+    // through it (~0.1-1.5 s each at sf0.001; same generated classes,
+    // negligible data). Caches are cleared before the timed loop.
+    val warmQueries = Seq(
+      // measured r10 in-suite outliers (>2× isolated medians before being
+      // warmed: agg_hash_sum 12.11 s vs 1.80, agg_collect_list 9.32 vs
+      // 1.34, …) — decimal agg, sorted collect_list, PMI/broadcast,
+      // pair-graph degree, basket explosion, ExactQuantiles families
+      "agg_hash_sum", "agg_collect_list", "token_pmi", "graph_degree",
+      "basket_lift", "histogram_equidepth",
+      // operator families the rounds 4-10 synthetic warms used to cover:
+      // SortMergeJoin + broadcast join, WindowExec + running frames,
+      // JSON-path codegen (r9: fn_json 9.1 s vs 1.9 isolated),
+      // substring/sequence grams (r9: bpe_pair_counts 9.1 vs 0.8),
+      // banded 3-arg levenshtein + CC, posexplode centroid update
+      "join_sortmerge", "window_frame_rows", "fn_json", "bpe_pair_counts",
+      "dedup_name_variants", "kmeans_iter",
+      // session_window plans through UpdatingSessions/MergingSessions
+      // classes nothing else loads (r11: 2.39 s first-touch vs 0.7 warm)
+      "stream_session",
+      // gram/dedup pipeline (HOF transform + explode + distinct + window +
+      // cached self-join + CC): 8.8 s first-touch vs 2.2 steady (r9)
+      "dedup_cluster",
+      // 4-gram broadcast-probe family (r12 profile: 7.28 s cold / 1.1 s
+      // steady isolated; 1.73 s residual after dedup_cluster's 3-gram
+      // warm; 0.9-1.2 s from the first timed run with this entry)
+      "decontaminate")
+    // a renamed key here is a code bug — fail the bench loudly, don't
+    // silently skip the warm and re-skew whichever query absorbed it
+    warmQueries.foreach(q => require(SparkEntry.queries.contains(q),
+      s"warm-up list names unknown query '$q'"))
+    // Prefer the sibling sf0.001 fixture; if the layout doesn't have one,
+    // warm on sfDir itself — a one-time cost outside the timed region
+    // beats skewing the first queries of each family, but it ALSO
+    // pre-warms the OS page cache for the very scans being timed, so say
+    // so loudly rather than report flattered numbers silently.
     val warmDir = {
       val sibling = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
-      if (sibling != sfDir && new java.io.File(sibling).isDirectory) sibling else sfDir
+      if (sibling != sfDir && new java.io.File(sibling).isDirectory) sibling
+      else {
+        System.err.println(s"[bench] NOTE: no sf0.001 sibling for $sfDir — " +
+          "warming on the benched dir itself; timed scans are page-cache-warm")
+        sfDir
+      }
     }
-    try SparkEntry.queries("dedup_cluster")(spark, warmDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => // warmup must never fail the bench, but a
-      // silent skip would quietly re-skew the first dedup query's timing
-      System.err.println(s"[bench] WARM-UP SKIPPED ($warmDir): ${e.getMessage}")
-    }
-    // The r10 driver run still showed 6 queries at >2× their isolated
-    // medians (agg_hash_sum 12.11 s vs 1.80, agg_collect_list 9.32 vs
-    // 1.34, token_pmi, graph_degree, basket_lift, histogram_equidepth)
-    // despite the synthetic family warm-ups above — the synthetic shapes
-    // evidently don't load every codegen class the real plans compile.
-    // Run EXACTLY those queries once, untimed, against the tiny sf0.001
-    // sibling (~0.1-0.5 s each warm): same generated classes, same
-    // operator pipeline, negligible data. Caches are cleared before the
-    // timed loop either way.
-    // stream_session rides along: its batch session_window plans through
-    // UpdatingSessions/MergingSessions operator classes nothing else
-    // loads — measured 2.39 s first-touch vs 0.68-0.73 s warm (r11).
-    Seq("agg_hash_sum", "agg_collect_list", "token_pmi", "graph_degree",
-        "basket_lift", "histogram_equidepth", "stream_session").foreach { q =>
+    warmQueries.foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case e: Throwable => // an env failure must not kill the bench,
+        // but a silent skip would quietly re-skew that family's first query
         System.err.println(s"[bench] WARM-UP SKIPPED $q ($warmDir): ${e.getMessage}")
       }
     }

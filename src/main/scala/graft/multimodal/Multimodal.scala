@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star `[N]`): image/audio/video are
@@ -78,41 +79,61 @@ object Multimodal {
     if (g < BigInt(2147483648L)) 1L else -1L
   }
 
-  /** ×10⁶ quantization of the float embedding to exact BIGINT components —
-    * the shared prepass (`qv` column) under [[lshSigExpr]]; the same
+  /** DuckDB-side ×10⁶ quantization of the float embedding to exact BIGINT
+    * components — the `qv` prepass under [[lshSigSql]]; the same
     * round-half-up formula `embedding_project` uses, so a signature bit is
     * a comparison of an exact integer sum, never a float threshold. */
-  val quantizeExpr: String =
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
-
-  /** DuckDB twin of [[quantizeExpr]]. */
   val quantizeSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
 
   /** 32 deterministic ±1 hyperplanes packed into a 32-bit sign signature —
     * the bucketing primitive for LSH ANN (`ann_lsh_bucket` 8×4-bit bands,
     * `knn_label_ann` 10×3-bit). Plane family DERANDOMIZED round 12 from
-    * seeded Gaussians to [[lshPlaneSign]] hash signs over [[quantizeExpr]]
+    * seeded Gaussians to [[lshPlaneSign]] hash signs over ×10⁶-quantized
     * integer components, which makes the signature — and therefore both
     * ANN keys — bit-exact cross-engine and fully oracle-checkable. Shapes
     * re-swept r12 on the fixture (sf0.001, 50 probes): ann 8×4 recall@3
     * 0.66 at 41% avg candidates (6×4: 0.58/33%); knn 10×3 label agreement
     * 0.88 at 72% (the r7 8×3 shape fell to 0.74 under ±1 planes — hash
     * signs discriminate slightly worse than Gaussians per plane, so both
-    * keys buy recall back with more planes, not coarser bands). Evaluates
-    * over a `qv` BIGINT-array column as ONE flat codegen'd expression
-    * (32 × 64 signed adds) — the nested-HOF form is not codegen'd and
-    * measured ~14× slower on the JL twin.
+    * keys buy recall back with more planes, not coarser bands).
+    *
+    * WHY A UDF and not the flat-literal codegen expression
+    * embedding_project uses: at 8×64 = 512 terms the flat form is the fast
+    * path, but this signature is 32×64 = 2048 terms + 32 case-whens, and
+    * that ~4k-node tree gets duplicated into both join branches of the
+    * banded candidate join — measured r12 at sf0.1: 5.3 s initial
+    * planning, ~5 s STEADY per run (AQE re-optimizes the tree per stage
+    * and Janino recompiles the giant generated methods), vs ~1 s total
+    * with this compiled UDF computing the identical integer arithmetic.
+    * The sign matrix is built once from [[lshPlaneSign]] — the same
+    * formula the DuckDB twin [[lshSigSql]] evaluates inline, so the
+    * hash-exact oracle parity is unchanged (verified at sf0.01).
     */
-  lazy val lshSigExpr: String = (0 until 32).map { p =>
-    val terms = (0 until 64).map { j =>
-      val sign = if (lshPlaneSign(p, j) > 0) "+" else "-"
-      s"$sign element_at(qv, ${j + 1})"
-    }.mkString(" ").stripPrefix("+ ")
-    s"(case when ($terms) > 0 then shiftleft(cast(1 as bigint), $p) else cast(0 as bigint) end)"
-  }.mkString("(", " + ", ")")
+  lazy val lshSigUdf: UserDefinedFunction = {
+    val signs: Array[Array[Long]] =
+      Array.tabulate(32, 64)((p, j) => lshPlaneSign(p, j))
+    udf((emb: Seq[Float]) => {
+      var sig = 0L
+      var p = 0
+      val n = math.min(emb.length, 64)
+      while (p < 32) {
+        val row = signs(p)
+        var acc = 0L
+        var j = 0
+        while (j < n) {
+          // exact ×10⁶ round-half-up quantization, same as quantizeSql
+          acc += row(j) * math.floor(emb(j).toDouble * 1000000d + 0.5d).toLong
+          j += 1
+        }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+  }
 
-  /** DuckDB twin of [[lshSigExpr]] (nested-HOF form over a `qv` column —
+  /** DuckDB twin of [[lshSigUdf]] (nested-HOF form over a `qv` column —
     * oracle-side only, where the 500-row sf0.01 corpus makes the
     * per-element lambda cost irrelevant). The repeated Knuth-hash
     * subexpression is [[lshPlaneSign]]'s `h` — a lambda can't bind a

@@ -298,7 +298,7 @@ object LlmOps {
     // ANN: 32 deterministic ±1 hash-sign hyperplanes -> 8x4-bit band
     // buckets -> candidate equi-join -> exact cosine re-rank, top-3. The
     // 100 TB path for similarity search (recall vs brute force asserted in
-    // MlSpec; band shape re-swept r12 — see lshSigExpr scaladoc).
+    // MlSpec; band shape re-swept r12 — see lshSigUdf scaladoc).
     // Oracled hash-exact since r12: the signature is integer arithmetic
     // (Multimodal.lshPlaneSign), so DuckDB rebuilds the identical buckets.
     Q("ann_lsh_bucket",
@@ -341,7 +341,7 @@ object LlmOps {
       // neighbor set to be near-exact, so the candidate join trades more
       // candidates for the recall the vote requires. To tune recall UP,
       // reduce bits per band or add bands; adding bits per band collapses
-      // recall (see lshSigExpr's measurements).
+      // recall (see lshSigUdf's measurements).
       lshCandidates(s, d, probeLimit = 50, nBands = 10, bandBits = 3)
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5)
@@ -787,7 +787,7 @@ object LlmOps {
 
   /** Shared LSH candidate generator for `ann_lsh_bucket` / `knn_label_ann`:
     * 32 deterministic ±1 hash-sign hyperplanes over ×10⁶-quantized integer
-    * components (Multimodal.lshSigExpr — bit-exact cross-engine, so both
+    * components (Multimodal.lshSigUdf — bit-exact cross-engine, so both
     * consumers oracle hash-exact since r12) -> banded buckets -> banded
     * equi-join of the bounded probe set (vec_id < probeLimit, broadcast)
     * against the full corpus. Returns one row per DISTINCT (probe,
@@ -811,7 +811,7 @@ object LlmOps {
     * distinct candidate pairs (probe side vec_id < 50) → exact cosine.
     * Generated from the same (nBands, bandBits) the Spark side uses, so
     * the twins cannot drift; the signature arithmetic is
-    * Multimodal.lshSigSql — integer-exact, bit-identical to lshSigExpr.
+    * Multimodal.lshSigSql — integer-exact, bit-identical to lshSigUdf.
     */
   private def lshOracleCtes(nBands: Int, bandBits: Int): String = {
     val mask = (1 << bandBits) - 1
@@ -832,9 +832,7 @@ object LlmOps {
     require(nBands * bandBits <= 32, "signature is 32 bits")
     graft.functions.DotProduct.register(s)
     val e = Tables.embeddings(s, d)
-      .withColumn("qv", expr(Multimodal.quantizeExpr))
-      .withColumn("sig", expr(Multimodal.lshSigExpr))
-      .drop("qv")
+      .withColumn("sig", Multimodal.lshSigUdf(col("embedding")))
     val bands = e.select(col("vec_id"), col("embedding"), col("label"), col("sig"),
       explode(expr(s"array(${(0 until nBands).mkString(", ")})")).as("bi"))
       .withColumn("bv", expr(s"(shiftright(sig, bi * $bandBits)) & ${(1 << bandBits) - 1}"))
