@@ -156,9 +156,11 @@ object Tables {
     *   - `ts_ntz` : TIMESTAMP_NTZ at microsecond precision.
     * All derivations are TIMEZONE-INDEPENDENT (timestampdiff/timestampadd
     * against a TIMESTAMP_NTZ epoch literal — verified to produce identical
-    * values under an America/New_York session), so Bench — which does not
-    * pin spark.sql.session.timeZone the way Verify/tests do — can never
-    * derive shifted values. DuckDB 1.0 reads the same column as naive
+    * values under an America/New_York session). Every entry point
+    * (Verify, Bench, tests) additionally pins spark.sql.session.timeZone
+    * to UTC, but correctness does not depend on that: the derivation
+    * cannot shift values under ANY session TZ by construction.
+    * DuckDB 1.0 reads the same column as naive
     * TIMESTAMP at µs precision either way, so every oracle comparison runs
     * in the µs domain with identical values.
     */

@@ -283,8 +283,14 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map { case (t, ids) => (t, ids.length.toLong, ids.take(8)) }
       .sortBy { case (t, df, _) => (-df, t) }.take(100)
     val res = run("inverted_index").collect()
-      .map(r => (r.getString(0), r.getLong(1),
-        r.getString(2).split(",").map(_.toLong).toSeq))
+      .map { r =>
+        // rn=1 always survives the rn<=8 posting cap, so postings can never
+        // be empty today — assert it so a future cap/filter change fails
+        // with a clear message instead of a NumberFormatException on ""
+        assert(r.getString(2).nonEmpty, s"empty postings for token ${r.getString(0)}")
+        (r.getString(0), r.getLong(1),
+          r.getString(2).split(",").map(_.toLong).toSeq)
+      }
     assert(res.toSeq == want, "posting lists diverge from brute force")
     assert(res.forall(_._3.length <= 8), "posting cap must hold")
     assert(res.exists(_._2 > 8), "some token must have df beyond the cap")

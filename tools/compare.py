@@ -92,11 +92,14 @@ def driver_canon(tbl, side, key):
     before hashing, so anything that makes it throw there must throw HERE --
     round 9 (Decimal) and round 10 (ARRAY outputs -> 'unhashable type:
     numpy.ndarray' in sort_values) both slipped through because the local
-    gate skipped this step. Returns the canonicalized frame; raises
-    whatever pandas raises."""
-    pdf = tbl.to_pandas()
-    cols = sorted(pdf.columns)
-    return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+    gate skipped this step. Returns the canonicalized frame; re-raises
+    whatever pandas raises, tagged with which side/key it came from."""
+    try:
+        pdf = tbl.to_pandas()
+        cols = sorted(pdf.columns)
+        return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+    except Exception as e:
+        raise type(e)(f"driver_canon failed on {side} result of '{key}': {e}") from e
 
 
 def selftest():
