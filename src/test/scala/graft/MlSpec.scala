@@ -231,6 +231,44 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(acc >= 0.7, s"accuracy $acc")
   }
 
+  test("custom DSv2 sheet TableProvider: parallel tab read + column pruning") {
+    // the §2.1 external-ingest analogy made concrete: a Sheets-style
+    // workbook (dir of header-first TSV tabs) read through a custom
+    // TableProvider — schema inferred from the header, one InputPartition
+    // per tab, and SupportsPushDownRequiredColumns pruning verified both
+    // in the plan and by row parity with the fixture
+    val dir = new java.io.File("target/tmp/sheet_spec")
+    dir.mkdirs()
+    // stale tabs from a previous run would duplicate rows — remove files
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // two tabs: even/odd doc_ids — the read must union them
+    Seq(0, 1).foreach { par =>
+      val rows = docs.filter(_._1 % 2 == par)
+        .map { case (id, lang, nc) => s"$id\t$lang\t$nc" }
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"tab$par.tsv").toPath,
+        ("doc_id\tlang\tn_chars" +: rows).mkString("\n").getBytes("UTF-8"))
+    }
+    val df = s.read.format("graft.sources.SheetSourceProvider")
+      .load(dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(df.rdd.getNumPartitions == 2, "one partition per worksheet tab")
+    // full-row parity with the fixture (string cells CAST in the query
+    // layer, the spreadsheet schema-on-read model)
+    val back = df.select(col("doc_id").cast("long"), col("lang"),
+        col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(back.toSeq == docs.toSeq, "sheet read must round-trip the fixture")
+    // pruning gate: a 1-column projection must reach the scan
+    val pruned = df.select("lang")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("readSchema=lang"),
+      s"projection did not reach the sheet scan:\n$scanDesc")
+    assert(pruned.distinct().count() == 5)
+  }
+
   test("schema-first CSV and JSON-lines ingest round-trips") {
     import graft.sources.Sources
     import org.apache.spark.sql.types._
