@@ -23,7 +23,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "graph_pagerank", "embedding_cluster", "drift_psi",
   "sim_signbit_hamming", "kmeans_iter", "bpe_apply_merge",
   "inverted_index", "token_pmi", "resample_ffill",
-  "embedding_project")
+  "embedding_project",
+  "ann_lsh_bucket", "ml_score", "agg_quartiles_exact")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -72,7 +73,7 @@ executed plans):
   map-side partial aggregate, a `BroadcastHashJoin` against the 5-row
   per-lang doc-count side, and `TakeOrderedAndProject` on the exact
   integer score; `knn_label_ann` is the same banded LSH equi-join as
-  `ann_lsh_bucket` (wider 8x3-bit bands) feeding the vote windows.
+  `ann_lsh_bucket` (wider 10x3-bit vote bands from the shared 32-plane hash-sign signature, derandomized r12) feeding the vote windows.
 - **r9 pipeline suite**: `pareto_frontier`'s base table feeds ONLY a
   partial+final `HashAggregate` (no Sort before it) -- the running-max
   window and the verdict `BroadcastHashJoin` run on the tiny per-price
@@ -134,6 +135,19 @@ executed plans):
   the vocab-bounded singles; `resample_ffill` collapses the stream via
   one combinable (type, hour) aggregate before the time-bounded domain
   grid and per-type fill window ever exist.
+- **r12 ops**: `ann_lsh_bucket` broadcasts the banded probe side (the
+  vec_id < 50 filter is a parquet `PushedFilters` entry) into the banded
+  equi-join, with `WindowGroupLimit` bounding the top-3 re-rank BEFORE
+  the final exchange -- the signature itself is a compiled UDF over the
+  deterministic hash-sign planes (a 2048-term flat literal expression
+  measured 5-7 s STEADY: AQE re-optimizes the giant tree per stage and
+  Janino recompiles it; see BASELINE.md r12 note); `ml_score` is the
+  broadcast-inference shape -- one combinable (class, pos) fit aggregate
+  reduced to a 2x64 model table, `BroadcastHashJoin`/cross of the model
+  back onto the held-out fold, map-side integer scoring into a combinable
+  min(struct) argmax (kmeans_iter's shape, no per-vector window);
+  `agg_quartiles_exact` is `operators/ExactQuantiles`' range-repartition
+  order statistics with only the 3 selected values crossing the driver.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
