@@ -253,31 +253,43 @@ object LlmOps {
     },
 
     // SimHash near-dup candidates: 64-bit signature over 3-gram shingle
-    // xxhash64s (frequency-weighted — shingles, not distinct tokens: on a
+    // hashes (frequency-weighted — shingles, not distinct tokens: on a
     // small shared vocabulary token-set signatures collapse to hamming 0
     // for unrelated docs), 8x8-bit banded equi-join, Hamming re-rank.
-    // Engine-specific hash ⇒ rows-only (organic near-dup docs guarantee
-    // rows; selectivity asserted in MlSpec).
-    Q("dedup_simhash", { (s: SparkSession, d: String) =>
-      // the shingle is hashed INSIDE the lambda (same xxhash64 of the same
-      // string, so signatures are bit-identical) — the explode emits longs,
-      // never materializing per-row gram strings (r9, same as jaccardPairs)
+    // Hash-exact oracled since r12: the gram hash is TextSim's
+    // cross-engine word-polyhash composition and the 64 signature bits
+    // come from two salted 32-bit integer mixes of it (intMix 101/102) —
+    // DuckDB rebuilds the identical signatures (the r9-r11 xxhash64 form
+    // was engine-specific, rows-only). Selectivity still asserted in
+    // MlSpec.
+    Q("dedup_simhash", simhashOracleSql) { (s, d) =>
+      // the shingle is hashed INSIDE the lambda (words polyhashed once,
+      // grams composed from word hashes) — the explode emits longs, never
+      // materializing per-row gram strings (r9, same as jaccardPairs)
       val shingles = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= 3) // see dedup_ngram_jaccard: sequence(1,0) descends
+        .withColumn("hw", expr(TextSim.wordHashExpr))
+        .select(col("doc_id"), explode(expr(TextSim.gramFromWordsExpr)).as("gh"))
         .select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))")).as("h"))
+          expr(TextSim.intMix(101, "gh")).as("h1"),
+          expr(TextSim.intMix(102, "gh")).as("h2"))
       // single-pass signature: 64 map-side-combinable sign-sums (one agg
       // column per bit) instead of exploding 64 rows per shingle — same
-      // sums, same bits, 1/64th the rows through the shuffle
-      val bitSums = (0 until 64).map(b =>
-        sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sv$b"))
+      // sums, same bits, 1/64th the rows through the shuffle. Bits 0-31
+      // read the first 32-bit mix, 32-63 the second.
+      val bitSums = (0 until 64).map { b =>
+        val (src, off) = if (b < 32) ("h1", b) else ("h2", b - 32)
+        sum(expr(s"CASE WHEN (shiftright($src, $off) & 1) = 1 THEN 1 ELSE -1 END")).as(s"sv$b")
+      }
+      // OR-assembly (bits are disjoint; DuckDB's + would overflow-check
+      // the 1<<63 sign-bit term, | does not)
       val sigBits = (0 until 64).map(b =>
         expr(s"CASE WHEN sv$b >= 0 THEN shiftleft(cast(1 as bigint), $b) ELSE cast(0 as bigint) END"))
       val sig = graft.Caching.ensureCached(
         shingles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), sigBits.reduce(_ + _).as("sig"))
+          .select(col("doc_id"), sigBits.reduce(_ bitwiseOR _).as("sig"))
       ) // persisted: two band-join branches below; tiny (one long per doc)
       sig.count() // pin in one job — the two branches' map stages would
                   // otherwise race to populate the cache, each re-running
@@ -289,11 +301,11 @@ object LlmOps {
       val b2 = bands.toDF("db", "sig_b", "bi2", "bv2")
       a.join(b2, expr("bi = bi2 AND bv = bv2 AND da < db"))
         .select("da", "db", "sig_a", "sig_b").distinct()
-        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as int)"))
         .filter(col("hamming") <= 8)
         .select("da", "db", "hamming")
         .orderBy("da", "db")
-    }, None),
+    },
 
     // ANN: 32 deterministic ±1 hash-sign hyperplanes -> 8x4-bit band
     // buckets -> candidate equi-join -> exact cosine re-rank, top-3. The
@@ -806,6 +818,43 @@ object LlmOps {
     * expression on identical inputs, so the collapsed value is THE value,
     * deterministically.
     */
+  /** DuckDB twin of the dedup_simhash pipeline — generated from the same
+    * bit/band constants and TextSim's shared gram-hash SQL so the twins
+    * cannot drift. The bit-63 term is the MinValue literal (DuckDB
+    * overflow-checks `1 << 63`), and the signature assembles by `|` of
+    * disjoint masks for the same reason.
+    */
+  private def simhashOracleSql: String = {
+    val svCols = (0 until 64).map { b =>
+      val (src, off) = if (b < 32) ("h1", b) else ("h2", b - 32)
+      s"sum(CASE WHEN (($src >> $off) & 1) = 1 THEN 1 ELSE -1 END) AS sv$b"
+    }.mkString(",\n    ")
+    val sigOr = (0 until 64).map { b =>
+      val mask =
+        if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"(CAST(1 AS BIGINT) << $b)"
+      s"(CASE WHEN sv$b >= 0 THEN $mask ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+       |hws AS (SELECT doc_id, ${TextSim.wordHashSql} AS hw
+       |  FROM toks),
+       |grams AS (SELECT doc_id, unnest(${TextSim.gramFromWordsSql}) AS gh FROM hws),
+       |mixed AS (SELECT doc_id, ${TextSim.intMixSql(101, "gh")} AS h1,
+       |    ${TextSim.intMixSql(102, "gh")} AS h2 FROM grams),
+       |sv AS (SELECT doc_id,
+       |    $svCols
+       |  FROM mixed GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($sigOr) AS sig FROM sv),
+       |bands AS (SELECT doc_id, sig, bi, (sig >> (bi * 8)) & 255 AS bv
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bi) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** DuckDB CTE twin of [[lshCandidates]] up to `sims(a_id, b_id, b_lbl,
     * sim)`: quantize → 32-plane hash-sign signature → banded buckets →
     * distinct candidate pairs (probe side vec_id < 50) → exact cosine.

@@ -108,6 +108,96 @@ object TextSim {
         expr(s"${dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)").as("sim"))
   }
 
+  /** Number of minhash rows (5 bands × 2) — the ONE copy behind the Spark
+    * pipeline and the generated oracle CTEs. `final` + literal so it is a
+    * compile-time constant: `all` above initializes eagerly and bakes
+    * [[minhashOracleSql]] into the dedup_fuzzy Q BEFORE this line's
+    * runtime initializer would run. */
+  final val MinhashK = 10
+
+  /** Cross-engine gram hash (r12, replacing xxhash64): per-word polynomial
+    * char fold `(a·31 + ascii) mod 1e9+7` — the verified text_fingerprint
+    * arithmetic — then a compositional 3-word combine in the same modulus.
+    * Words hash ONCE per doc (the char fold is a non-codegen HOF lambda;
+    * per-gram folding would re-walk each char ~3×). All values < 2³⁰, all
+    * intermediates < 2⁵¹ — overflow-free on both engines.
+    */
+  private[queries] val wordHashExpr =
+    "transform(w, t -> aggregate(split(t, ''), cast(0 as bigint), (a, c) -> (a * 31 + ascii(c)) % 1000000007))"
+  private[queries] val gramFromWordsExpr =
+    "transform(sequence(1, size(hw) - 2), i -> ((element_at(hw, i) * 1000003 + element_at(hw, i + 1)) % 1000000007 * 1000003 + element_at(hw, i + 2)) % 1000000007)"
+
+  /** DuckDB twin of [[wordHashExpr]] over a `w` list column. */
+  private[queries] val wordHashSql =
+    """list_transform(w, t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007))""".stripMargin
+  /** DuckDB twin of [[gramFromWordsExpr]] over a `hw` list column. */
+  private[queries] val gramFromWordsSql =
+    "list_transform(generate_series(1, len(hw) - 2), i -> ((hw[i] * 1000003 + hw[i + 1]) % 1000000007 * 1000003 + hw[i + 2]) % 1000000007)"
+
+  /** Salted 32-bit integer mix of a gram hash `gh`: shift by the salt, one
+    * Knuth multiply, one lowbias32 avalanche round (xor-fold + 31-bit-safe
+    * multiply — the Multimodal.lshPlaneSign mix; a 32-bit operand times a
+    * 31-bit constant cannot overflow INT64 on the DuckDB side). Pure
+    * integer arithmetic, identical text on both engines. Salts 1-10 are
+    * the minhash rows; 101/102 are dedup_simhash's two signature halves.
+    */
+  private[queries] def intMix(salt: Int, gh: String): String = {
+    val a = s"(($gh + $salt * 1000003) % 4294967296)"
+    val h = s"(($a * 2146121005) % 4294967296)"
+    s"((($h ^ shiftright($h, 16)) * 2146121005) % 4294967296)"
+  }
+  /** DuckDB twin of [[intMix]] (xor is a function, not an operator). */
+  private[queries] def intMixSql(salt: Int, gh: String): String = {
+    val a = s"(($gh + $salt * 1000003) % 4294967296)"
+    val h = s"(($a * 2146121005) % 4294967296)"
+    s"(((xor($h, $h >> 16)) * 2146121005) % 4294967296)"
+  }
+  private def minhashMix(i: Int, gh: String): String = intMix(i + 1, gh)
+  private def minhashMixSql(i: Int, gh: String): String = intMixSql(i + 1, gh)
+
+  /** DuckDB CTE twin of [[minhashNearDupPairs]] over `documents`, ending in
+    * the same (doc_a, doc_b, dist3) projection — generated from the same
+    * MinhashK/band constants and [[minhashMixSql]] so the twins cannot
+    * drift. Oracle-checkable since r12: every hash in the pipeline is
+    * plain integer arithmetic (the r7-r11 form minhashed xxhash64 gram
+    * keys — engine-specific, rows-only).
+    */
+  def minhashOracleSql: String = {
+    val minCols = (0 until MinhashK)
+      .map(i => s"CAST(min(${minhashMixSql(i, "gh")}) AS BIGINT) AS m$i").mkString(",\n    ")
+    val bandRows = (0 until 5)
+      .map(b => s"SELECT doc_id, n, $b AS bi, m${2 * b} AS bv1, m${2 * b + 1} AS bv2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+       |hws AS (SELECT doc_id, $wordHashSql AS hw
+       |  FROM toks),
+       |grams AS (SELECT DISTINCT doc_id, gh FROM (
+       |  SELECT doc_id, unnest($gramFromWordsSql) AS gh
+       |  FROM hws) gg),
+       |sig AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    $minCols
+       |  FROM grams GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |guarded AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv1 = b.bv1 AND a.bv2 = b.bv2 AND a.doc_id <= b.doc_id
+       |  WHERE CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.7),
+       |common AS (SELECT g.da, g.db, CAST(count(*) AS BIGINT) AS c
+       |  FROM guarded g JOIN grams ga ON ga.doc_id = g.da
+       |    JOIN grams gb ON gb.doc_id = g.db AND gb.gh = ga.gh
+       |  GROUP BY g.da, g.db)
+       |SELECT g.da AS doc_a, g.db AS doc_b,
+       |  round(CAST(1 AS DOUBLE) - CAST(c.c AS DOUBLE) / (g.na + g.nb - c.c), 3) AS dist3
+       |FROM guarded g JOIN common c ON c.da = g.da AND c.db = g.db
+       |WHERE CAST(1 AS DOUBLE) - CAST(c.c AS DOUBLE) / (g.na + g.nb - c.c) <= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("text_tokenize",
@@ -222,20 +312,22 @@ object TextSim {
         .orderBy("vec_id")
     },
 
-    // MinHash near-duplicate self-join over 3-word shingles: 10 seeded
-    // minhashes -> 5 bands of 2 rows -> band equi-join for candidates ->
-    // cheap size-ratio guard -> EXACT Jaccard re-rank, dist <= 0.3.
+    // MinHash near-duplicate self-join over 3-word shingles: 10
+    // deterministic minhashes -> 5 bands of 2 rows -> band equi-join for
+    // candidates -> cheap size-ratio guard -> EXACT Jaccard re-rank,
+    // dist <= 0.3.
     // Replaces MLlib approxSimilarityJoin (r=1 bands: at J=0.2 a pair
     // collides with p = 1-(1-J)^3 ≈ 0.49, so the explode-join blew up to
     // 30-114 s run-variable); r=2 bands collide at J^2 per band, and the
     // min(n)/max(n) >= 0.7 guard (Jaccard <= min/max always) kills the
     // surviving random collisions before the shingle re-rank join.
     // Identity pairs (da = db, dist 0) collide in every band, so rows > 0
-    // at every sf. Seeded-hash sketch => rows-only (planted-pair recovery
-    // through THIS code path asserted in MlSpec).
-    Q("dedup_fuzzy", { (s: SparkSession, d: String) =>
+    // at every sf. Hash-exact oracled since r12 (the sketch is integer
+    // arithmetic both engines compute — minhashOracleSql); planted-pair
+    // recovery through THIS code path additionally asserted in MlSpec.
+    Q("dedup_fuzzy", minhashOracleSql) { (s, d) =>
       minhashNearDupPairs(s, Tables.documents(s, d).select("doc_id", "text"))
-    }, None),
+    },
   )
 
   /** MinHash banded near-dup pairs of `docs` (doc_id, text): all pairs
@@ -244,13 +336,17 @@ object TextSim {
     * planted-pair test so the test exercises the production path.
     */
   def minhashNearDupPairs(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // shingles are xxhash64'd to int64 INSIDE the transform lambda (see
+    // shingles are hashed to int64 INSIDE the transform lambda (see
     // LlmOps.jaccardPairs for the collision argument): the distinct, the
     // persisted table, the signature aggregation and both exact-Jaccard
     // re-rank sides carry 8-byte keys instead of ~20-char strings — the
     // string materialization was the source of dedup_fuzzy's 4x driver-run
-    // timing swing in round 8. Minhashes become seeded hashes OF the gram
-    // hash: equally uniform, still deterministic.
+    // timing swing in round 8. Since r12 the gram hash is the CROSS-ENGINE
+    // word-polyhash composition (wordHashExpr/gramFromWordsExpr) and the
+    // minhashes are integer mixes of it (minhashMix) instead of seeded
+    // xxhash64 — same uniformity in practice (MlSpec planted-pair recall
+    // unchanged), but DuckDB can rebuild the identical sketch, so
+    // dedup_fuzzy is hash-exact oracled (minhashOracleSql).
     val grams = graft.Caching.ensureCached(docs0
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3) // sequence(1,0) DESCENDS on Spark — drop short docs
@@ -258,8 +354,8 @@ object TextSim {
       // shingle explode across cores (at cluster scale the scan arrives
       // already partitioned)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))")).as("gh"))
+      .withColumn("hw", expr(wordHashExpr))
+      .select(col("doc_id"), explode(expr(gramFromWordsExpr)).as("gh"))
       .distinct()
     ) // persisted: three consumers (signature agg, both re-rank sides);
       // Catalyst does not reuse the explode+distinct exchange. Cached via
@@ -270,24 +366,25 @@ object TextSim {
                   // otherwise race to populate it concurrently, re-running
                   // the explode+distinct per stage — the source of the
                   // 2x run-to-run timing spread seen in rounds 5-6
-    // 10 seeded minhashes AND the doc's shingle count in ONE
+    // 10 deterministic minhashes AND the doc's shingle count in ONE
     // map-side-combinable aggregation; n rides through the bands so no
     // separate sizes aggregation/joins are needed later
-    val k = 10
     val aggCols = count(lit(1)).as("n") +:
-      (0 until k).map(i => min(xxhash64(lit(i), col("gh"))).as(s"m$i"))
+      (0 until MinhashK).map(i => min(expr(minhashMix(i, "gh"))).as(s"m$i"))
     val sig = grams.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    // 5 bands x 2 rows: recall at J=0.7 is 1-(1-0.49)^5 ≈ 0.97
+    // 5 bands x 2 rows: recall at J=0.7 is 1-(1-0.49)^5 ≈ 0.97. The band
+    // key is the RAW minhash pair (bv1, bv2) — hashing the pair again
+    // (the r7-r11 xxhash64 form) added nothing but engine-specificity.
     val bands = sig.select(col("doc_id"), col("n"), explode(array(
         (0 until 5).map(b => struct(lit(b).as("bi"),
-          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bv"))): _*)).as("band"))
-      .select(col("doc_id"), col("n"), col("band.bi"), col("band.bv"))
+          col(s"m${2 * b}").as("bv1"), col(s"m${2 * b + 1}").as("bv2"))): _*)).as("band"))
+      .select(col("doc_id"), col("n"), col("band.bi"), col("band.bv1"), col("band.bv2"))
     // J <= min(na,nb)/max(na,nb): the size-ratio guard discards
     // size-incompatible collisions IN the candidate join itself,
     // before the per-shingle intersection join
-    val guarded = bands.toDF("da", "na", "bi", "bv")
-      .join(bands.toDF("db", "nb", "bi2", "bv2"),
-        expr("bi = bi2 AND bv = bv2 AND da <= db" +
+    val guarded = bands.toDF("da", "na", "bi", "bv1", "bv2")
+      .join(bands.toDF("db", "nb", "bi2", "bv1b", "bv2b"),
+        expr("bi = bi2 AND bv1 = bv1b AND bv2 = bv2b AND da <= db" +
           " AND cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
       .select("da", "db", "na", "nb").distinct()
     val common = guarded.select("da", "db")

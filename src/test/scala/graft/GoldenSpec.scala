@@ -79,7 +79,8 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   }
 
   test("dedup_fuzzy: deterministic 500 identity pairs + bounded organic pairs") {
-    // seeded xxhash64 minhashes — reproducible run to run. Pin the exact
+    // deterministic integer minhashes (r12: cross-engine mixes, also
+    // hash-exact oracled) — reproducible run to run. Pin the exact
     // invariants (every doc self-pairs at dist 0) but only BOUND the
     // organic near-dup count: an exact pin (528 total in round 6) couples
     // the test to fixture bytes AND band layout with no diagnostic.

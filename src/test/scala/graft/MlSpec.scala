@@ -92,6 +92,25 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(agree >= 0.8, s"label agreement $agree")
   }
 
+  test("dedup_simhash recovers the organic high-Jaccard near-dup pairs") {
+    // semantic gate on top of the r12 hash-exact oracle: the 8x8-bit
+    // banded simhash candidates must still FIND the strong organic
+    // near-dups that the exact minhash+Jaccard pipeline reports
+    // (dist <= 0.2 i.e. J >= 0.8, self-pairs excluded) — bit-exact
+    // reproduction would be vacuous if the sketch stopped discriminating
+    val strong = SparkEntry.queries("dedup_fuzzy")(s, d).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) && r.getDouble(2) <= 0.2 =>
+        (r.getLong(0), r.getLong(1)) }.toSet
+    val sh = SparkEntry.queries("dedup_simhash")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "fixture must contain organic strong near-dups")
+    val hit = strong.count(sh.contains).toDouble / strong.size
+    info(f"simhash recall of J>=0.8 organics: $hit%.2f over ${strong.size} pairs")
+    assert(hit >= 0.8, s"simhash recall $hit of ${strong.size} strong pairs")
+    // and it must discriminate: candidates are a small fraction of all pairs
+    assert(sh.size < 1000, s"simhash candidate set exploded: ${sh.size}")
+  }
+
   test("IVF ANN keeps recall >= 0.35 vs brute-force top-3") {
     val ivf = SparkEntry.queries("ann_ivf")(s, d)
       .select("vec_id", "neighbor_id")
