@@ -364,43 +364,57 @@ object LlmOps {
         .orderBy("vec_id")
     },
 
-    // ANN variant 2 — IVF: seeded KMeans coarse quantizer, probe the
-    // nProbe nearest centroids, exact cosine re-rank of candidates only.
-    // Complements ann_lsh_bucket: IVF adapts buckets to the data
-    // distribution (better recall on clustered corpora), LSH needs no
-    // training. Seeded-training output => rows-only + MlSpec recall.
-    Q("ann_ivf", { (s: SparkSession, d: String) =>
+    // ANN variant 2 — IVF: deterministic integer-Lloyd coarse quantizer,
+    // probe the nProbe nearest centroids, exact cosine re-rank of
+    // candidates only. Complements ann_lsh_bucket: IVF adapts buckets to
+    // the data distribution (better recall on clustered corpora), LSH
+    // needs no training. Hash-exact oracled since r12 (was rows-only:
+    // seeded-RNG float init): the fit runs in exact ×10⁶ integer space
+    // from a deterministic init (first 16 of the hash-ordered sample),
+    // centroid probing ranks by exact integer d2, and only the final
+    // cosine re-rank is double (the sim_cosine_topk discipline) — DuckDB
+    // replays the whole train+assign+probe+re-rank pipeline
+    // (ivfOracleSql). Recall@3 re-measured r12: 0.613 (was 0.44 seeded,
+    // gate >= 0.35 in MlSpec) at 97/500 avg candidates.
+    Q("ann_ivf", ivfOracleSql) { (s, d) =>
       graft.functions.DotProduct.register(s)
       val e = Tables.embeddings(s, d)
       val nClusters = 16
       // coarse quantizer, not a clustering deliverable: train on a
-      // bounded DETERMINISTIC corpus-spread sample — bottom-k by hash:
-      // the 65536 rows with the smallest xxhash64(vec_id) are a uniform
-      // sample of the WHOLE id space (a vec_id-prefix cap would fit the
-      // quantizer to the oldest shard only), engine-stable across runs
-      // and partitionings, and plan as TakeOrdered (per-partition top-k,
-      // no global sort). 16 centroids don't need Lloyd passes over the
-      // full corpus; at 100 TB a distributed fit would re-scan
-      // everything 5 times to learn 16*64 doubles. The seeded local
-      // Lloyd (CoarseQuantizer) costs zero Spark jobs beyond the sample
-      // scan; ASSIGNMENT of the full corpus below stays distributed
-      // (one map-side pass).
+      // bounded DETERMINISTIC corpus-spread sample — bottom-k by the
+      // decimal-before-multiply Knuth hash of vec_id (the ml_folds
+      // formula; engine-stable, overflow-proof): a uniform sample of the
+      // WHOLE id space (a vec_id-prefix cap would fit the quantizer to
+      // the oldest shard only), planned as TakeOrdered (per-partition
+      // top-k, no global sort). 16 centroids don't need Lloyd passes
+      // over the full corpus; at 100 TB a distributed fit would re-scan
+      // everything 5 times to learn 16×64 values (kmeans_iter IS that
+      // fully-distributed form). The local integer Lloyd costs zero
+      // Spark jobs beyond the sample scan; ASSIGNMENT of the full
+      // corpus below stays distributed (one map-side pass).
+      val sampleHash =
+        "cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint)"
       val fitSample = e
-        .orderBy(expr("xxhash64(vec_id)"), col("vec_id")).limit(65536)
+        .orderBy(expr(sampleHash), col("vec_id")).limit(65536)
         .select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray)
+        .map(_.getSeq[Float](0).toArray
+          .map(f => math.floor(f.toDouble * 1000000d + 0.5d).toLong))
       val centroids = graft.operators.CoarseQuantizer
-        .fit(fitSample, nClusters, iters = 5, seed = 42L).zipWithIndex
-      // single-pass nearest-centroid assignment; closure captures the
-      // (tiny) centroid matrix — same shape MLlib's transform would plan,
-      // without the pipeline overhead
+        .fitInt(fitSample, nClusters, iters = 5).zipWithIndex
+      // single-pass nearest-centroid assignment in exact integer space;
+      // closure captures the (tiny) centroid matrix — same shape MLlib's
+      // transform would plan, without the pipeline overhead. Strict <
+      // keeps the lowest cluster index on ties (= ORDER BY d2, c).
       val centMat = centroids.map(_._1)
       val assignU = udf((emb: Seq[Float]) => {
-        var best = 0; var bestD = Double.MaxValue
+        var best = 0; var bestD = Long.MaxValue
         var c = 0
         while (c < centMat.length) {
-          val cent = centMat(c); var d2 = 0.0; var j = 0
-          while (j < cent.length) { val df = emb(j) - cent(j); d2 += df * df; j += 1 }
+          val cent = centMat(c); var d2 = 0L; var j = 0
+          while (j < cent.length) {
+            val df = math.floor(emb(j).toDouble * 1000000d + 0.5d).toLong - cent(j)
+            d2 += df * df; j += 1
+          }
           if (d2 < bestD) { bestD = d2; best = c }
           c += 1
         }
@@ -408,23 +422,25 @@ object LlmOps {
       })
       val assigned = TextSim.withVecNorm(
         e.select(col("vec_id"), col("embedding"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))").as("qv"),
           assignU(col("embedding")).as("cluster")), "v")
-      // per-probe: the 3 nearest centroids by cosine (computed via a small
-      // exploded centroid table — no driver-side math on row data).
-      // nProbe=3 measured round 7: recall@3 0.37 -> 0.44 for 1.5x the
-      // candidate set; the re-rank join stays bounded by probe count.
-      val centDf = s.createDataFrame(centroids.toIndexedSeq.map { case (c, i) => (i, c) })
-        .toDF("c_id", "c_emb")
-      val cent = centDf.withColumn("c_n2", expr(TextSim.dotExpr("c_emb", "c_emb")))
+      // per-probe: the 3 nearest centroids by EXACT integer d2 (r12 —
+      // was cosine in doubles; integer ranking removes the one ulp-rank
+      // risk in the probe step, and the probe set is what bounds the
+      // re-rank join). nProbe=3: candidate set stays ~20% of the corpus.
+      val centDf = s.createDataFrame(centroids.toIndexedSeq.map { case (cv, i) =>
+        (i.toLong, cv.toSeq) }).toDF("c_id", "cv")
       val probes = assigned.filter(col("vec_id") < 50)
-        .toDF("a_id", "a_cluster", "a_d", "a_n2")
-      val wc = Window.partitionBy("a_id").orderBy(col("csim").desc, col("c_id"))
-      val probeClusters = probes.crossJoin(broadcast(cent))
-        .withColumn("csim", expr(s"${TextSim.dotExpr("a_d", "c_emb")} / sqrt(a_n2 * c_n2)"))
+        .select(col("vec_id").as("a_id"), col("qv"), col("v_d").as("a_d"),
+          col("v_n2").as("a_n2"))
+      val wc = Window.partitionBy("a_id").orderBy(col("cd2").asc, col("c_id").asc)
+      val probeClusters = probes.crossJoin(broadcast(centDf))
+        .withColumn("cd2", expr(
+          "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)"))
         .withColumn("crnk", row_number().over(wc))
         .filter(col("crnk") <= 3)
         .select("a_id", "a_d", "a_n2", "c_id")
-      val corpus = assigned.toDF("b_id", "b_cluster", "b_d", "b_n2")
+      val corpus = assigned.drop("qv").toDF("b_id", "b_cluster", "b_d", "b_n2")
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       broadcast(probeClusters)
         .join(corpus, expr("c_id = b_cluster AND a_id <> b_id"))
@@ -434,7 +450,7 @@ object LlmOps {
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
           col("rnk"), round(col("sim"), 3).as("sim3"))
         .orderBy("vec_id", "rnk")
-    }, None),
+    },
 
     // multimodal: opaque binary column + typed metadata, parity-checked
     Q("mm_binary_meta",
@@ -853,6 +869,63 @@ object LlmOps {
        |SELECT da, db, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
        |ORDER BY da, db""".stripMargin
+  }
+
+  /** DuckDB twin of the r12 deterministic ann_ivf pipeline: hash-ordered
+    * sample (decimal-Knuth of vec_id) → integer Lloyd (init = first 16 of
+    * the sample order; d/a/cl CTEs per round with COALESCE keeping an
+    * empty cluster's previous centroid, mirroring CoarseQuantizer.fitInt)
+    * → exact-integer corpus assignment and probe ranking → double cosine
+    * re-rank. Generated from the same k/round constants as the Spark
+    * side so the twins cannot drift.
+    */
+  private def ivfOracleSql: String = {
+    val k = 16
+    val iters = (1 to 5).map { r =>
+      s"""d$r AS (SELECT s.vec_id, ct.c,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (s.qv[i] - ct.cv[i]) * (s.qv[i] - ct.cv[i]))) AS BIGINT) AS d2
+         |  FROM samp s CROSS JOIN cent${r - 1} ct),
+         |a$r AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d$r) t
+         |  WHERE rn = 1),
+         |cl$r AS (SELECT a.c, u.pos, CAST(sum(u.x) // count(*) AS BIGINT) AS cve
+         |  FROM a$r a JOIN u ON a.vec_id = u.vec_id
+         |  GROUP BY a.c, u.pos),
+         |cent$r AS (SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+         |  FROM cent${r - 1} p LEFT JOIN
+         |    (SELECT c, list(cve ORDER BY pos) AS cv FROM cl$r GROUP BY c) n
+         |    ON n.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv,
+       |    CAST(CAST(vec_id AS DECIMAL(19,0)) * 2654435761 % 4294967296 AS BIGINT) AS hs
+       |  FROM embeddings),
+       |samp AS (SELECT vec_id, qv, row_number() OVER (ORDER BY hs, vec_id) AS rn
+       |  FROM v QUALIFY rn <= 65536),
+       |u AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos FROM samp),
+       |cent0 AS (SELECT CAST(rn - 1 AS BIGINT) AS c, qv AS cv FROM samp WHERE rn <= $k),
+       |$iters,
+       |dall AS (SELECT vv.vec_id, ct.c,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> (vv.qv[i] - ct.cv[i]) * (vv.qv[i] - ct.cv[i]))) AS BIGINT) AS d2
+       |  FROM v vv CROSS JOIN cent5 ct),
+       |asg AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM dall) t
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS a_id, c AS c_id FROM (SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS crnk FROM dall
+       |    WHERE vec_id < 50) t WHERE crnk <= 3),
+       |cand AS (SELECT p.a_id, b.vec_id AS b_id FROM probes p
+       |  JOIN asg b ON b.c = p.c_id AND b.vec_id <> p.a_id),
+       |sims AS (SELECT cnd.a_id, cnd.b_id, ${TextSim.cosineSql("a", "b")} AS sim
+       |  FROM cand cnd JOIN embeddings a ON a.vec_id = cnd.a_id
+       |    JOIN embeddings b ON b.vec_id = cnd.b_id),
+       |r AS (SELECT a_id, b_id, sim,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rnk FROM sims)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk,
+       |  round(sim, 3) AS sim3
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
   }
 
   /** DuckDB CTE twin of [[lshCandidates]] up to `sims(a_id, b_id, b_lbl,
