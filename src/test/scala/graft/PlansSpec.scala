@@ -194,4 +194,25 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"centroid/checksum sides must broadcast:\n$plan")
   }
+
+  test("ml_score plans as broadcast inference: model broadcast, argmax aggregate, no window") {
+    // the r12 inference template: the scored stream must meet the 2x64
+    // model via a BROADCAST (never shuffle the corpus against a model
+    // table) and the per-vector argmax must be the combinable
+    // min(struct(-s, c)) aggregate — a Window here would mean a
+    // per-vector rank pass crept back in
+    val plan = finalPlan(SparkEntry.queries("ml_score")(s, d))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"model must broadcast onto the scored fold:\n$plan")
+    assert(!plan.contains("Window"),
+      s"argmax must plan as an aggregate, no per-vector window:\n$plan")
+  }
+
+  test("ann_lsh_bucket bounds the re-rank with WindowGroupLimit and pushes the probe filter") {
+    val plan = finalPlan(SparkEntry.queries("ann_lsh_bucket")(s, d))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-3 re-rank must bound the exchange via WindowGroupLimit:\n$plan")
+    assert(plan.contains("LessThan(vec_id,50)"),
+      s"probe bound must reach the parquet scan as a pushed filter:\n$plan")
+  }
 }
