@@ -5,9 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,15 +30,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * referenced cells (verified by a plan gate + parity test in MlSpec).
   *
   * Usage: `spark.read.format("graft.sources.SheetSourceProvider")
-  * .load(dirOrFile)`. Zero-egress environment: the wire protocol is out of
-  * scope by design (SURVEY §2.1); this demonstrates the Spark-side
-  * machinery a real connector plugs into — schema inference, pruning,
-  * partitioned parallel read.
+  * .load(dirOrFile)`, and symmetrically
+  * `df.write.format(...).mode("overwrite").save(dir)` — the write side
+  * ([[SheetWriteBuilder]]) models the reference's "upload spec documents"
+  * step with a staged-rename commit protocol. Zero-egress environment:
+  * the wire protocol is out of scope by design (SURVEY §2.1); this
+  * demonstrates the Spark-side machinery a real connector plugs into —
+  * schema inference, pruning, partitioned parallel read, commit-safe
+  * partitioned write.
   */
 class SheetSourceProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SheetSource.headerSchema(SheetSource.pathOf(options))
+
+  // writes hand the query's own schema in (a brand-new workbook dir has
+  // no header to infer from)
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -75,13 +84,88 @@ private[sources] object SheetSource {
 }
 
 private class SheetTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"sheet($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SheetScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SheetWriteBuilder(info.schema(), path)
+}
+
+/** Write side of the workbook connector — the analogy of the reference's
+  * "upload spec documents" step (SURVEY §3.1): each task writes its
+  * partition as one worksheet tab (header-first TSV, string cells — the
+  * read side's schema-on-read model, so a written workbook round-trips
+  * through the reader), staged under a task-unique name and renamed into
+  * place only at driver commit. `mode("overwrite")` maps to
+  * SupportsTruncate: existing tabs are removed at commit, after every
+  * task has staged successfully — a failed job never leaves a
+  * half-replaced workbook. A real Sheets/Drive connector swaps the
+  * rename for an idempotent upload keyed by (queryId, partitionId).
+  */
+private class SheetWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new SheetBatchWrite(schema, path, replace)
+  }
+}
+
+private case class SheetTabCommit(staged: String) extends WriterCommitMessage
+
+private class SheetBatchWrite(schema: StructType, path: String, replace: Boolean)
+    extends BatchWrite {
+  require(schema.fields.forall(_.dataType == StringType),
+    s"sheet cells are strings (schema-on-read) — cast before writing: $schema")
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SheetWriterFactory(path, schema.fieldNames)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (replace)
+      Option(dir.listFiles()).foreach(_.filter(f =>
+        f.isFile && !f.getName.startsWith("_staged_")).foreach(_.delete()))
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val staged = new java.io.File(m.asInstanceOf[SheetTabCommit].staged)
+      val target = new java.io.File(dir, f"tab_$i%05d.tsv")
+      if (target.exists()) target.delete()
+      require(staged.renameTo(target), s"commit rename failed: $staged -> $target")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SheetTabCommit(staged) => new java.io.File(staged).delete()
+      case _ => ()
+    }
+}
+
+private class SheetWriterFactory(path: String, cols: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val staged = new java.io.File(dir, s"_staged_${partitionId}_$taskId.tsv")
+    new DataWriter[InternalRow] {
+      private val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(staged), "UTF-8"))
+      out.println(cols.mkString("\t"))
+      override def write(row: InternalRow): Unit =
+        out.println((0 until cols.length).map { i =>
+          if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+        }.mkString("\t"))
+      override def commit(): WriterCommitMessage = {
+        out.close(); SheetTabCommit(staged.getAbsolutePath)
+      }
+      override def abort(): Unit = { out.close(); staged.delete() }
+      override def close(): Unit = out.close()
+    }
+  }
 }
 
 /** Pruning-aware scan builder: Catalyst hands the required top-level

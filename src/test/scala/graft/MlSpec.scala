@@ -288,6 +288,33 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(pruned.distinct().count() == 5)
   }
 
+  test("DSv2 sheet WRITE: staged-commit tabs round-trip through the reader") {
+    // the upload analogy (SURVEY §3.1: write spec docs + upload): write a
+    // derived result as a workbook via the connector's SupportsWrite path
+    // (string cells, one tab per partition, staged rename at commit),
+    // then read it back with the same provider and check exact parity
+    val outDir = new java.io.File("target/tmp/sheet_write_spec")
+    val stats = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs").cast("string").as("n_docs"))
+    val expect = stats.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    stats.repartition(2).write.format("graft.sources.SheetSourceProvider")
+      .mode("overwrite").save(outDir.getAbsolutePath)
+    val tabs = outDir.listFiles().filter(_.isFile).map(_.getName).sorted
+    assert(tabs.length == 2 && tabs.forall(_.startsWith("tab_")),
+      s"expected 2 committed tabs, got ${tabs.mkString(",")}")
+    assert(!tabs.exists(_.startsWith("_staged_")), "staged files must not survive commit")
+    val back = s.read.format("graft.sources.SheetSourceProvider")
+      .load(outDir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(back == expect, s"workbook round-trip diverged: $back vs $expect")
+    // overwrite replaces, never appends: a second write must not double rows
+    stats.repartition(2).write.format("graft.sources.SheetSourceProvider")
+      .mode("overwrite").save(outDir.getAbsolutePath)
+    assert(s.read.format("graft.sources.SheetSourceProvider")
+      .load(outDir.getAbsolutePath).count() == expect.length)
+  }
+
   test("schema-first CSV and JSON-lines ingest round-trips") {
     import graft.sources.Sources
     import org.apache.spark.sql.types._
