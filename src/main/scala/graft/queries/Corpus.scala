@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Round-12 corpus-preparation suite (SURVEY.md §2.13 extension): the four
+  * document-level operations a training-data pipeline runs between raw
+  * ingest and tokenization — RAG-style overlapping chunking, deterministic
+  * train/val/test assignment, C4-style duplicated-chunk REMOVAL (the
+  * mutation step `dedup_chunk` only detects), and a cross-source
+  * contamination matrix.
+  *
+  * Shared determinism rules (SURVEY §7.3): no rand() anywhere — the split
+  * derives from integer arithmetic on doc_id; chunk boundaries are pure
+  * integer functions of the token count; every oracled output ends in a
+  * total ORDER BY; doubles appear only AFTER aggregation as one division of
+  * exact BIGINTs (bit-identical on both engines).
+  */
+object Corpus {
+
+  /** RAG-style sliding-window chunking: 8-token windows at stride 4 (50%
+    * overlap), plus one short chunk for docs under 8 tokens. Start
+    * positions are `sequence(1, greatest(1, n-7), 4)` — a pure function of
+    * the token count, so both engines enumerate identical windows and
+    * `chunk_idx` falls out arithmetically as `(start-1)/4 + 1` (no
+    * ordinality dependence). Shuffle shape: NONE before the presentation
+    * sort — split/sequence/explode/slice are all map-side and stay inside
+    * one whole-stage-codegen span; at 100 TB this is embarrassingly
+    * parallel and the output sort would simply be dropped (it exists for
+    * the oracle's total order).
+    */
+  private val chunkOverlap = Q("chunk_overlap",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(1, len(w) - 7), 4)) AS st
+       |  FROM t)
+       |SELECT doc_id, (st - 1) // 4 + 1 AS chunk_idx, st AS start_tok,
+       |  least(CAST(8 AS BIGINT), len(w) - st + 1) AS n_tok,
+       |  array_to_string(w[st : st + 7], ' ') AS chunk
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1L, greatest(1L, size(w) - 7L), 4L)")).as("st"))
+      .select(col("doc_id"),
+        expr("(st - 1) div 4 + 1").as("chunk_idx"),
+        col("st").as("start_tok"),
+        expr("least(8L, size(w) - st + 1)").as("n_tok"),
+        expr("concat_ws(' ', slice(w, int(st), 8))").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic train/val/test assignment: bucket = Knuth multiplicative
+    * hash `(doc_id * 2654435761) % 1000`, split at 800/900 (80/10/10).
+    * Both engines evaluate the same exact BIGINT arithmetic, so the
+    * assignment is reproducible across engines, runs, partitionings and
+    * retries — the property that makes the split *auditable* (any job can
+    * recompute membership from the id alone; no stored split table, no
+    * rand()). Map-only: zero shuffles before the presentation sort; at
+    * 100 TB this is a free column. For ids wider than ~2^33 swap the
+    * multiply for xxhash64(doc_id) — same shape, but no longer
+    * SQL-oracle-portable, which is why the keyed query uses the
+    * multiplicative form.
+    */
+  private val datasetSplit = Q("dataset_split",
+    s"""SELECT doc_id, lang, source,
+       |  (doc_id * 2654435761) % 1000 AS bucket,
+       |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+       |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("(doc_id * 2654435761L) % 1000").as("bucket"))
+      .withColumn("split",
+        expr("CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END"))
+      .orderBy("doc_id")
+  }
+
+  /** C4/RefinedWeb-style duplicated-chunk REMOVAL: every aligned 6-token
+    * chunk that appears in >= 2 distinct documents (the exact population
+    * `dedup_chunk` ranks) is stripped from every document, and the
+    * surviving chunks are reassembled in order. Docs whose every chunk is
+    * duplicated survive as empty strings (count-preserving — downstream
+    * length filters decide their fate, not this op).
+    *
+    * Shuffle shape at 100 TB: (1) one hash aggregation keyed on the chunk
+    * to find the duplicated set (counts combine map-side, so a
+    * pathologically hot chunk is one combiner key, not a hot partition);
+    * (2) one LEFT ANTI join of chunks against that set, hash-partitioned
+    * on the chunk string (Spark hashes the key — no sort, no broadcast of
+    * the potentially-huge dup set); (3) one groupBy(doc_id) reassembly
+    * where `array_sort(collect_list(struct(ci, chunk)))` restores chunk
+    * order per doc without any global sort. Nothing touches the driver.
+    */
+  private val dedupStrip = Q("dedup_strip",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ci AS (SELECT doc_id, w, unnest(generate_series(1, (len(w) + 5) // 6)) AS ci FROM toks),
+       |ch AS (SELECT doc_id, ci, array_to_string(w[(ci-1)*6+1 : ci*6], ' ') AS chunk FROM ci),
+       |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (SELECT doc_id, ci, chunk FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)),
+       |agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS clean_text,
+       |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  t.n_chunks - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_removed
+       |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, (size(w) + 5) div 6), i -> concat_ws(' ', slice(w, (i-1)*6+1, 6)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("ci"), col("col").as("chunk"))
+    val dup = ch.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("chunk")
+    val kept = ch.join(dup, Seq("chunk"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(ci, chunk))), x -> x.chunk)"))
+        .as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source contamination matrix: for every source pair (a < b), the
+    * number of distinct aligned 6-token chunks both contain, each side's
+    * distinct-chunk count, and the overlap coefficient
+    * `n_common / min(n_a, n_b)` (one division of exact BIGINTs). This is
+    * the source-granular form of `decontaminate` — it quantifies
+    * benchmark/source leakage BEFORE choosing what to drop.
+    *
+    * Shuffle shape: distinct (source, chunk) is one hash aggregation; the
+    * pair counts come from a self-equi-join keyed on the chunk string —
+    * fan-out per chunk is bounded by the number of sources carrying it
+    * (<= |sources|, 20 here), never |docs|. The per-source sizes are a
+    * tiny aggregate, broadcast to the pair counts. At very large source
+    * counts the same result reshapes as groupBy(chunk).collect_set(source)
+    * (bounded by |sources|) + pair explosion — noted, not needed at this
+    * cardinality.
+    */
+  private val sourceOverlap = Q("source_overlap",
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |ch AS (SELECT DISTINCT source, unnest(list_transform(generate_series(1, (len(w)+5)//6),
+       |    i -> array_to_string(w[(i-1)*6+1 : i*6], ' '))) AS chunk FROM toks),
+       |sz AS (SELECT source, count(*) AS n FROM ch GROUP BY source),
+       |ov AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+       |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS overlap
+       |FROM ov JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val ch = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, (size(w) + 5) div 6), i -> concat_ws(' ', slice(w, (i-1)*6+1, 6)))"))
+        .as("chunk"))
+      .distinct()
+    val sz = ch.groupBy("source").agg(count(lit(1)).as("n"))
+    val ov = ch.as("a").join(ch.as("b"),
+        expr("a.chunk = b.chunk AND a.source < b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ov.join(broadcast(sz.as("sa")), col("src_a") === col("sa.source"))
+      .join(broadcast(sz.as("sb")), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        expr("cast(n_common as double) / least(sa.n, sb.n)").as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(chunkOverlap, datasetSplit, dedupStrip, sourceOverlap)
+}

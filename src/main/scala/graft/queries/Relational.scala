@@ -287,6 +287,43 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // nearest-direction as-of: closest same-user event in EITHER time
+    // direction, distance ties toward the earlier row. One exchange, two
+    // stacked per-partition sorts (AsofJoin.nearest scaladoc); the oracle
+    // composes DuckDB's native backward (<) and forward (>) ASOF joins
+    // with the same tie rule — deterministic because (user_id, ts) is
+    // unique in events at every SF (verified 2026-08-14; Spark's __tie
+    // column pins the semantics even if that ever changes).
+    Q("join_asof_nearest",
+      s"""WITH back AS (
+         |  SELECT a.event_id, b.event_id AS b_id, b.value AS b_val,
+         |    epoch_us(a.ts) - epoch_us(b.ts) AS b_dt
+         |  FROM events a ASOF LEFT JOIN events b
+         |    ON a.user_id = b.user_id AND b.ts < a.ts),
+         |fwd AS (
+         |  SELECT a.event_id, b.event_id AS f_id, b.value AS f_val,
+         |    epoch_us(b.ts) - epoch_us(a.ts) AS f_dt
+         |  FROM events a ASOF LEFT JOIN events b
+         |    ON a.user_id = b.user_id AND b.ts > a.ts)
+         |SELECT back.event_id,
+         |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_dt <= f_dt)
+         |    THEN b_id ELSE f_id END AS near_event_id,
+         |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_dt <= f_dt)
+         |    THEN b_val ELSE f_val END AS near_value,
+         |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_dt <= f_dt)
+         |    THEN b_dt ELSE f_dt END AS near_dt_us
+         |FROM back JOIN fwd ON back.event_id = fwd.event_id
+         |ORDER BY back.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val left = e.select("event_id", "user_id", "ts_us")
+      val right = e.select("user_id", "ts_us", "event_id", "value")
+      AsofJoin.nearest(left, right, key = "user_id", ts = "ts_us",
+        payload = Seq("event_id", "value"), rightTie = "event_id")
+        .select(col("event_id"), col("near_event_id").as("near_event_id"),
+          col("near_value").as("near_value"), col("near_dt").as("near_dt_us"))
+        .orderBy("event_id")
+    },
+
     // skew-proof equi-join via explicit salting (operators/SaltedJoin):
     // the big side gains a deterministic salt in [0, 8) — pmod(hash(row)),
     // no rand(), so retries and both engines see the same rows — and the
