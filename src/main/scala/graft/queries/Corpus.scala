@@ -177,5 +177,28 @@ object Corpus {
       .orderBy("src_a", "src_b")
   }
 
-  val all: Seq[Q] = Seq(chunkOverlap, datasetSplit, dedupStrip, sourceOverlap)
+  /** Morton z-value computation for the write-side 2-D clustering layout
+    * (sources/Layout.writeZOrdered): interleave 16 low bits of user_id
+    * with 16 bits of the ~67 s time bucket `ts_us >> 26`. The key exists
+    * to put the layout device itself under the oracle — the SAME Scala
+    * loop (Layout.zvalueSql) emits the formula for both engines, so a
+    * drift in the interleave (the thing file-skipping correctness hangs
+    * on) is a hash mismatch, not a silent mis-clustering. Map-only exact
+    * shift/mask/or BIGINT terms; zero shuffles before the presentation
+    * sort; LayoutSpec measures the skipping payoff on real files.
+    */
+  private val layoutZvalue = Q("layout_zvalue",
+    s"""SELECT event_id, user_id, epoch_us(ts) >> 26 AS tbucket,
+       |  ${graft.sources.Layout.zvalueSql("user_id", "(epoch_us(ts) >> 26)", 16)} AS zval
+       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("shiftright(ts_us, 26)").as("tbucket"),
+        graft.sources.Layout.zvalue(col("user_id"),
+          expr("shiftright(ts_us, 26)"), 16).as("zval"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(chunkOverlap, datasetSplit, dedupStrip, sourceOverlap, layoutZvalue)
 }

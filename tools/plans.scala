@@ -24,7 +24,9 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "sim_signbit_hamming", "kmeans_iter", "bpe_apply_merge",
   "inverted_index", "token_pmi", "resample_ffill",
   "embedding_project",
-  "ann_lsh_bucket", "ml_score", "agg_quartiles_exact")
+  "ann_lsh_bucket", "ml_score", "agg_quartiles_exact",
+  "chunk_overlap", "dataset_split", "dedup_strip", "source_overlap",
+  "join_asof_nearest", "layout_zvalue")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
