@@ -330,23 +330,25 @@ object TextSim {
     },
   )
 
-  /** MinHash banded near-dup pairs of `docs` (doc_id, text): all pairs
-    * da <= db with exact shingle-Jaccard distance <= 0.3 that collide in
-    * at least one minhash band. Shared by dedup_fuzzy and MlSpec's
-    * planted-pair test so the test exercises the production path.
+  /** int64-hashed DISTINCT 3-word-shingle table (doc_id, gh), cached and
+    * cache-pinned. Shingles are hashed to int64 INSIDE the transform
+    * lambda (see LlmOps.jaccardPairs for the collision argument): the
+    * distinct, the persisted table, the signature aggregation and both
+    * exact-Jaccard re-rank sides carry 8-byte keys instead of ~20-char
+    * strings — the string materialization was the source of dedup_fuzzy's
+    * 4x driver-run timing swing in round 8. Since r12 the gram hash is
+    * the CROSS-ENGINE word-polyhash composition
+    * (wordHashExpr/gramFromWordsExpr) and the minhashes are integer mixes
+    * of it (minhashMix) instead of seeded xxhash64 — same uniformity in
+    * practice (MlSpec planted-pair recall unchanged), but DuckDB can
+    * rebuild the identical sketch, so dedup_fuzzy is hash-exact oracled
+    * (minhashOracleSql). Cached via ensureCached so a same-session
+    * re-entry never double-persists (graft.Caching ownership contract —
+    * the harness clearCache or the caller retires it); the count() pins
+    * the cache in ONE job so consumers' map stages don't race to populate
+    * it (the 2x run-to-run spread of rounds 5-6).
     */
-  def minhashNearDupPairs(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // shingles are hashed to int64 INSIDE the transform lambda (see
-    // LlmOps.jaccardPairs for the collision argument): the distinct, the
-    // persisted table, the signature aggregation and both exact-Jaccard
-    // re-rank sides carry 8-byte keys instead of ~20-char strings — the
-    // string materialization was the source of dedup_fuzzy's 4x driver-run
-    // timing swing in round 8. Since r12 the gram hash is the CROSS-ENGINE
-    // word-polyhash composition (wordHashExpr/gramFromWordsExpr) and the
-    // minhashes are integer mixes of it (minhashMix) instead of seeded
-    // xxhash64 — same uniformity in practice (MlSpec planted-pair recall
-    // unchanged), but DuckDB can rebuild the identical sketch, so
-    // dedup_fuzzy is hash-exact oracled (minhashOracleSql).
+  def gramTable(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val grams = graft.Caching.ensureCached(docs0
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3) // sequence(1,0) DESCENDS on Spark — drop short docs
@@ -356,29 +358,41 @@ object TextSim {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("hw", expr(wordHashExpr))
       .select(col("doc_id"), explode(expr(gramFromWordsExpr)).as("gh"))
-      .distinct()
-    ) // persisted: three consumers (signature agg, both re-rank sides);
-      // Catalyst does not reuse the explode+distinct exchange. Cached via
-      // ensureCached so a same-session re-entry never double-persists
-      // (graft.Caching ownership contract — the harness clearCache or the
-      // caller retires it)
-    grams.count() // pin the cache in ONE job: the consumers' map stages
-                  // otherwise race to populate it concurrently, re-running
-                  // the explode+distinct per stage — the source of the
-                  // 2x run-to-run timing spread seen in rounds 5-6
-    // 10 deterministic minhashes AND the doc's shingle count in ONE
-    // map-side-combinable aggregation; n rides through the bands so no
-    // separate sizes aggregation/joins are needed later
+      .distinct())
+    grams.count()
+    grams
+  }
+
+  /** 5-band × 2-row minhash signatures (doc_id, n, bi, bv1, bv2) off the
+    * gram table: 10 deterministic minhashes AND the doc's shingle count in
+    * ONE map-side-combinable aggregation; n rides through the bands so no
+    * separate sizes aggregation/joins are needed later. The band key is
+    * the RAW minhash pair (bv1, bv2) — hashing the pair again (the r7-r11
+    * xxhash64 form) added nothing but engine-specificity. This is the
+    * per-doc map+agg stage a STREAMING ingest runs too (StreamingSpec's
+    * online near-dup filter consumes exactly these rows).
+    */
+  def bandSignatures(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val aggCols = count(lit(1)).as("n") +:
       (0 until MinhashK).map(i => min(expr(minhashMix(i, "gh"))).as(s"m$i"))
     val sig = grams.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    // 5 bands x 2 rows: recall at J=0.7 is 1-(1-0.49)^5 ≈ 0.97. The band
-    // key is the RAW minhash pair (bv1, bv2) — hashing the pair again
-    // (the r7-r11 xxhash64 form) added nothing but engine-specificity.
-    val bands = sig.select(col("doc_id"), col("n"), explode(array(
+    sig.select(col("doc_id"), col("n"), explode(array(
         (0 until 5).map(b => struct(lit(b).as("bi"),
           col(s"m${2 * b}").as("bv1"), col(s"m${2 * b + 1}").as("bv2"))): _*)).as("band"))
       .select(col("doc_id"), col("n"), col("band.bi"), col("band.bv1"), col("band.bv2"))
+  }
+
+  /** MinHash banded near-dup pairs of `docs` (doc_id, text): all pairs
+    * da <= db with exact shingle-Jaccard distance <= 0.3 that collide in
+    * at least one minhash band — see [[gramTable]]/[[bandSignatures]] for
+    * the kernel; this adds the size-ratio-guarded band equi-join and the
+    * exact-Jaccard re-rank (5 bands × 2 rows: recall at J=0.7 is
+    * 1-(1-0.49)^5 ≈ 0.97). Shared by dedup_fuzzy and MlSpec's
+    * planted-pair test so the test exercises the production path.
+    */
+  def minhashNearDupPairs(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grams = gramTable(s, docs0)
+    val bands = bandSignatures(grams)
     // J <= min(na,nb)/max(na,nb): the size-ratio guard discards
     // size-incompatible collisions IN the candidate join itself,
     // before the per-shingle intersection join

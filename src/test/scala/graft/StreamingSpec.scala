@@ -393,4 +393,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0L &&
       batch.except(streamed).count() == 0L)
   }
+
+  test("stream near-dup filter: banded-minhash candidates match batch, across batches") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // production band signatures (TextSim.gramTable + bandSignatures) over
+    // the real docs PLUS two planted near-copies, so candidates exist even
+    // if the fixture carries no organic band collision at this SF
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    val bands = queries.TextSim.bandSignatures(
+        queries.TextSim.gramTable(s, docs.unionByName(planted)))
+      .select("doc_id", "bi", "bv1", "bv2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    s.catalog.clearCache() // retire the gram cache (test owns it here)
+
+    // the online filter: state per band bucket = lowest doc_id seen; a doc
+    // arriving into a bucket someone already owns is a dup CANDIDATE
+    // (exact re-rank happens downstream, same as the batch pipeline)
+    val filter = (bucket: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
+        state: GroupState[Long]) => {
+      val ids = rows.map(_._1).toSeq.sorted // micro-batch arrival order is
+      // shuffle-permuted; doc_id order restores run determinism
+      var owner = state.getOption
+      val out = scala.collection.mutable.ListBuffer[(Long, Int)]()
+      ids.foreach { id =>
+        owner match {
+          case Some(o) if o < id => out += ((id, bucket._1))
+          case Some(o) if o > id => out += ((o, bucket._1)); owner = Some(id)
+          case None => owner = Some(id)
+          case _ => ()
+        }
+      }
+      owner.foreach(state.update)
+      out.iterator
+    }
+    val ms = MemoryStream[(Long, Int, Long, Long)]
+    val q = ms.toDS()
+      .groupByKey(r => (r._2, r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(filter)
+      .toDF("doc_id", "bi")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Update()).start()
+    // two micro-batches split mid-corpus: a cross-batch collision (the
+    // planted 9000/9001 ids arrive after their originals) must still be
+    // caught by the persisted bucket state
+    val (first, second) = bands.partition(_._1 < 250)
+    ms.addData(first)
+    q.processAllAvailable()
+    ms.addData(second)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("neardup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // batch twin over the same signatures: every doc sharing a band bucket
+    // with a lower doc_id
+    val byBucket = bands.groupBy(r => (r._2, r._3, r._4))
+    val batch = byBucket.values.flatMap { rs =>
+      val lo = rs.map(_._1).min
+      rs.map(_._1).filter(_ != lo)
+    }.toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // the planted copies MUST be flagged, and flagged across the batch cut
+    assert(Set(9000L, 9001L).subsetOf(streamed))
+  }
 }
