@@ -199,6 +199,46 @@ object Corpus {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] =
-    Seq(chunkOverlap, datasetSplit, dedupStrip, sourceOverlap, layoutZvalue)
+  /** Corpus-saturation curve: per doc (in doc_id ingestion order), how
+    * many of its aligned 6-token chunks were NEVER seen in any earlier
+    * document — the marginal-novelty measurement that tells a crawl when
+    * additional data stops adding information. A chunk's first owner is
+    * `min(doc_id)` over its occurrences, so novelty needs no ordered scan:
+    * one chunk-keyed combinable min-aggregation (first owners), one
+    * per-doc distinct-chunk count, one join back — all hash-partitioned,
+    * nothing ordered, nothing on the driver. novelty is the one division
+    * of exact BIGINTs after aggregation.
+    */
+  private val corpusNovelty = Q("corpus_novelty",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ch AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, (len(w)+5)//6),
+       |    i -> array_to_string(w[(i-1)*6+1 : i*6], ' '))) AS chunk FROM toks),
+       |firsts AS (SELECT chunk, min(doc_id) AS first_doc FROM ch GROUP BY chunk),
+       |per_doc AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+       |novel AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts GROUP BY first_doc)
+       |SELECT p.doc_id, p.n_chunks,
+       |  coalesce(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+       |  CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.n_chunks AS novelty
+       |FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id
+       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, (size(w) + 5) div 6), i -> concat_ws(' ', slice(w, (i-1)*6+1, 6)))"))
+        .as("chunk"))
+      .distinct()
+    val firsts = ch.groupBy("chunk").agg(min("doc_id").as("first_doc"))
+    val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val novel = firsts.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_chunks"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(chunkOverlap, datasetSplit, dedupStrip, sourceOverlap,
+    layoutZvalue, corpusNovelty)
 }

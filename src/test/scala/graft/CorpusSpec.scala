@@ -95,6 +95,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no cross-source overlap at sf0.001 — fixture drift?")
   }
 
+  test("corpus_novelty equals the brute-force first-owner computation") {
+    val got = SparkEntry.queries("corpus_novelty")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val firstOwner = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, t) =>
+      chunks6(t).distinct.foreach(c =>
+        if (!firstOwner.contains(c) || firstOwner(c) > id) firstOwner(c) = id)
+    }
+    val expect = docs.map { case (id, t) =>
+      val cs = chunks6(t).distinct
+      (id, cs.length.toLong, cs.count(c => firstOwner(c) == id).toLong)
+    }
+    assert(got == expect.toSeq)
+    // saturation must be visible: some doc repeats an earlier doc's chunk
+    assert(got.exists { case (_, n, nov) => nov < n })
+  }
+
   test("join_asof_nearest picks the closer neighbor, ties toward earlier") {
     val rows = SparkEntry.queries("join_asof_nearest")(s, d).collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
