@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // heaps (graft.plans.TopKPerGroup) — build-time twin of the runtime
     // install graft.operators.TopK.ensureStrategy performs
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // auto-rewrite of the window-rank top-k idiom into the bounded-heap
+    // operator (strictly gated — see TopKRewrite scaladoc; opt out with
+    // spark.graft.topkRewrite.enabled=false)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),

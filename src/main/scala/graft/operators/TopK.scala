@@ -31,6 +31,21 @@ object TopK {
         cs.experimental.extraStrategies :+ TopKPerGroupStrategy
   }
 
+  /** Install the [[graft.plans.TopKRewrite]] optimizer rule (plus the
+    * strategy it plans through) on `spark` if absent — the runtime twin
+    * of `GraftExtensions.injectOptimizerRule`. After this, the plain
+    * window idiom `row_number() OVER (...) <= k` plans as the bounded-heap
+    * operator automatically; disable per-session via
+    * `spark.graft.topkRewrite.enabled=false`.
+    */
+  def ensureRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ensureStrategy(spark)
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+  }
+
   /** Top `k` rows per `groupCols` group under `order` (column name →
     * descending?), ties broken by the order's later columns.
     */

@@ -41,6 +41,47 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"pruned read schema expected:\n$plan")
   }
 
+  test("TopKRewrite: the window-rank idiom auto-plans as bounded heaps, rows identical") {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    operators.TopK.ensureRewrite(s)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def q = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val plan = q.queryExecution.executedPlan.toString
+      assert("TopKPerGroup".r.findAllIn(plan).length == 2,
+        s"window idiom did not rewrite to the heap operator:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+      // identical rows INCLUDING the recomputed rank when the rule is off
+      s.conf.set(plans.TopKRewrite.ConfKey, "false")
+      val offPlan = q.queryExecution.executedPlan.toString
+      assert(!offPlan.contains("TopKPerGroup"), s"conf kill-switch ignored:\n$offPlan")
+      val off = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+      assert(got == off, "rewritten rows diverge from the window idiom")
+      s.conf.unset(plans.TopKRewrite.ConfKey)
+      // ineligible shapes pass through untouched: rank() is not row_number
+      val rankQ = Tables.orders(s, d)
+        .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      assert(!rankQ.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // ... and a second window expression disables the rewrite
+      val twoQ = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("mx", max("o_totalprice").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")))
+        .filter(col("rn") <= 3)
+      assert(!twoQ.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally {
+      s.conf.unset(plans.TopKRewrite.ConfKey)
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations.filterNot(_ == plans.TopKRewrite)
+    }
+  }
+
   test("scan_partitioned prunes to the lang=en directory and matches the flat scan") {
     val q = SparkEntry.queries("scan_partitioned")(s, d)
     val plan = q.queryExecution.executedPlan.toString
