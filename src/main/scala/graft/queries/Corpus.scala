@@ -91,6 +91,14 @@ object Corpus {
     * the potentially-huge dup set); (3) one groupBy(doc_id) reassembly
     * where `array_sort(collect_list(struct(ci, chunk)))` restores chunk
     * order per doc without any global sort. Nothing touches the driver.
+    *
+    * The chunk explode feeds three consumers (dup aggregation, anti-join
+    * probe, per-doc totals) and is deliberately RECOMPUTED rather than
+    * cached: it is map-only work off the scan, and at 100 TB persisting a
+    * corpus-scale exploded table costs far more memory/disk than three
+    * codegen'd map passes — the opposite trade from the minhash gram
+    * table (TextSim.gramTable), whose distinct() already paid a shuffle
+    * worth keeping.
     */
   private val dedupStrip = Q("dedup_strip",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -394,6 +394,45 @@ class StreamingSpec extends AnyFunSuite {
       batch.except(streamed).count() == 0L)
   }
 
+  test("streaming parquet sink: partitioned lake landing with the exactly-once manifest") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = "/tmp/graft_stream_sink"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val rows = Tables.documents(s, d)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("doc_id", "lang", "n_chars")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt")
+      .partitionBy("lang")
+      .start(s"$base/out")
+    // two micro-batches — the manifest must make their files ONE atomic
+    // readable set, not torn directory listings
+    val (a, b) = rows.partition(_._1 < 250)
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    // exactly-once contract of the file sink: readers trust the
+    // _spark_metadata manifest, not the raw directory listing
+    assert(new java.io.File(s"$base/out/_spark_metadata").exists(),
+      "file-sink manifest missing")
+    val back = s.read.parquet(s"$base/out")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(back == rows.toSet, s"landed ${back.size} of ${rows.size} rows")
+    // hive-partitioned layout: one lang=<v> directory per language
+    val langDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).map(_.getName).toSet
+    assert(langDirs == rows.map(r => s"lang=${r._2}").toSet)
+    rm(new java.io.File(base))
+  }
+
   test("stream near-dup filter: banded-minhash candidates match batch, across batches") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
