@@ -19,19 +19,21 @@ import graft.{Q, Tables}
 object Corpus {
 
   /** RAG-style sliding-window chunking: 8-token windows at stride 4 (50%
-    * overlap), plus one short chunk for docs under 8 tokens. Start
-    * positions are `sequence(1, greatest(1, n-7), 4)` — a pure function of
-    * the token count, so both engines enumerate identical windows and
-    * `chunk_idx` falls out arithmetically as `(start-1)/4 + 1` (no
-    * ordinality dependence). Shuffle shape: NONE before the presentation
-    * sort — split/sequence/explode/slice are all map-side and stay inside
-    * one whole-stage-codegen span; at 100 TB this is embarrassingly
-    * parallel and the output sort would simply be dropped (it exists for
-    * the oracle's total order).
+    * overlap); the LAST window may be short (5–8 tokens) so that every
+    * token of the document is covered — start positions are
+    * `sequence(1, greatest(1, n-4), 4)`, whose final start is always
+    * ≥ n-7 (consecutive starts differ by the stride), so the tail is
+    * never dropped. A pure function of the token count, so both engines
+    * enumerate identical windows and `chunk_idx` falls out arithmetically
+    * as `(start-1)/4 + 1` (no ordinality dependence). Shuffle shape: NONE
+    * before the presentation sort — split/sequence/explode/slice are all
+    * map-side and stay inside one whole-stage-codegen span; at 100 TB
+    * this is embarrassingly parallel and the output sort would simply be
+    * dropped (it exists for the oracle's total order).
     */
   private val chunkOverlap = Q("chunk_overlap",
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(1, len(w) - 7), 4)) AS st
+       |s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(1, len(w) - 4), 4)) AS st
        |  FROM t)
        |SELECT doc_id, (st - 1) // 4 + 1 AS chunk_idx, st AS start_tok,
        |  least(CAST(8 AS BIGINT), len(w) - st + 1) AS n_tok,
@@ -40,7 +42,7 @@ object Corpus {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
-        explode(expr("sequence(1L, greatest(1L, size(w) - 7L), 4L)")).as("st"))
+        explode(expr("sequence(1L, greatest(1L, size(w) - 4L), 4L)")).as("st"))
       .select(col("doc_id"),
         expr("(st - 1) div 4 + 1").as("chunk_idx"),
         col("st").as("start_tok"),

@@ -32,9 +32,11 @@ class CorpusSpec extends AnyFunSuite {
         val expect = w.slice(start.toInt - 1, start.toInt - 1 + 8)
         assert(chunk == expect.mkString(" ") && nTok == expect.length)
       }
-      // last window reaches the final token (or the doc is shorter than 8)
+      // full coverage: the last (possibly short) window ends exactly at
+      // the final token — no tail is ever dropped
       val (_, _, lastStart, lastN, _) = sorted.last
-      assert(lastStart + lastN - 1 >= w.length - 3 && lastStart + lastN - 1 <= w.length)
+      assert(lastStart + lastN - 1 == w.length,
+        s"doc $id tail uncovered: last window ends at ${lastStart + lastN - 1} of ${w.length}")
     }
   }
 
@@ -112,6 +114,73 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expect.toSeq)
     // saturation must be visible: some doc repeats an earlier doc's chunk
     assert(got.exists { case (_, n, nov) => nov < n })
+  }
+
+  test("corpus ops survive pathological docs: empty, 1-token, exact boundaries, repeats") {
+    import s.implicits._
+    // crafted corpus through the PRODUCTION path: written as a real
+    // documents.parquet and fed to the same (spark, dir) query fns
+    val docs = Seq(
+      (0L, "", "en", "srcA", 0L),                                  // empty text
+      (1L, "one", "en", "srcA", 3L),                               // single token
+      (2L, "a b c d e f", "en", "srcB", 11L),                      // exactly one 6-chunk
+      (3L, "a b c d e f g h", "en", "srcB", 15L),                  // exactly one 8-window
+      (4L, "a b c d e f a b c d e f", "en", "srcC", 23L),          // chunk repeated IN one doc
+      (5L, "a b c d e f x y z w v u", "en", "srcC", 23L),          // shares chunk with 2,3,4
+      (6L, "p q r s t u v w x", "fr", "srcD", 17L),                // 9 tokens: 2 windows
+    )
+    val dir = "/tmp/graft_corpus_edge"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // chunk_overlap boundary arithmetic, pinned exactly: empty + 1-token
+    // docs yield ONE short window; an exactly-8-token doc yields exactly
+    // one full window (no spurious tail); a 9-token doc yields the full
+    // window AND the short tail window that covers token 9
+    val co = SparkEntry.queries("chunk_overlap")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(co.filter(_._1 == 0L).toSeq == Seq((0L, 1L, 1L, 1L, "")))
+    assert(co.filter(_._1 == 1L).toSeq == Seq((1L, 1L, 1L, 1L, "one")))
+    assert(co.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 1L, 1L, 8L, "a b c d e f g h")))
+    assert(co.filter(_._1 == 6L).map(_._5).toSeq ==
+      Seq("p q r s t u v w", "t u v w x"))
+
+    // dedup_strip: the "a b c d e f" chunk lives in docs 2,3(prefix of its
+    // 6-chunk),4,5 -> stripped everywhere it appears as an ALIGNED chunk
+    val dsRows = SparkEntry.queries("dedup_strip")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ds = dsRows.map(t => t._1 -> t).toMap
+    assert(dsRows.length == docs.length, "dedup_strip must be count-preserving")
+    assert(ds(4L)._2 == "" && ds(4L)._4 == 2L,
+      s"doc 4 is two copies of a duplicated chunk: ${ds(4L)}")
+    assert(ds(0L)._3 + ds(0L)._4 == 1L) // the empty doc's single '' chunk
+    assert(ds(6L)._4 == 0L, "the fr doc shares no chunk")
+    // per-doc bookkeeping always adds up
+    dsRows.foreach { case (id, _, kept, removed) =>
+      val n = (docs.find(_._1 == id).get._2.split(" ", -1).length + 5) / 6
+      assert(kept + removed == n.toLong, s"doc $id: $kept + $removed != $n")
+    }
+
+    // corpus_novelty: doc 4's repeated chunk is DISTINCT per doc (one
+    // entry), first owner is doc 2; the empty-string chunk's owner is 0
+    val nov = SparkEntry.queries("corpus_novelty")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nov == Seq(
+      (0L, 1L, 1L), // '' first seen here
+      (1L, 1L, 1L),
+      (2L, 1L, 1L), // 'a b c d e f' first owner
+      (3L, 2L, 1L), // shares chunk1 with doc 2; its tail 'g h' is novel
+      (4L, 1L, 0L), // both chunks are 'a b c d e f' -> distinct 1, owned by 2
+      (5L, 2L, 1L),
+      (6L, 2L, 2L),
+    ), s"novelty mismatch: $nov")
+
+    rm(new java.io.File(dir))
   }
 
   test("join_asof_nearest picks the closer neighbor, ties toward earlier") {
