@@ -150,6 +150,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0L)
   }
 
+  test("Trigger.AvailableNow: a backfill drains the source and terminates itself") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // the production backfill pattern: process everything currently in the
+    // source with streaming semantics (checkpointed, incremental, bounded
+    // per-trigger) and EXIT — no manual stop(), no always-on cluster
+    val dir = Paths.get("target/tmp/backfill_events")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf + "/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(dir.toString).schema
+    val q = Tables.withEventTime(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString))
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("backfill_stream")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the trigger itself ends the query once the staged files are drained
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val streamed = s.table("backfill_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(s, d).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("stream_stateful: per-key running count via flatMapGroupsWithState") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
