@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.all ++ Windows.all ++ Composites.all ++ Scalars.all ++
       TextSim.all ++ StreamingBatch.all ++ Udx.all ++ LlmOps.all ++
       TypedOps.all ++ Curation.all ++ Pipeline.all ++ Stats.all ++ Features.all ++
-      Corpus.all
+      Corpus.all ++ Retrieval.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -223,57 +223,25 @@ object Curation {
     * Scale shape: tf extraction is map-only; the stats side aggregates to
     * one row per lang and broadcasts; top-100 plans TakeOrderedAndProject
     * on the exact integer score.
+    *
+    * The scoring kernel lives in [[Bm25]] — shared with `retrieval_rrf`
+    * (Retrieval.scala), which fuses this lexical ranking with a dense one.
     */
-  private val textBm25 = {
-    val terms = Seq("fast", "merge", "column")
-    def tfO(i: Int) =
-      s"len(list_filter(string_split(lower(text), ' '), x -> x = '${terms(i - 1)}')) AS tf$i"
-    def tfS(i: Int) =
-      s"size(filter(split(lower(text), ' '), x -> x = '${terms(i - 1)}')) AS tf$i"
-    // one term's BM25 contribution; identical text on both engines except
-    // the double-literal spelling (DuckDB parses bare decimals as DECIMAL)
-    def term(i: Int, c: String => String) =
-      s"""ln(${c("1")} + (cast(n_docs as double) - cast(df$i as double) + ${c("0.5")})
-         |  / (cast(df$i as double) + ${c("0.5")}))
-         |* (cast(tf$i as double) * ${c("2.2")})
-         |/ (cast(tf$i as double) + ${c("1.2")} * (${c("0.25")} + ${c("0.75")} * cast(dl as double) / avgdl))""".stripMargin
-    def score(c: String => String) =
-      s"cast(floor((${term(1, c)} + ${term(2, c)} + ${term(3, c)}) * ${c("1000000")} + ${c("0.5")}) as bigint)"
-    val duck: String => String = k => s"CAST($k AS DOUBLE)"
-    val spark: String => String = k => s"${k}d"
+  private val textBm25 =
     Q("text_bm25",
-      s"""WITH f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS dl,
-         |    ${tfO(1)}, ${tfO(2)}, ${tfO(3)} FROM documents),
-         |st AS (SELECT lang, count(*) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-         |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
-         |  FROM f GROUP BY lang)
-         |SELECT doc_id, f.lang AS lang, CAST(dl AS INT) AS dl,
+      s"""WITH ${Bm25.scoredCtes}
+         |SELECT doc_id, lang, CAST(dl AS INT) AS dl,
          |  CAST(tf1 AS INT) AS tf1, CAST(tf2 AS INT) AS tf2, CAST(tf3 AS INT) AS tf3,
-         |  ${score(duck)} AS bm25_e6
-         |FROM f JOIN st ON f.lang = st.lang
-         |WHERE tf1 + tf2 + tf3 > 0
+         |  bm25_e6
+         |FROM scored
          |ORDER BY bm25_e6 DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
-      val f = Tables.documents(s, d).selectExpr("doc_id", "lang",
-        "size(split(text, ' ')) AS dl", tfS(1), tfS(2), tfS(3))
-      val st = f.groupBy("lang").agg(
-        count(lit(1)).as("n_docs"),
-        expr("cast(sum(dl) as double) / count(1)").as("avgdl"),
-        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
-        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
-        sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
-      f.join(broadcast(st), "lang")
-        .filter(expr("tf1 + tf2 + tf3 > 0"))
+      Bm25.scored(s, d)
         .select(col("doc_id"), col("lang"), col("dl").cast("int").as("dl"),
           col("tf1").cast("int").as("tf1"), col("tf2").cast("int").as("tf2"),
-          col("tf3").cast("int").as("tf3"),
-          expr(score(spark)).as("bm25_e6"))
+          col("tf3").cast("int").as("tf3"), col("bm25_e6"))
         .orderBy(col("bm25_e6").desc, col("doc_id"))
         .limit(100)
     }
-  }
 
   /** Boilerplate detection by shared leading 8-token prefix: a cheap,
     * fully-parallel screen for template headers / mirrored documents that a
@@ -664,4 +632,68 @@ object Curation {
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
     eventsTransitions, mlFolds, mlScore, invertedIndex)
+}
+
+/** The ONE owner of the BM25 scoring kernel (k1 = 1.2, b = 0.75; probe
+  * terms fixed) used by `text_bm25` and `retrieval_rrf` — both engines'
+  * expression trees are generated from the same builders here, so the two
+  * keys' lexical rankings cannot drift apart. All determinism caveats
+  * (fixed-column terms so no double crosses an aggregation, floor-rounding
+  * to an exact BIGINT score, CAST(k AS DOUBLE) literal spelling for DuckDB)
+  * are documented on `text_bm25` above.
+  */
+private[queries] object Bm25 {
+  private val terms = Seq("fast", "merge", "column")
+  private def tfO(i: Int) =
+    s"len(list_filter(string_split(lower(text), ' '), x -> x = '${terms(i - 1)}')) AS tf$i"
+  private def tfS(i: Int) =
+    s"size(filter(split(lower(text), ' '), x -> x = '${terms(i - 1)}')) AS tf$i"
+  // one term's BM25 contribution; identical text on both engines except
+  // the double-literal spelling (DuckDB parses bare decimals as DECIMAL)
+  private def term(i: Int, c: String => String) =
+    s"""ln(${c("1")} + (cast(n_docs as double) - cast(df$i as double) + ${c("0.5")})
+       |  / (cast(df$i as double) + ${c("0.5")}))
+       |* (cast(tf$i as double) * ${c("2.2")})
+       |/ (cast(tf$i as double) + ${c("1.2")} * (${c("0.25")} + ${c("0.75")} * cast(dl as double) / avgdl))""".stripMargin
+  private def score(c: String => String) =
+    s"cast(floor((${term(1, c)} + ${term(2, c)} + ${term(3, c)}) * ${c("1000000")} + ${c("0.5")}) as bigint)"
+  private val duck: String => String = k => s"CAST($k AS DOUBLE)"
+  private val spark: String => String = k => s"${k}d"
+
+  /** DuckDB CTE chain `f, st, scored`; `scored` = one row per MATCHED doc
+    * (tf1+tf2+tf3 > 0): (doc_id, lang, dl, tf1, tf2, tf3, bm25_e6).
+    */
+  val scoredCtes: String =
+    s"""f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS dl,
+       |    ${tfO(1)}, ${tfO(2)}, ${tfO(3)} FROM documents),
+       |st AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+       |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+       |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+       |  FROM f GROUP BY lang),
+       |scored AS (SELECT doc_id, f.lang AS lang, dl, tf1, tf2, tf3,
+       |    ${score(duck)} AS bm25_e6
+       |  FROM f JOIN st ON f.lang = st.lang
+       |  WHERE tf1 + tf2 + tf3 > 0)""".stripMargin
+
+  /** Spark twin of [[scoredCtes]]'s `scored`: per-matched-doc BM25 frame
+    * (doc_id, lang, dl, tf1, tf2, tf3, bm25_e6). Map-only scoring pass +
+    * a one-row-per-lang broadcast stats join — at 100 TB this is one
+    * corpus scan with a tiny dimension.
+    */
+  def scored(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d).selectExpr("doc_id", "lang",
+      "size(split(text, ' ')) AS dl", tfS(1), tfS(2), tfS(3))
+    val st = f.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      expr("cast(sum(dl) as double) / count(1)").as("avgdl"),
+      sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+      sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+      sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
+    f.join(broadcast(st), "lang")
+      .filter(expr("tf1 + tf2 + tf3 > 0"))
+      .withColumn("bm25_e6", expr(score(spark)))
+      .select("doc_id", "lang", "dl", "tf1", "tf2", "tf3", "bm25_e6")
+  }
 }
