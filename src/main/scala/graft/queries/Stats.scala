@@ -315,6 +315,94 @@ object Stats {
       .orderBy(col("cnt").desc, col("pair")).limit(50)
   }
 
+  /** Number of bpe_train merge rounds; one copy feeds the Spark loop, the
+    * generated oracle CTE chain, and the sentinel-expansion depth. */
+  private val BpeRounds = 6
+
+  /** DuckDB twin of the bpe_train loop, generated as a linear CTE chain
+    * from the same [[BpeRounds]] constant: per round k — `p_k` adjacent
+    * pairs over token layer k−1, `w_k` the (cnt DESC, pair) argmax, `t_k`
+    * the layer with the winner collapsed to sentinel chr(k), and `e_k` the
+    * winner expanded back to readable text by substituting the previous
+    * rounds' expansions (each `e_j` is already sentinel-free, so one
+    * replace per earlier round suffices).
+    */
+  private def bpeTrainOracle: String = {
+    val ctes = new StringBuilder(
+      """t0 AS (SELECT unnest(string_split(lower(text), ' ')) AS r
+        |    FROM documents)""".stripMargin)
+    for (k <- 1 to BpeRounds) {
+      ctes ++= s""",
+        |p$k AS (SELECT substr(r, CAST(i AS INTEGER), 2) AS pair
+        |  FROM (SELECT r, unnest(generate_series(1, length(r) - 1)) AS i
+        |        FROM t${k - 1} WHERE length(r) >= 2) x$k),
+        |w$k AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$k
+        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+        |t$k AS (SELECT replace(r, (SELECT pair FROM w$k), chr($k)) AS r FROM t${k - 1})""".stripMargin
+      val exp = (k - 1 to 1 by -1)
+        .foldLeft(s"w$k.pair")((acc, j) => s"replace($acc, chr($j), e$j.ex)")
+      val from = (s"w$k" +: (1 until k).map(j => s"e$j")).mkString(", ")
+      ctes ++= s""",
+        |e$k AS (SELECT $exp AS ex FROM $from)""".stripMargin
+    }
+    val selects = (1 to BpeRounds)
+      .map(k => s"SELECT $k AS merge_idx, e$k.ex AS pair, w$k.cnt AS cnt FROM w$k, e$k")
+      .mkString("\nUNION ALL ")
+    s"WITH $ctes\n$selects\nORDER BY merge_idx"
+  }
+
+  /** The full iterative BPE trainer ([[BpeRounds]] merge rounds) —
+    * `bpe_pair_counts` is its first ranking pass and `bpe_apply_merge` its
+    * first merge+recount; this runs the whole loop and emits the learned
+    * merge table, THE tokenizer-training artifact of an LLM data pipeline.
+    * Per round: rank adjacent symbol pairs over the current token layer
+    * (cnt DESC, pair — deterministic), collapse the winner to a one-byte
+    * sentinel chr(round) via left-to-right non-overlapping replace (the
+    * greedy BPE application order, as in bpe_apply_merge), recount on the
+    * merged layer. Output rows expand sentinels back to readable merges.
+    *
+    * Scale shape (the kmeans_iter discipline): the model state crossing
+    * the driver per round is ONE (pair, cnt) row — the TakeOrdered argmax
+    * — baked into the next round's replace as a literal so every round is
+    * one map-only pass over the CACHED previous layer, not a lineage
+    * re-executing all prior rounds; the corpus itself never leaves the
+    * cluster, and each layer's pair aggregate is map-side combinable into
+    * a symbol-alphabet²-bounded table. At 100 TB the caches become
+    * checkpointed token layers; the per-round driver traffic stays 1 row.
+    * Cache ownership per Caching's contract: intermediate layers are
+    * materialized by each round's argmax job and retired by the session's
+    * clearCache.
+    */
+  private val bpeTrain = Q("bpe_train", bpeTrainOracle) { (s, d) =>
+    var layer = graft.Caching.ensureCached(Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("r")))
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to BpeRounds) {
+      val w = layer.filter(length(col("r")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(r) - 1), i -> substring(r, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)
+      merges += ((k, w.getString(0), w.getLong(1)))
+      // literal via lit(), not SQL interpolation: the winning pair can
+      // contain earlier rounds' sentinel control bytes
+      if (k < BpeRounds)
+        layer = graft.Caching.ensureCached(layer.select(
+          replace(col("r"), lit(w.getString(0)), lit(k.toChar.toString)).as("r")))
+    }
+    // expand sentinels newest-first; each expansion is already
+    // sentinel-free, so one substitution per earlier round suffices
+    val expanded = Array.ofDim[String](BpeRounds + 1)
+    for (k <- 1 to BpeRounds)
+      expanded(k) = (k - 1 to 1 by -1).foldLeft(merges(k - 1)._2)(
+        (acc, j) => acc.replace(j.toChar.toString, expanded(j)))
+    import s.implicits._
+    merges.toSeq.map { case (k, _, cnt) => (k, expanded(k), cnt) }
+      .toDF("merge_idx", "pair", "cnt")
+      .orderBy("merge_idx")
+  }
+
   /** Token co-occurrence PMI: pointwise mutual information
     * ln(c_ab·N / (c_a·c_b)) for the top-50 co-occurring token pairs —
     * the collocation detector ("new york" vs chance) a corpus pipeline
@@ -765,5 +853,6 @@ object Stats {
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
     aggQuartilesExact, skewProfile,
-    ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, tokenPmi)
+    ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
+    tokenPmi)
 }

@@ -435,6 +435,32 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "some pair must contain the expanded merged symbol")
   }
 
+  test("bpe_train learns exactly the brute-force 6-round merge table") {
+    var layer = Tables.documents(s, d).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" "))
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to 6) {
+      val (pair, cnt) = layer.filter(_.length >= 2).flatMap(_.sliding(2))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (p, c) => (-c, p) }.head
+      merges += ((k, pair, cnt))
+      layer = layer.map(_.replace(pair, k.toChar.toString))
+    }
+    val expanded = Array.ofDim[String](7)
+    for (k <- 1 to 6)
+      expanded(k) = (k - 1 to 1 by -1).foldLeft(merges(k - 1)._2)(
+        (acc, j) => acc.replace(j.toChar.toString, expanded(j)))
+    val expect = merges.map { case (k, _, c) => (k, expanded(k), c) }.toSeq
+    val res = SparkEntry.queries("bpe_train")(s, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(res == expect, "merge table diverges from brute force")
+    // BPE invariants: counts never increase round-over-round (a merge can
+    // only remove or re-bound pair occurrences), and expansions are
+    // sentinel-free readable text of >= 2 chars
+    assert(res.map(_._3) == res.map(_._3).sorted.reverse)
+    assert(res.forall { case (_, p, _) => p.length >= 2 && p.forall(_ >= ' ') })
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))
