@@ -249,6 +249,27 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"argmax must plan as an aggregate, no per-vector window:\n$plan")
   }
 
+  test("retrieval_rrf: both candidate lists plan as bounded heaps over broadcast-scored passes") {
+    val plan = finalPlan(SparkEntry.queries("retrieval_rrf")(s, d))
+    // lexical top-50, dense top-50 and the fused top-20 must all cut via
+    // TakeOrdered — a global Sort anywhere means a ranking escaped its
+    // bound; the BM25 stats and the 1-row probe must broadcast
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"candidate cuts must plan as bounded heaps:\n$plan")
+    assert(!plan.contains("Sort [rrf_e9"),
+      s"fused cut must not global-sort:\n$plan")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).length >= 2,
+      s"stats + probe sides must broadcast:\n$plan")
+  }
+
+  test("retrieval_eval: probe side broadcasts and the per-probe top-10 is group-limited") {
+    val plan = finalPlan(SparkEntry.queries("retrieval_eval")(s, d))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"bounded probe side must broadcast onto the corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("PartialTopK"),
+      s"rnk <= 10 must bound the per-probe exchange:\n$plan")
+  }
+
   test("ann_lsh_bucket bounds the re-rank with WindowGroupLimit and pushes the probe filter") {
     val plan = finalPlan(SparkEntry.queries("ann_lsh_bucket")(s, d))
     assert(plan.contains("WindowGroupLimit"),
