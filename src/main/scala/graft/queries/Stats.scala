@@ -376,6 +376,7 @@ object Stats {
   private val bpeTrain = Q("bpe_train", bpeTrainOracle) { (s, d) =>
     var layer = graft.Caching.ensureCached(Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("r")))
+    val layers = collection.mutable.ArrayBuffer(layer)
     val merges = collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (k <- 1 to BpeRounds) {
       val w = layer.filter(length(col("r")) >= 2)
@@ -387,10 +388,17 @@ object Stats {
       merges += ((k, w.getString(0), w.getLong(1)))
       // literal via lit(), not SQL interpolation: the winning pair can
       // contain earlier rounds' sentinel control bytes
-      if (k < BpeRounds)
+      if (k < BpeRounds) {
         layer = graft.Caching.ensureCached(layer.select(
           replace(col("r"), lit(w.getString(0)), lit(k.toChar.toString)).as("r")))
+        layers += layer
+      }
     }
+    // the collected merge table is the whole output; no returned plan
+    // reads the token layers, so the operator retires its own caches
+    // (Caching's intermediate-ownership rule) instead of leaning on the
+    // session-level clearCache
+    layers.foreach(_.unpersist(blocking = false))
     // expand sentinels newest-first; each expansion is already
     // sentinel-free, so one substitution per earlier round suffices
     val expanded = Array.ofDim[String](BpeRounds + 1)

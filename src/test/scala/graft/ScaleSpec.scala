@@ -230,6 +230,18 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(leaked.isEmpty, s"leaked RDD-level persistence: $leaked")
   }
 
+  test("bpe_train retires its own token-layer caches without clearCache") {
+    // the trainer's output is model-sized (built from per-round argmax
+    // collects), so no returned plan reads the cached layers — the
+    // operator must unpersist them itself rather than lean on the
+    // session-level clearCache the way plan-returning operators may
+    s.catalog.clearCache()
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    assert(SparkEntry.queries("bpe_train")(s, d).collect().length == 6)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"bpe_train left cached layers behind: $leaked")
+  }
+
   test("re-entering the pair-graph kernel in one session neither double-caches nor leaks") {
     // graph_degree and dedup_ngram_jaccard build the IDENTICAL pair graph;
     // running them back-to-back without clearCache is the library-user
