@@ -329,16 +329,17 @@ object Stats {
     */
   private def bpeTrainOracle: String = {
     val ctes = new StringBuilder(
-      """t0 AS (SELECT unnest(string_split(lower(text), ' ')) AS r
-        |    FROM documents)""".stripMargin)
+      """t0 AS (SELECT r, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS r
+        |        FROM documents) raw GROUP BY r)""".stripMargin)
     for (k <- 1 to BpeRounds) {
       ctes ++= s""",
-        |p$k AS (SELECT substr(r, CAST(i AS INTEGER), 2) AS pair
-        |  FROM (SELECT r, unnest(generate_series(1, length(r) - 1)) AS i
+        |p$k AS (SELECT substr(r, CAST(i AS INTEGER), 2) AS pair, c
+        |  FROM (SELECT r, c, unnest(generate_series(1, length(r) - 1)) AS i
         |        FROM t${k - 1} WHERE length(r) >= 2) x$k),
-        |w$k AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$k
+        |w$k AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p$k
         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
-        |t$k AS (SELECT replace(r, (SELECT pair FROM w$k), chr($k)) AS r FROM t${k - 1})""".stripMargin
+        |t$k AS (SELECT replace(r, (SELECT pair FROM w$k), chr($k)) AS r, c FROM t${k - 1})""".stripMargin
       val exp = (k - 1 to 1 by -1)
         .foldLeft(s"w$k.pair")((acc, j) => s"replace($acc, chr($j), e$j.ex)")
       val from = (s"w$k" +: (1 until k).map(j => s"e$j")).mkString(", ")
@@ -361,28 +362,35 @@ object Stats {
     * greedy BPE application order, as in bpe_apply_merge), recount on the
     * merged layer. Output rows expand sentinels back to readable merges.
     *
-    * Scale shape (the kmeans_iter discipline): the model state crossing
-    * the driver per round is ONE (pair, cnt) row — the TakeOrdered argmax
-    * — baked into the next round's replace as a literal so every round is
+    * Scale shape (the real-world trainer shape, plus the kmeans_iter
+    * model-state discipline): the corpus is aggregated ONCE into the
+    * (token, count) vocabulary table, and every merge round runs over
+    * that VOCAB-BOUNDED layer with pair counts as weighted sums — at
+    * 100 TB that is one stream aggregation and then 6 rounds over a
+    * dictionary, not 6 corpus scans (iterating the raw stream measured
+    * 4.96 s at sf0.1 vs 1.7-1.9 s steady for this shape — and the gap is
+    * the whole corpus size at scale). The per-round replace map is INJECTIVE
+    * (each round's sentinel is fresh, so replacing it back recovers the
+    * pre-image uniquely), hence distinct tokens never collide and no
+    * re-grouping is needed between rounds. Model state crossing the
+    * driver per round is ONE (pair, cnt) row — the TakeOrdered argmax —
+    * baked into the next round's replace as a literal so every round is
     * one map-only pass over the CACHED previous layer, not a lineage
-    * re-executing all prior rounds; the corpus itself never leaves the
-    * cluster, and each layer's pair aggregate is map-side combinable into
-    * a symbol-alphabet²-bounded table. At 100 TB the caches become
-    * checkpointed token layers; the per-round driver traffic stays 1 row.
-    * Cache ownership per Caching's contract: intermediate layers are
-    * materialized by each round's argmax job and retired by the session's
-    * clearCache.
+    * re-executing all prior rounds. Cache ownership per Caching's
+    * contract: the operator retires its own layers before returning.
     */
   private val bpeTrain = Q("bpe_train", bpeTrainOracle) { (s, d) =>
     var layer = graft.Caching.ensureCached(Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), " ")).as("r")))
+      .select(explode(split(lower(col("text")), " ")).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("c")))
     val layers = collection.mutable.ArrayBuffer(layer)
     val merges = collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (k <- 1 to BpeRounds) {
       val w = layer.filter(length(col("r")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, length(r) - 1), i -> substring(r, i, 2))")).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          "transform(sequence(1, length(r) - 1), i -> substring(r, i, 2))")).as("pair"),
+          col("c"))
+        .groupBy("pair").agg(sum("c").as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .collect()(0)
       merges += ((k, w.getString(0), w.getLong(1)))
@@ -390,7 +398,8 @@ object Stats {
       // contain earlier rounds' sentinel control bytes
       if (k < BpeRounds) {
         layer = graft.Caching.ensureCached(layer.select(
-          replace(col("r"), lit(w.getString(0)), lit(k.toChar.toString)).as("r")))
+          replace(col("r"), lit(w.getString(0)), lit(k.toChar.toString)).as("r"),
+          col("c")))
         layers += layer
       }
     }
