@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Both paths register the same surface, idempotently:
   *   - native expressions: `dot_d` (codegen'd float-array dot product),
+  *     `poly_hash_arr` (codegen'd per-word polynomial gram hash),
   *     `bloom_agg` / `bloom_might_contain` (Spark-internal bloom pair);
   *   - the `TopKPerGroup` planner strategy (bounded-heap per-group top-k);
   *   - the `TopKRewrite` optimizer rule (the `row_number() <= k` window
@@ -31,6 +32,7 @@ import org.apache.spark.sql.SparkSession
 object Graft {
   def install(spark: SparkSession): Unit = {
     functions.DotProduct.register(spark)
+    functions.PolyHashArr.register(spark)
     functions.Blooms.register(spark)
     operators.TopK.ensureStrategy(spark)
     operators.TopK.ensureRewrite(spark)

@@ -14,9 +14,10 @@ import graft.functions.DotProduct
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Registers the engine's native expressions: `dot_d`, plus the
-  * bloom-filter pair (`bloom_agg` / `bloom_might_contain`) that
-  * [[graft.functions.Blooms]] exposes from Spark's internals.
+  * Registers the engine's native expressions: `dot_d` and
+  * `poly_hash_arr`, plus the bloom-filter pair (`bloom_agg` /
+  * `bloom_might_contain`) that [[graft.functions.Blooms]] exposes from
+  * Spark's internals.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -32,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash_arr"),
+      new ExpressionInfo(
+        classOf[graft.functions.PolyHashArr].getName, "poly_hash_arr"),
+      (exprs: Seq[Expression]) => graft.functions.PolyHashArr(exprs.head)))
     // the builders are SHARED with Blooms.register — one arity/sizing
     // implementation for both registration paths
     ext.injectFunction((

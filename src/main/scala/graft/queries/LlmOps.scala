@@ -266,6 +266,7 @@ object LlmOps {
       // the shingle is hashed INSIDE the lambda (words polyhashed once,
       // grams composed from word hashes) — the explode emits longs, never
       // materializing per-row gram strings (r9, same as jaccardPairs)
+      graft.functions.PolyHashArr.register(s)
       val shingles = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))

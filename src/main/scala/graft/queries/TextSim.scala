@@ -118,11 +118,18 @@ object TextSim {
   /** Cross-engine gram hash (r12, replacing xxhash64): per-word polynomial
     * char fold `(a·31 + ascii) mod 1e9+7` — the verified text_fingerprint
     * arithmetic — then a compositional 3-word combine in the same modulus.
-    * Words hash ONCE per doc (the char fold is a non-codegen HOF lambda;
-    * per-gram folding would re-walk each char ~3×). All values < 2³⁰, all
-    * intermediates < 2⁵¹ — overflow-free on both engines.
+    * Words hash ONCE per doc, via the native codegen'd `poly_hash_arr`
+    * expression since r12 (graft.functions.PolyHashArr — callers register
+    * it; the HOF twin below is the spec-gated reference). All values
+    * < 2³⁰, all intermediates < 2⁵¹ — overflow-free on both engines.
     */
-  private[queries] val wordHashExpr =
+  private[queries] val wordHashExpr = "poly_hash_arr(w)"
+
+  /** The declarative HOF twin of [[wordHashExpr]] — kept as the reference
+    * implementation PolyHashSpec gates the native expression against
+    * (two nested non-codegen lambdas; measured the dominant cost of the
+    * gram kernel before the native form replaced it in r12). */
+  private[graft] val wordHashHofExpr =
     "transform(w, t -> aggregate(split(t, ''), cast(0 as bigint), (a, c) -> (a * 31 + ascii(c)) % 1000000007))"
   private[queries] val gramFromWordsExpr =
     "transform(sequence(1, size(hw) - 2), i -> ((element_at(hw, i) * 1000003 + element_at(hw, i + 1)) % 1000000007 * 1000003 + element_at(hw, i + 2)) % 1000000007)"
@@ -349,6 +356,7 @@ object TextSim {
     * it (the 2x run-to-run spread of rounds 5-6).
     */
   def gramTable(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.PolyHashArr.register(s)
     val grams = graft.Caching.ensureCached(docs0
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3) // sequence(1,0) DESCENDS on Spark — drop short docs
