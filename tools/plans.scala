@@ -26,7 +26,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "embedding_project",
   "ann_lsh_bucket", "ml_score", "agg_quartiles_exact",
   "chunk_overlap", "dataset_split", "dedup_strip", "source_overlap",
-  "join_asof_nearest", "layout_zvalue", "corpus_novelty")
+  "join_asof_nearest", "layout_zvalue", "corpus_novelty",
+  "retrieval_rrf", "retrieval_eval", "bpe_train")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -150,6 +151,18 @@ executed plans):
   min(struct) argmax (kmeans_iter's shape, no per-vector window);
   `agg_quartiles_exact` is `operators/ExactQuantiles`' range-repartition
   order statistics with only the 3 selected values crossing the driver.
+- **r12 retrieval/tokenizer ops**: `retrieval_rrf` plans BOTH candidate
+  lists as `TakeOrderedAndProject` heaps over map-only scoring passes
+  (BM25 stats and the 1-row dense probe broadcast); the global rank
+  windows sit ABOVE the 50-row limits and the fused top-20 is another
+  TakeOrdered -- no global sort anywhere; `retrieval_eval` broadcasts
+  the 20-probe side (`BroadcastNestedLoopJoin` on a_id <> b_id, the
+  bounded-probe discipline of sim_cosine_topk) with `WindowGroupLimit`
+  bounding the per-probe top-10; `bpe_train`'s returned plan is a
+  model-sized local scan -- the work happened in the per-round argmax
+  jobs over the cached (token, count) VOCABULARY layer (one corpus
+  aggregation up front, vocab-bounded rounds after; the per-word hash
+  is the native codegen'd `poly_hash_arr` in the gram-kernel queries).
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
