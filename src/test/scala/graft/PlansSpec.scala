@@ -270,6 +270,17 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"rnk <= 10 must bound the per-probe exchange:\n$plan")
   }
 
+  test("ann_pq_adc scores the compressed corpus map-only: broadcast tables, bounded top-3") {
+    val plan = finalPlan(SparkEntry.queries("ann_pq_adc")(s, d))
+    // the probe distance tables must broadcast onto the code table (the
+    // corpus side never shuffles against probe data) and the per-probe
+    // top-3 must bound the rank exchange
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"distance tables must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-probe top-3 must bound the exchange:\n$plan")
+  }
+
   test("ann_lsh_bucket bounds the re-rank with WindowGroupLimit and pushes the probe filter") {
     val plan = finalPlan(SparkEntry.queries("ann_lsh_bucket")(s, d))
     assert(plan.contains("WindowGroupLimit"),

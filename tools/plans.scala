@@ -27,7 +27,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "ann_lsh_bucket", "ml_score", "agg_quartiles_exact",
   "chunk_overlap", "dataset_split", "dedup_strip", "source_overlap",
   "join_asof_nearest", "layout_zvalue", "corpus_novelty",
-  "retrieval_rrf", "retrieval_eval", "bpe_train")
+  "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
