@@ -785,9 +785,12 @@ object LlmOps {
     * integer-Lloyd rounds with the codebook as driver model state, and
     * return (final codebook, CACHED per-(vec, sub) encoding `af`-frame,
     * cached quantized corpus). Both PQ keys call this, so they always
-    * train the identical codebook; in one session the second caller reuses
-    * the cached frames (ensureCached is plan-keyed and the baked centroid
-    * literals are identical).
+    * train the identical codebook; in one session the second caller
+    * reuses the cached `v`/`subv` frames (plan-keyed, UDF-free). The
+    * encoding frame is NOT shared across calls — its plan carries a
+    * fresh assignU closure, and ScalaUDF plan equality is closure
+    * identity — so a same-session second key re-runs the (cheap,
+    * cache-fed) rounds rather than silently depending on call order.
     */
   private def pqFit(s: SparkSession, d: String)
       : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
