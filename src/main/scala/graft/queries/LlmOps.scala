@@ -737,17 +737,18 @@ object LlmOps {
     },
 
     // The search half of product quantization — asymmetric distance
-    // computation (ADC): each probe precomputes its 8×16 subspace distance
-    // table against the trained codebook, and the COMPRESSED corpus is
-    // scored by pure table lookups over the 8 code ids — never touching
-    // the original vectors. Top-3 per probe by exact integer ADC distance.
-    // Scale shape: the fit is shared with embedding_pq (same cached frames
-    // in-session); the distance tables (probes × 128 longs) broadcast onto
-    // the code table, scoring is one map-only pass over 8-nibble codes —
-    // the whole point of PQ at 100 TB: the scan reads codes, not floats —
-    // and WindowGroupLimit bounds the per-probe top-3. Probe vectors are
-    // collected to build the tables (bounded, documented: probes are a
-    // query-side input, model-sized — the ann_ivf sample discipline).
+    // computation (ADC): each probe precomputes its 16×16 subspace
+    // distance table against the trained codebook, and the COMPRESSED
+    // corpus is scored by pure table lookups over the 16 code ids — never
+    // touching the original vectors. Top-3 per probe by exact integer ADC
+    // distance. Scale shape: the fit is shared with embedding_pq (same
+    // cached v/subv frames in-session); the distance tables (probes × 256
+    // longs) broadcast onto the code table, scoring is one map-only pass
+    // over the 64-bit codes — the whole point of PQ at 100 TB: the scan
+    // reads codes, not floats — and WindowGroupLimit bounds the per-probe
+    // top-3. Probe vectors are collected to build the tables (bounded,
+    // documented: probes are a query-side input, model-sized — the
+    // ann_ivf sample discipline).
     Q("ann_pq_adc", pqAdcOracle) { (s, d) =>
       import s.implicits._
       val (cent, encoded, v) = pqFit(s, d)
@@ -806,8 +807,15 @@ object LlmOps {
       .drop("qv"))
     // seeds: the pqCodes lowest-vec_id vectors' subspace slices
     // (kmeans_iter's deterministic TakeOrdered seeding, per subspace)
-    var cent: Seq[(Int, Long, Seq[Long])] = v.orderBy("vec_id").limit(pqCodes)
-      .collect().toSeq.sortBy(_.getLong(0)).zipWithIndex.flatMap { case (r, c) =>
+    val seedRows = v.orderBy("vec_id").limit(pqCodes).collect().toSeq
+    // a corpus below pqCodes vectors would seed a partial codebook and
+    // silently diverge from the oracle's fixed 16-code distance-table
+    // layout (ann_pq_adc indexes sub*pqCodes+c) — fail loudly instead
+    require(seedRows.length == pqCodes,
+      s"embedding_pq/ann_pq_adc need >= $pqCodes vectors to seed the codebook, " +
+        s"got ${seedRows.length}")
+    var cent: Seq[(Int, Long, Seq[Long])] = seedRows
+      .sortBy(_.getLong(0)).zipWithIndex.flatMap { case (r, c) =>
         val qv = r.getSeq[Long](1)
         (0 until pqSubspaces).map(sub =>
           (sub, c.toLong, qv.slice(sub * pqSubDim, (sub + 1) * pqSubDim)))
@@ -965,7 +973,7 @@ object LlmOps {
        |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** DuckDB twin of ann_pq_adc: the shared fit/encode chain, then per
-    * probe a flattened 8×16 distance table (sub-major, code-minor — index
+    * probe a flattened 16×16 distance table (sub-major, code-minor — index
     * sub*16+c+1), the corpus scored by pure table lookups, top-3 per
     * probe by (adc2, b_id). All exact integers. */
   private def pqAdcOracle: String =

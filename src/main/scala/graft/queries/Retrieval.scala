@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, Tables}
+import graft.Q
 
 /** Hybrid-retrieval suite (SURVEY.md §2.13 extension, round 12): the two
   * retrieval operations a RAG-style training-data pipeline runs on top of
@@ -65,22 +65,16 @@ object Retrieval {
        |  CAST((CASE WHEN r_lex > 0 THEN 1000000000 // ($RrfK + r_lex) ELSE 0 END)
        |     + (CASE WHEN r_dense > 0 THEN 1000000000 // ($RrfK + r_dense) ELSE 0 END) AS BIGINT) AS rrf_e9
        |FROM u ORDER BY rrf_e9 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-    graft.functions.DotProduct.register(s)
     val wLex = Window.orderBy(col("bm25_e6").desc, col("doc_id"))
     val lexTop = Bm25.scored(s, d).select("doc_id", "bm25_e6")
       .orderBy(col("bm25_e6").desc, col("doc_id")).limit(CandK)
       .withColumn("r_lex", row_number().over(wLex))
       .select("doc_id", "r_lex")
-    val e = Tables.embeddings(s, d)
-    val p = TextSim.withVecNorm(
-      e.filter(col("vec_id") === 0).select(col("embedding")), "p")
-    val c = TextSim.withVecNorm(
-      e.filter(col("vec_id") =!= 0)
-        .select(col("vec_id").as("doc_id"), col("embedding")), "b")
+    // the dense ranking IS the shared broadcast-probe cosine kernel with
+    // the probe set narrowed to vec_id = 0 (probeLimit = 1)
     val wDense = Window.orderBy(col("sim").desc, col("doc_id"))
-    val denseTop = c.crossJoin(broadcast(p))
-      .withColumn("sim",
-        expr(s"${TextSim.dotExpr("p_d", "b_d")} / sqrt(p_n2 * b_n2)"))
+    val denseTop = TextSim.simPairs(s, d, probeLimit = 1)
+      .select(col("b_id").as("doc_id"), col("sim"))
       .orderBy(col("sim").desc, col("doc_id")).limit(CandK)
       .withColumn("r_dense", row_number().over(wDense))
       .select("doc_id", "r_dense")
@@ -146,20 +140,10 @@ object Retrieval {
        |  CAST(CASE WHEN n_rel = 0 THEN 0
        |    ELSE (1000000 * dcg_e9) // (${idcgCase("n_rel")}) END AS BIGINT) AS ndcg_e6
        |FROM ag ORDER BY probe_id""".stripMargin) { (s, d) =>
-    graft.functions.DotProduct.register(s)
-    val e = Tables.embeddings(s, d)
-    val a = TextSim.withVecNorm(e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("a_id"), col("label").as("a_lbl"),
-        col("embedding")), "a")
-    val b = TextSim.withVecNorm(e
-      .select(col("vec_id").as("b_id"), col("label").as("b_lbl"),
-        col("embedding")), "b")
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-    val top = broadcast(a).join(b, expr("a_id <> b_id"))
-      .select(col("a_id"), col("a_lbl"), col("b_id"), col("b_lbl"),
-        expr(s"${TextSim.dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)").as("sim"))
+    val top = TextSim.simPairs(s, d, probeLimit = 20)
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
-      .withColumn("rel", expr("CASE WHEN b_lbl = a_lbl THEN 1 ELSE 0 END"))
+      .withColumn("rel", expr("CASE WHEN lbl = a_lbl THEN 1 ELSE 0 END"))
     top.groupBy("a_id").agg(
       sum("rel").cast("bigint").as("n_rel"),
       sum(expr(s"rel * (${wCase("rnk")})")).cast("bigint").as("dcg_e9"),

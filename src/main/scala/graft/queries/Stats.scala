@@ -386,13 +386,19 @@ object Stats {
     val layers = collection.mutable.ArrayBuffer(layer)
     val merges = collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (k <- 1 to BpeRounds) {
-      val w = layer.filter(length(col("r")) >= 2)
+      val winner = layer.filter(length(col("r")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(r) - 1), i -> substring(r, i, 2))")).as("pair"),
           col("c"))
         .groupBy("pair").agg(sum("c").as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .collect()(0)
+        .collect()
+      // a corpus whose every token collapses below 2 symbols leaves no
+      // pair to merge — fail with the cause rather than an index error
+      // (the oracle's NULL-subquery replace would quietly no-op instead)
+      require(winner.nonEmpty,
+        s"bpe_train: no mergeable symbol pair left at round $k")
+      val w = winner(0)
       merges += ((k, w.getString(0), w.getLong(1)))
       // literal via lit(), not SQL interpolation: the winning pair can
       // contain earlier rounds' sentinel control bytes

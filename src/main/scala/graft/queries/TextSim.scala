@@ -94,17 +94,22 @@ object TextSim {
       .drop("embedding")
 
   /** Cosine sims of the bounded probe set (vec_id < `probeLimit`) against
-    * the whole corpus: (a_id, b_id, lbl, sim). Probe side is broadcast.
+    * the whole corpus: (a_id, a_lbl, b_id, lbl, sim). Probe side is
+    * broadcast; the ONE owner of the broadcast-probe cosine discipline —
+    * sim_cosine_topk, knn_label, retrieval_eval and retrieval_rrf's dense
+    * ranking all build on this frame, so the bit-identical-cosine
+    * expression shape can never drift between them.
     */
   def simPairs(s: SparkSession, d: String, probeLimit: Int): DataFrame = {
     graft.functions.DotProduct.register(s)
     val e = Tables.embeddings(s, d)
     val a = withVecNorm(e.filter(col("vec_id") < probeLimit)
-      .select(col("vec_id").as("a_id"), col("embedding")), "a")
+      .select(col("vec_id").as("a_id"), col("label").as("a_lbl"),
+        col("embedding")), "a")
     val b = withVecNorm(e.select(col("vec_id").as("b_id"), col("embedding"),
       col("label").as("lbl")), "b")
     broadcast(a).join(b, expr("a_id <> b_id"))
-      .select(col("a_id"), col("b_id"), col("lbl"),
+      .select(col("a_id"), col("a_lbl"), col("b_id"), col("lbl"),
         expr(s"${dotExpr("a_d", "b_d")} / sqrt(a_n2 * b_n2)").as("sim"))
   }
 

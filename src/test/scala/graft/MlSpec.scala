@@ -376,7 +376,7 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   }
 
   test("embedding_pq equals a brute-force product-quantization trainer") {
-    // full local re-derivation of the 8x8 / 16-code / 3-round integer
+    // full local re-derivation of the 16x4 / 16-code / 3-round integer
     // Lloyd PQ fit: same quantization, seeding, (d2, c) tie-break,
     // truncating integer means (Scala / and Spark div both truncate
     // toward zero), empty-code carry-over and final encoding
