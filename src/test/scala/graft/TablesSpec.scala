@@ -79,4 +79,47 @@ class TablesSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.map(_.getLong(0)).toSeq == us)
   }
+
+  test("text ingest malformed-row policies: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    // the 100 TB ingestion reality the clean staged sidecars never
+    // exercise: raw crawls carry broken lines, and the pipeline's policy
+    // knob decides between quarantine (PERMISSIVE + _corrupt_record),
+    // silent drop, and hard stop — pin all three behaviors so an option
+    // change in an ingest reader is a test failure, not a silent policy
+    // switch
+    val s2 = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toFile
+    try {
+      val f = new java.io.File(dir, "part.csv")
+      java.nio.file.Files.writeString(f.toPath,
+        "doc_id,n_chars\n1,10\nnot_a_number,20\n3,garbage\n4,40\n")
+      val schema = "doc_id LONG, n_chars LONG, _corrupt_record STRING"
+      def read(mode: String) = s2.read
+        .option("header", "true").option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema).csv(f.getPath)
+      // PERMISSIVE: every row survives; broken cells null out and the RAW
+      // line is quarantined in _corrupt_record for a replay/repair pass
+      val p = read("PERMISSIVE").collect()
+      assert(p.length == 4)
+      val corrupt = p.filter(!_.isNullAt(2))
+      assert(corrupt.map(_.getString(2)).toSet ==
+        Set("not_a_number,20", "3,garbage"))
+      assert(p.filter(_.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 4L))
+      // DROPMALFORMED: only clean rows remain (the quarantine column must
+      // not be in the requested schema or Spark keeps the bad rows)
+      val d2 = s2.read.option("header", "true").option("mode", "DROPMALFORMED")
+        .schema("doc_id LONG, n_chars LONG").csv(f.getPath).collect()
+      assert(d2.map(_.getLong(0)).toSet == Set(1L, 4L))
+      // FAILFAST: the first malformed row aborts the scan
+      val ex = intercept[org.apache.spark.SparkException] {
+        s2.read.option("header", "true").option("mode", "FAILFAST")
+          .schema("doc_id LONG, n_chars LONG").csv(f.getPath).collect()
+      }
+      assert(ex.getMessage.contains("Malformed") ||
+        ex.getCause != null, s"unexpected failure shape: ${ex.getMessage}")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
