@@ -80,6 +80,34 @@ class TablesSpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).toSeq == us)
   }
 
+  test("parquet schema evolution: mergeSchema unions batches; pruning survives the merge") {
+    // a 100 TB lake accretes columns over time — old files lack the new
+    // field; the reader contract is: mergeSchema unions the footers, old
+    // rows surface NULL for the new column, and filter pushdown still
+    // reaches the scan for columns present in all batches
+    val s2 = TestSpark.spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toFile.getPath
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "en", 0.9), (4L, "fr", 0.2)).toDF("doc_id", "lang", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = s2.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "quality"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(_.isNullAt(2)), "pre-evolution rows read NULL")
+    assert(rows(2).getDouble(2) == 0.9)
+    // DEFAULT read (no mergeSchema): schema comes from a sampled footer —
+    // which footer wins is nondeterministic, so production readers on an
+    // evolving table must pass mergeSchema or a explicit schema; we only
+    // pin that the merged read prunes filters as usual
+    val plan = merged.filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"lang filter must stay pushed on the merged scan:\n$plan")
+  }
+
   test("text ingest malformed-row policies: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
     // the 100 TB ingestion reality the clean staged sidecars never
     // exercise: raw crawls carry broken lines, and the pipeline's policy
