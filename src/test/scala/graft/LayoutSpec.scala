@@ -90,4 +90,52 @@ class LayoutSpec extends AnyFunSuite {
     val zBoth = touched(zord, Some(uBox), Some(tBox))
     assert(zBoth <= zT && zBoth < zord.size)
   }
+
+  test("dynamic partition overwrite refreshes one partition and leaves the rest intact") {
+    // the incremental-refresh contract a partitioned 100 TB lake depends
+    // on: with partitionOverwriteMode=dynamic, an overwrite replaces ONLY
+    // the partitions present in the incoming batch; the default STATIC
+    // mode truncates the whole table first — a catastrophic difference,
+    // pinned here so a config regression is a test failure
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+    val out = s"$base/dyn_overwrite"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val total = docs.count()
+    val en = docs.filter(col("lang") === "en")
+    val refreshed = en.withColumn("n_chars", col("n_chars") + 1000000L)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      refreshed.write.mode("overwrite").partitionBy("lang").parquet(out)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val back = s.read.parquet(out)
+    assert(back.count() == total, "non-en partitions must survive the overwrite")
+    assert(back.filter(col("lang") === "en").agg(min("n_chars")).head.getLong(0)
+      >= 1000000L, "en partition must carry the refreshed values")
+    assert(back.filter(col("lang") =!= "en").agg(max("n_chars")).head.getLong(0)
+      < 1000000L, "other partitions must be untouched originals")
+  }
+
+  test("zstd writes measurably smaller text parquet than snappy at equal content") {
+    // codec choice is a first-order storage lever at 100 TB; both codecs
+    // must round-trip identically, and zstd should win on text
+    def size(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(dir))
+    }
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    for (codec <- Seq("snappy", "zstd"))
+      docs.write.mode("overwrite").option("compression", codec)
+        .parquet(s"$base/codec_$codec")
+    val (snappy, zstd) = (size(s"$base/codec_snappy"), size(s"$base/codec_zstd"))
+    assert(s.read.parquet(s"$base/codec_zstd").count() == docs.count())
+    assert(s.read.parquet(s"$base/codec_zstd").except(docs).count() == 0)
+    assert(zstd < snappy,
+      s"zstd ($zstd B) should beat snappy ($snappy B) on text")
+  }
 }
