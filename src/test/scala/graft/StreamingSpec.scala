@@ -422,6 +422,46 @@ class StreamingSpec extends AnyFunSuite {
       batch.except(streamed).count() == 0L)
   }
 
+  test("stream-stream LEFT OUTER join: null emission waits for the watermark") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the subtle half of streaming joins: an unmatched left row CANNOT
+    // emit when it arrives — a matching right row might still come — so
+    // the null-padded result appears only once the watermark proves no
+    // match can arrive. Both phases pinned: no premature null row, then
+    // exactly the expected null row after the watermark passes.
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    val joined = p.join(v,
+      expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts < p_ts"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(Seq((1L, ts(10, 0))))
+    purchases.addData(Seq(
+      (1L, ts(10, 30)),  // matched by the 10:00 view
+      (4L, ts(10, 45)))) // no view at all — the outer case
+    q.processAllAvailable()
+    val phase1 = s.table("ssj_outer").collect()
+    assert(!phase1.exists(_.isNullAt(3)),
+      "unmatched row must NOT emit before the watermark closes its window")
+    // advance both watermarks far past 10:45 + 1h so u4's state expires
+    views.addData(Seq((9L, ts(23, 0))))
+    purchases.addData(Seq((9L, ts(23, 0))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("ssj_outer")
+      .select("p_user", "v_ts").collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(_.getLong(0)).toSet
+    val nulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(matched == Set(1L), s"matched set wrong: $matched")
+    // u4 emitted null-padded after expiry; u9 (the watermark-advance row)
+    // also has no match and may expire within the run — only u4 is REQUIRED
+    assert(nulls.contains(4L), s"expired unmatched row must emit: $nulls")
+  }
+
   test("streaming parquet sink: partitioned lake landing with the exactly-once manifest") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
