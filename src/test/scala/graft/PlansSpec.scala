@@ -270,6 +270,36 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"rnk <= 10 must bound the per-probe exchange:\n$plan")
   }
 
+  test("CBO: ANALYZE TABLE statistics drive the broadcast decision without a hint") {
+    // at cluster scale nobody hand-hints every join — the operational
+    // practice is computing table statistics and letting the optimizer
+    // pick the build side. Pin the full loop: saved table → ANALYZE →
+    // stats visible in the plan → small side auto-broadcasts with NO
+    // broadcast() hint in the query
+    val s2 = TestSpark.spark
+    s2.sql("DROP TABLE IF EXISTS cbo_nation")
+    s2.sql("DROP TABLE IF EXISTS cbo_supplier")
+    Tables.nation(s2, d).write.saveAsTable("cbo_nation")
+    Tables.supplier(s2, d).write.saveAsTable("cbo_supplier")
+    try {
+      s2.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+      s2.sql("ANALYZE TABLE cbo_supplier COMPUTE STATISTICS")
+      val rowCount = s2.sql("DESCRIBE TABLE EXTENDED cbo_nation")
+        .filter(col("col_name") === "Statistics").collect()
+      assert(rowCount.nonEmpty && rowCount(0).getString(1).contains("rows"),
+        "ANALYZE must record row-count statistics")
+      val joined = s2.table("cbo_supplier")
+        .join(s2.table("cbo_nation"), col("s_nationkey") === col("n_nationkey"))
+      val plan = finalPlan(joined)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"statistics must drive an unhinted broadcast of the 25-row side:\n$plan")
+      assert(joined.count() == Tables.supplier(s2, d).count())
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS cbo_nation")
+      s2.sql("DROP TABLE IF EXISTS cbo_supplier")
+    }
+  }
+
   test("ann_pq_adc scores the compressed corpus map-only: broadcast tables, bounded top-3") {
     val plan = finalPlan(SparkEntry.queries("ann_pq_adc")(s, d))
     // the probe distance tables must broadcast onto the code table (the
