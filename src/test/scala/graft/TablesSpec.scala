@@ -108,6 +108,35 @@ class TablesSpec extends AnyFunSuite {
       s"lang filter must stay pushed on the merged scan:\n$plan")
   }
 
+  test("file discovery knobs: pathGlobFilter selects files, recursiveFileLookup flattens nesting") {
+    // partial-lake reads without a table format: pathGlobFilter limits the
+    // scan to matching file names (e.g. one export batch), and
+    // recursiveFileLookup reads nested non-partition layouts (it DISABLES
+    // partition inference — pinned, because silently losing partition
+    // columns is the trap)
+    val s2 = TestSpark.spark
+    import s2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_disc").toFile.getPath
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$base/nested/batch_001")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$base/nested/batch_002")
+    val all = s2.read.option("recursiveFileLookup", "true").parquet(s"$base/nested")
+    assert(all.count() == 2, "recursive lookup must find both nested batches")
+    assert(all.columns.toSet == Set("id", "v"),
+      "recursive lookup reads files only — no inferred partition columns")
+    // glob-filtered read: only batch_001's files
+    val one = s2.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/nested/batch_001")
+    assert(one.select("id").as[Long].collect().toSeq == Seq(1L))
+    val globbed = s2.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$base/nested")
+    assert(globbed.count() == 2, "glob on *.parquet keeps every data file")
+  }
+
   test("text ingest malformed-row policies: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
     // the 100 TB ingestion reality the clean staged sidecars never
     // exercise: raw crawls carry broken lines, and the pipeline's policy
