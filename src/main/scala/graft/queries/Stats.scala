@@ -276,42 +276,52 @@ object Stats {
     * non-overlapping on both engines (the greedy BPE application order),
     * with the control char standing in for the merged symbol so adjacent
     * 2-char windows over the replaced string ARE the new symbol pairs;
-    * the sentinel expands back to the merged pair in the output. Shape:
-    * the winning pair is model state (ONE row, broadcast); both passes
-    * are map-only explodes into combinable aggregates; top-50 plans as
+    * the sentinel expands back to the merged pair in the output. Shape
+    * (r12, the bpe_train vocabulary reshape): ONE corpus aggregation into
+    * the (token, count) vocab, then both pair passes are vocab-bounded
+    * count-weighted explodes into combinable aggregates; the winning pair
+    * is model state (ONE row, broadcast); top-50 plans as
     * TakeOrderedAndProject. The merged-symbol alphabet stays
     * charset²-bounded, so the recount table is bounded forever.
     */
   private val bpeApplyMerge = Q("bpe_apply_merge",
-    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
-       |    FROM documents),
-       |p1 AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
-       |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+    s"""WITH toks AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM
+       |    (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |     FROM documents) raw GROUP BY tok),
+       |p1 AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, c
+       |  FROM (SELECT tok, c, unnest(generate_series(1, length(tok) - 1)) AS i
        |        FROM toks WHERE length(tok) >= 2) t),
        |top1 AS (SELECT pair FROM p1 GROUP BY pair
-       |  ORDER BY count(*) DESC, pair LIMIT 1),
-       |rep AS (SELECT replace(tok, (SELECT pair FROM top1), chr(1)) AS r
+       |  ORDER BY sum(c) DESC, pair LIMIT 1),
+       |rep AS (SELECT replace(tok, (SELECT pair FROM top1), chr(1)) AS r, c
        |  FROM toks),
        |p2 AS (SELECT replace(substr(r, CAST(i AS INTEGER), 2), chr(1),
-       |    (SELECT pair FROM top1)) AS pair
-       |  FROM (SELECT r, unnest(generate_series(1, length(r) - 1)) AS i
+       |    (SELECT pair FROM top1)) AS pair, c
+       |  FROM (SELECT r, c, unnest(generate_series(1, length(r) - 1)) AS i
        |        FROM rep WHERE length(r) >= 2) t)
-       |SELECT pair, count(*) AS cnt FROM p2
+       |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p2
        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    // bpe_train's vocabulary reshape (r12): aggregate the token stream
+    // ONCE, then both pair passes and the merge run over the vocab table
+    // with count-weighted sums — identical results (the fresh sentinel
+    // makes the replace injective), one corpus scan instead of three
+    // (raw-stream form 1.9-2.2 s at sf0.1; this shape 0.5-0.7 s isolated)
     val toks = Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
     val top1 = toks.filter(length(col("tok")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"),
+        col("c"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(1).select("pair")
     toks.crossJoin(broadcast(top1))
-      .select(col("pair"), expr("replace(tok, pair, char(1))").as("r"))
+      .select(col("pair"), expr("replace(tok, pair, char(1))").as("r"), col("c"))
       .filter(length(col("r")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(r) - 1), i -> replace(substring(r, i, 2), char(1), pair))"))
-        .as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(50)
   }
 
