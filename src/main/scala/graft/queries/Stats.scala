@@ -251,19 +251,25 @@ object Stats {
     * global sort of the pair table, no window.
     */
   private val bpePairCounts = Q("bpe_pair_counts",
-    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
-       |    FROM documents),
-       |pairs AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
-       |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
-       |        FROM toks WHERE length(tok) >= 2))
-       |SELECT pair, count(*) AS cnt FROM pairs
+    s"""WITH toks AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM
+       |    (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |     FROM documents) raw GROUP BY tok),
+       |pairs AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, c
+       |  FROM (SELECT tok, c, unnest(generate_series(1, length(tok) - 1)) AS i
+       |        FROM toks WHERE length(tok) >= 2) t)
+       |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs
        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    // vocabulary reshape (r12, as bpe_apply_merge/bpe_train): pair counts
+    // are count-weighted sums over the aggregated vocab — the explode
+    // volume is the dictionary, not the corpus
     Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
       .filter(length(col("tok")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"),
+        col("c"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(50)
   }
