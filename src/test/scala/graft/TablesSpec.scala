@@ -108,6 +108,36 @@ class TablesSpec extends AnyFunSuite {
       s"lang filter must stay pushed on the merged scan:\n$plan")
   }
 
+  test("ignoreCorruptFiles salvages a scan past a truncated parquet part") {
+    // fleet reality at 100 TB: a writer dies mid-file and the footer never
+    // lands. Default semantics must FAIL the scan (silent data loss is
+    // worse); the recovery knob must read every healthy file and skip the
+    // torn one — both pinned
+    val s2 = TestSpark.spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toFile.getPath
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.parquet(s"$dir/good")
+    // move the good file in, then plant a torn file beside it
+    val target = new java.io.File(dir)
+    new java.io.File(s"$dir/good").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(target, f.getName).toPath))
+    java.nio.file.Files.write(
+      new java.io.File(target, "part-torn.snappy.parquet").toPath,
+      "PAR1this-is-not-a-footer".getBytes)
+    val ex = intercept[org.apache.spark.SparkException] {
+      s2.read.schema("id LONG").parquet(dir).collect()
+    }
+    assert(ex.getMessage.contains("FAILED_READ_FILE") ||
+      ex.getCause != null, s"default read must fail loudly: ${ex.getMessage}")
+    val salvaged = s2.read.schema("id LONG")
+      .option("ignoreCorruptFiles", "true").parquet(dir)
+      .as[Long].collect().toSet
+    assert(salvaged == Set(1L, 2L, 3L),
+      s"healthy files must survive the salvage read: $salvaged")
+  }
+
   test("file discovery knobs: pathGlobFilter selects files, recursiveFileLookup flattens nesting") {
     // partial-lake reads without a table format: pathGlobFilter limits the
     // scan to matching file names (e.g. one export batch), and
