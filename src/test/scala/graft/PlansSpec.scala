@@ -270,6 +270,50 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"rnk <= 10 must bound the per-probe exchange:\n$plan")
   }
 
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan at runtime") {
+    // THE big-table scan lever after static pruning: the fact side's
+    // partition filter is only known after the dimension is filtered, so
+    // Spark injects a runtime subquery into the partitioned scan. Pin
+    // that the executed fact scan carries the dynamicpruning expression
+    // and actually read only the matching partition's rows.
+    // DPP needs a FILE-BASED, filtered dim side — a LocalRelation dim
+    // never triggers the injection (probed; the heuristic wants a real
+    // selective scan to reuse as the pruning subquery)
+    val s2 = TestSpark.spark
+    import s2.implicits._
+    val factDir = graft.sources.Sources.stageDocumentsByLang(s2, d)
+    val fact = s2.read.parquet(factDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getPath
+    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop")).toDF("d_lang", "tag")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val dim = s2.read.parquet(s"$tmp/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, col("lang") === col("d_lang"))
+    joined.write.format("noop").mode("overwrite").save()
+    val executed = joined.queryExecution.executedPlan.toString
+    assert(executed.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime pruning subquery:\n$executed")
+    val expected = fact.filter(col("lang") === "en").count()
+    assert(joined.count() == expected)
+  }
+
+  test("nested-schema pruning: selecting one struct field prunes the scan to that leaf") {
+    // struct-heavy corpora (metadata blobs, request envelopes) live or die
+    // by leaf-level column pruning — reading the whole struct for one
+    // field multiplies scan bytes
+    val s2 = TestSpark.spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested").toFile.getPath
+    Seq((1L, "en", 100L, "body-text")).toDF("doc_id", "lang", "n_chars", "body")
+      .select(col("doc_id"),
+        struct(col("lang"), col("n_chars"), col("body")).as("meta"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val plan = s2.read.parquet(s"$dir/t").select(col("meta.lang"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("meta:struct<lang:string>"),
+      s"scan must read only the selected leaf, not the whole struct:\n$plan")
+    assert(!plan.contains("body"), s"unselected leaves must not be read:\n$plan")
+  }
+
   test("CBO: ANALYZE TABLE statistics drive the broadcast decision without a hint") {
     // at cluster scale nobody hand-hints every join — the operational
     // practice is computing table statistics and letting the optimizer
