@@ -29,15 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator (strictly gated — see TopKRewrite scaladoc; opt out with
     // spark.graft.topkRewrite.enabled=false)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // builders shared with DotProduct.register / PolyHashArr.register —
+    // one arity-validation implementation for both registration paths
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      DotProduct.builder))
     ext.injectFunction((
       FunctionIdentifier("poly_hash_arr"),
       new ExpressionInfo(
         classOf[graft.functions.PolyHashArr].getName, "poly_hash_arr"),
-      (exprs: Seq[Expression]) => graft.functions.PolyHashArr(exprs.head)))
+      graft.functions.PolyHashArr.builder))
     // the builders are SHARED with Blooms.register — one arity/sizing
     // implementation for both registration paths
     ext.injectFunction((

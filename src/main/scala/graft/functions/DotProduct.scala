@@ -77,6 +77,18 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+  /** Arity-validated builder SHARED by both registration paths (the
+    * session-local `register` and `GraftExtensions.injectFunction`): a
+    * wrong-arity call raises Spark's standard WRONG_NUM_ARGS analysis
+    * error instead of silently dropping extras / throwing a bare
+    * NoSuchElementException from `exprs.head`.
+    */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw FunctionArity.wrongNumArgs("dot_d", 2, exprs.length)
+    DotProduct(exprs(0), exprs(1))
+  }
+
   /** Idempotent SQL registration: `dot_d(a, b)` becomes usable in `expr`.
     * Called from each query fn that needs it (Verify/Bench build their own
     * sessions); `GraftExtensions` does the same for library users via
@@ -86,5 +98,19 @@ object DotProduct {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+      builder)
+}
+
+/** One arity-error implementation for every graft-registered function. */
+private[functions] object FunctionArity {
+  def wrongNumArgs(name: String, expected: Int, actual: Int)
+      : org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"),
+      cause = None)
 }

@@ -110,11 +110,19 @@ object PolyHashArr {
     acc
   }
 
+  /** Arity-validated builder shared by `register` and
+    * `GraftExtensions.injectFunction` (the DotProduct.builder idiom). */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      throw FunctionArity.wrongNumArgs("poly_hash_arr", 1, exprs.length)
+    PolyHashArr(exprs.head)
+  }
+
   /** Idempotent SQL registration (the DotProduct.register idiom):
     * `poly_hash_arr(w)` becomes usable in `expr`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("poly_hash_arr"),
       new ExpressionInfo(classOf[PolyHashArr].getName, "poly_hash_arr"),
-      (exprs: Seq[Expression]) => PolyHashArr(exprs.head))
+      builder)
 }

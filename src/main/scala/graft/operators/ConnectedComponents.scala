@@ -87,16 +87,59 @@ object ConnectedComponents {
     finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 
-  /** Driver-side union-find over a BOUNDED edge list (caller guarantees
-    * the bound); `nodes` never leaves the cluster. Matches the loop's
-    * output contract exactly: (node, lbl = component-min node id),
-    * result persisted + materialized so consumers don't recompute
-    * through the caller's (possibly since-unpersisted) edge lineage.
+  /** `minLabel` for the common pair-graph case where the node set IS the
+    * set of edge endpoints (no isolated vertices to cover — the caller
+    * handles non-participants itself, e.g. dedup_cluster's left join +
+    * coalesce over `documents`). On the local-solve path this is strictly
+    * cheaper than `minLabel(endpoints, edges)`: the label set comes
+    * straight out of the driver union-find as a LocalRelation — no
+    * distributed endpoint union+distinct, no label-attachment join, no
+    * cache-materialization count. The driver-bench forensic that motivated
+    * it: dedup_cluster's in-suite cost tracks its ACTION count under host
+    * contention (every job boundary is scheduling exposure), so the local
+    * path drops from count+collect+join+count to count+collect. Label
+    * data is a driver-local literal, so there is no lineage for a
+    * consumer to recompute through (the persist contract is moot).
+    * Larger graphs fall through to the distributed loop with
+    * participants derived distributively, exactly as before.
     */
-  private def localSolve(spark: org.apache.spark.sql.SparkSession,
-      nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def minLabelFromEdges(edges: DataFrame, maxIter: Int = 50,
+      graphSizeHint: Long = -1L,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val m = if (graphSizeHint >= 0L) graphSizeHint else edges.count()
+    if (m <= localSolveMaxEdges) {
+      val collected = edges.select(col("a"), col("b")).collect()
+      val (parent, minOfRoot, find) = unionFind(collected)
+      val nodeField = edges.schema.fields.head
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        nodeField.copy(name = "node"), nodeField.copy(name = "lbl")))
+      val labelRows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+      parent.keys.foreach { v =>
+        labelRows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v))))
+      }
+      return spark.createDataFrame(labelRows, schema)
+    }
+    val participants = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (m / 200000L).toInt + 1))
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try minLabelLoop(spark, participants, edges, maxIter, p)
+    finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  /** Shared driver union-find over collected edge rows: returns the
+    * parent map, the component-min per root, and the `find` function.
+    * The min ordering MUST match what the distributed loop's Spark
+    * `min()` would produce (see the comment inside).
+    */
+  private def unionFind(collected: Array[org.apache.spark.sql.Row])
+      : (scala.collection.mutable.HashMap[Any, Any],
+         scala.collection.mutable.HashMap[Any, Any], Any => Any) = {
     import scala.collection.mutable
-    val collected = edges.select(col("a"), col("b")).collect()
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -133,6 +176,19 @@ object ConnectedComponents {
       val cur = minOfRoot.get(r)
       if (cur.isEmpty || lt(v, cur.get)) minOfRoot(r) = v
     }
+    (parent, minOfRoot, find)
+  }
+
+  /** Driver-side union-find over a BOUNDED edge list (caller guarantees
+    * the bound); `nodes` never leaves the cluster. Matches the loop's
+    * output contract exactly: (node, lbl = component-min node id),
+    * result persisted + materialized so consumers don't recompute
+    * through the caller's (possibly since-unpersisted) edge lineage.
+    */
+  private def localSolve(spark: org.apache.spark.sql.SparkSession,
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val collected = edges.select(col("a"), col("b")).collect()
+    val (parent, minOfRoot, find) = unionFind(collected)
     val nodeField = nodes.schema.fields.head
     val schema = org.apache.spark.sql.types.StructType(Seq(
       nodeField.copy(name = "node"), nodeField.copy(name = "lbl")))

@@ -393,15 +393,7 @@ object LlmOps {
       // fully-distributed form). The local integer Lloyd costs zero
       // Spark jobs beyond the sample scan; ASSIGNMENT of the full
       // corpus below stays distributed (one map-side pass).
-      val sampleHash =
-        "cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint)"
-      val fitSample = e
-        .orderBy(expr(sampleHash), col("vec_id")).limit(65536)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray
-          .map(f => math.floor(f.toDouble * 1000000d + 0.5d).toLong))
-      val centroids = graft.operators.CoarseQuantizer
-        .fitInt(fitSample, nClusters, iters = 5).zipWithIndex
+      val centroids = coarseFit(s, d, nClusters)
       // single-pass nearest-centroid assignment in exact integer space;
       // closure captures the (tiny) centroid matrix — same shape MLlib's
       // transform would plan, without the pipeline overhead. Strict <
@@ -779,21 +771,136 @@ object LlmOps {
           col("rnk"), col("adc2"))
         .orderBy("vec_id", "rnk")
     },
+
+    // The composed production ANN index — IVF-PQ, the FAISS shape both
+    // halves were built for: the coarse quantizer (ann_ivf's fit) routes
+    // each probe to its nprobe=2 nearest cells, and ADC scores ONLY those
+    // cells' compressed codes via the probe's precomputed 16×16 distance
+    // tables. At 100 TB this is the whole economics of ANN storage: the
+    // corpus lives as (cell, 64-bit code) — 32× smaller than floats —
+    // and a query reads 2/16ths of it, map-side, through one broadcast
+    // hash join on the cell id (a cell-partitioned Layout write makes
+    // that file-level skipping; here the probe set prunes hash-side).
+    // Probe routing + distance tables are driver-built from the bounded
+    // probe set (the ann_pq_adc collect discipline); corpus assignment
+    // and scoring stay distributed. All-integer → hash-exact oracle.
+    Q("ann_ivfpq", ivfPqOracle) { (s, d) =>
+      import s.implicits._
+      val (cent, encoded, v) = pqFit(s, d)
+      val centroids = coarseFit(s, d, ivfPqCells)
+      val centMat = centroids.map(_._1)
+      // corpus cell assignment in the SAME ×10⁶ integer space the coarse
+      // fit trained in (qv IS ann_ivf's quantization); strict < keeps the
+      // lowest cell on ties (= ORDER BY d2, c)
+      val cellU = udf((qv: Seq[Long]) => {
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < centMat.length) {
+          val cv = centMat(c); var d2 = 0L; var j = 0
+          while (j < cv.length) { val df0 = qv(j) - cv(j); d2 += df0 * df0; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      })
+      val codesv = encoded.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(sub, c))), p -> p.c)")
+          .as("codes"))
+      val corpus = codesv
+        .join(v.select(col("vec_id"), cellU(col("qv")).as("cluster")), "vec_id")
+        .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
+      val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
+      val probeRows = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
+        .flatMap { r =>
+          val (aId, qv) = (r.getLong(0), r.getSeq[Long](1))
+          val cells = centMat.indices.map { c =>
+            val cv = centMat(c)
+            var d2 = 0L; var j = 0
+            while (j < cv.length) { val df0 = qv(j) - cv(j); d2 += df0 * df0; j += 1 }
+            (d2, c)
+          }.sorted.take(ivfPqNProbe).map(_._2)
+          val dt = for (sub <- 0 until pqSubspaces; c <- 0 until pqCodes) yield {
+            val cv = centMap((sub, c.toLong))
+            (0 until pqSubDim).map { i =>
+              val df0 = qv(sub * pqSubDim + i) - cv(i); df0 * df0
+            }.sum
+          }
+          cells.map(cid => (aId, cid, dt))
+        }.toDF("a_id", "c_id", "dt")
+      val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
+      broadcast(probeRows)
+        .join(corpus, expr("c_id = cluster AND a_id <> b_id"))
+        .select(col("a_id"), col("b_id"), expr(
+          s"""aggregate(sequence(0, ${pqSubspaces - 1}), cast(0 as bigint),
+             | (acc, sub) -> acc + element_at(dt, sub * $pqCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin)
+          .as("adc2"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), col("adc2"))
+        .orderBy("vec_id", "rnk")
+    },
   )
+
+  /** Deterministic coarse-quantizer fit shared by `ann_ivf` /
+    * `ann_ivfpq`: bottom-65,536 corpus-spread sample by the
+    * decimal-Knuth hash of vec_id (planned as TakeOrdered — no global
+    * sort), then [[graft.operators.CoarseQuantizer.fitInt]]'s local
+    * integer Lloyd (16 centroids never justify distributed passes; the
+    * CORPUS assignment stays distributed at the call sites). Returns the
+    * centroid matrix zipped with cell ids.
+    */
+  private def coarseFit(s: SparkSession, d: String, nClusters: Int)
+      : Array[(Array[Long], Int)] = {
+    val sampleHash =
+      "cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint)"
+    val fitSample = Tables.embeddings(s, d)
+      .orderBy(expr(sampleHash), col("vec_id")).limit(65536)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(f => math.floor(f.toDouble * 1000000d + 0.5d).toLong))
+    graft.operators.CoarseQuantizer
+      .fitInt(fitSample, nClusters, iters = 5).zipWithIndex
+  }
+
+  /** Session-keyed memo of [[pqFitImpl]]: ONE codebook training per
+    * (session, dataset dir). The trainer's model state (the 1,024-long
+    * codebook) lives on the driver, so the only way two keys can share
+    * the ENCODE plan is to share the literal DataFrame object — ScalaUDF
+    * plan equality is closure identity, so a re-built encode plan can
+    * never hit the first caller's SQL-cache entry (the r12-documented
+    * ann_pq_adc double-fit). Memoizing the triple gives the second
+    * caller the identical frames: the training rounds never re-run and
+    * the encode cache is found by object identity. After a session-level
+    * `clearCache()` the frames lose their persistence but stay CORRECT
+    * (they recompute lazily through lineage; the re-entry path below
+    * re-pins them), and the fit itself — deterministic in (session, d) —
+    * is never recomputed. Entries are bounded by sessions × dataset
+    * dirs, both O(1) in this engine's deployment shapes.
+    */
+  private val pqFitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def pqFit(s: SparkSession, d: String)
+      : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (cent, encoded, v) = pqFitMemo.computeIfAbsent((s, d),
+      { case (ss, dd) => pqFitImpl(ss, dd) })
+    // a clearCache() between consumers dropped the persistence; re-pin so
+    // the second key's scan is cache-fed again (idempotent when warm)
+    graft.Caching.ensureCached(v)
+    graft.Caching.ensureCached(encoded)
+    (cent, encoded, v)
+  }
 
   /** Shared PQ trainer (Spark twin of [[pqFitCtes]]): quantize, slice into
     * subspaces, seed from the [[pqCodes]] lowest vec_ids, run [[pqRounds]]
     * integer-Lloyd rounds with the codebook as driver model state, and
     * return (final codebook, CACHED per-(vec, sub) encoding `af`-frame,
-    * cached quantized corpus). Both PQ keys call this, so they always
-    * train the identical codebook; in one session the second caller
-    * reuses the cached `v`/`subv` frames (plan-keyed, UDF-free). The
-    * encoding frame is NOT shared across calls — its plan carries a
-    * fresh assignU closure, and ScalaUDF plan equality is closure
-    * identity — so a same-session second key re-runs the (cheap,
-    * cache-fed) rounds rather than silently depending on call order.
+    * cached quantized corpus). Both PQ keys reach this through the
+    * [[pqFit]] memo, so they always train the identical codebook AND
+    * share the UDF-bearing encode plan (see the memo scaladoc).
     */
-  private def pqFit(s: SparkSession, d: String)
+  private def pqFitImpl(s: SparkSession, d: String)
       : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val v = graft.Caching.ensureCached(Tables.embeddings(s, d)
@@ -997,6 +1104,74 @@ object LlmOps {
 
   private final val pqAdcProbes = 50
 
+  /** IVF-PQ geometry: [[ivfPqCells]] coarse cells (= ann_ivf's 16),
+    * [[ivfPqNProbe]] cells probed per query. `final val` for the same
+    * object-initialization-order reason as the PQ constants above. */
+  private final val ivfPqCells = 16
+  private final val ivfPqNProbe = 2
+
+  /** DuckDB twin of ann_ivfpq: the shared PQ fit/encode chain
+    * ([[pqFitCtes]]) plus an i-prefixed replay of [[ivfOracleSql]]'s
+    * coarse-quantizer chain (same 65,536 hash-ordered sample, same 5
+    * integer-Lloyd rounds with the COALESCE empty-cell discipline), then
+    * candidates restricted to the probes' [[ivfPqNProbe]]-nearest cells'
+    * members, scored by pure distance-table lookups. All exact integers,
+    * generated from the same constants as the Spark side so the twins
+    * cannot drift. */
+  private def ivfPqOracle: String = {
+    val iters = (1 to 5).map { r =>
+      s"""id$r AS (SELECT s.vec_id, ct.c,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (s.qv[i] - ct.cv[i]) * (s.qv[i] - ct.cv[i]))) AS BIGINT) AS d2
+         |  FROM isamp s CROSS JOIN icent${r - 1} ct),
+         |ia$r AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM id$r) t
+         |  WHERE rn = 1),
+         |icl$r AS (SELECT a.c, u.pos, CAST(sum(u.x) // count(*) AS BIGINT) AS cve
+         |  FROM ia$r a JOIN isu u ON a.vec_id = u.vec_id
+         |  GROUP BY a.c, u.pos),
+         |icent$r AS (SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+         |  FROM icent${r - 1} p LEFT JOIN
+         |    (SELECT c, list(cve ORDER BY pos) AS cv FROM icl$r GROUP BY c) n
+         |    ON n.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqFitCtes,
+       |isamp AS (SELECT vec_id, qv, row_number() OVER (ORDER BY
+       |    CAST(CAST(vec_id AS DECIMAL(19,0)) * 2654435761 % 4294967296 AS BIGINT), vec_id) AS rn
+       |  FROM v QUALIFY rn <= 65536),
+       |isu AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos FROM isamp),
+       |icent0 AS (SELECT CAST(rn - 1 AS BIGINT) AS c, qv AS cv FROM isamp WHERE rn <= $ivfPqCells),
+       |$iters,
+       |idall AS (SELECT vv.vec_id, ct.c,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> (vv.qv[i] - ct.cv[i]) * (vv.qv[i] - ct.cv[i]))) AS BIGINT) AS d2
+       |  FROM v vv CROSS JOIN icent5 ct),
+       |iasg AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM idall) t
+       |  WHERE rn = 1),
+       |iprobes AS (SELECT vec_id AS a_id, c AS c_id FROM (SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS crnk FROM idall
+       |    WHERE vec_id < $pqAdcProbes) t WHERE crnk <= $ivfPqNProbe),
+       |codesv AS (SELECT vec_id, list(c ORDER BY sub) AS codes FROM af GROUP BY vec_id),
+       |pr AS (SELECT vec_id AS a_id, qv FROM v WHERE vec_id < $pqAdcProbes),
+       |dt0 AS (SELECT p.a_id, ct.sub, ct.c,
+       |    CAST(list_sum(list_transform(generate_series(1, $pqSubDim),
+       |      i -> (p.qv[ct.sub * $pqSubDim + i] - ct.cv[i])
+       |         * (p.qv[ct.sub * $pqSubDim + i] - ct.cv[i]))) AS BIGINT) AS d2
+       |  FROM pr p CROSS JOIN cent$pqRounds ct),
+       |dte AS (SELECT a_id, list(d2 ORDER BY sub, c) AS dt FROM dt0 GROUP BY a_id),
+       |cand AS (SELECT p.a_id, b.vec_id AS b_id FROM iprobes p
+       |  JOIN iasg b ON b.c = p.c_id AND b.vec_id <> p.a_id),
+       |adc AS (SELECT c.a_id, c.b_id,
+       |    CAST(list_sum(list_transform(generate_series(0, ${pqSubspaces - 1}),
+       |      sub -> d.dt[sub * $pqCodes + CAST(cv.codes[sub + 1] AS INTEGER) + 1])) AS BIGINT) AS adc2
+       |  FROM cand c JOIN dte d ON d.a_id = c.a_id JOIN codesv cv ON cv.vec_id = c.b_id)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, adc2
+       |FROM (SELECT a_id, b_id, adc2,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY adc2, b_id) AS rnk FROM adc) r
+       |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+  }
+
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped
     * shared-shingle exact-Jaccard pair graph (jac >= 0.5), shared by the
     * dedup_ngram_jaccard and dedup_cluster oracles so both engines always
@@ -1063,9 +1238,14 @@ object LlmOps {
   private def clusterLabels(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val jp = jaccardPairs(s, d) // persisted + materialized by contract
     val edges = jp.select(col("da").as("a"), col("db").as("b"))
-    val participants = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct()
-    graft.operators.ConnectedComponents.minLabel(participants, edges)
+    // endpoints-only CC: the callers' left join + coalesce already makes
+    // every non-participant doc its own singleton cluster, so the label
+    // set only needs to cover edge endpoints — on the (typical) local
+    // path the labels come back as a driver-local literal with no
+    // attachment join and no cache to materialize (r13: two fewer
+    // shuffles + one fewer action per consumer under the driver bench's
+    // per-action contention exposure)
+    graft.operators.ConnectedComponents.minLabelFromEdges(edges)
       .withColumnRenamed("node", "p_id")
   }
 

@@ -452,4 +452,27 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // ADC top-3 (brute-force cosine stays available as sim_cosine_topk)
     assert(recall >= 0.25, f"ADC recall collapsed: $recall%.3f")
   }
+
+  test("ann_ivfpq keeps useful recall vs exact integer L2 under nprobe=2 routing") {
+    // the composed FAISS shape reads 2/16ths of the code table per probe,
+    // so its recall is bounded above by full-scan ADC's (~0.31 measured);
+    // gate at ~70% of the measured composed recall so the assertion
+    // proves the routing keeps genuine neighbors without riding the edge
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray))
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.filter(_._1 < 50).map { case (aId, qa) =>
+      aId -> vecs.filter(_._1 != aId)
+        .map { case (bId, qb) => (d2(qa, qb), bId) }.sorted.take(3).map(_._2).toSet
+    }.toMap
+    val got = SparkEntry.queries("ann_ivfpq")(s, d).collect()
+      .groupBy(_.getLong(0))
+      .map { case (a, rows) => a -> rows.map(_.getLong(1)).toSet }
+    assert(got.size == 50, s"every probe must return rows, got ${got.size}")
+    val recall = got.map { case (a, g) => (g & exact(a)).size }.sum / 150.0
+    info(f"IVF-PQ recall@3 vs exact L2: $recall%.3f")
+    assert(recall >= 0.15, f"IVF-PQ recall collapsed: $recall%.3f")
+  }
 }

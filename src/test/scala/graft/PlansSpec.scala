@@ -283,17 +283,18 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     import s2.implicits._
     val factDir = graft.sources.Sources.stageDocumentsByLang(s2, d)
     val fact = s2.read.parquet(factDir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getPath
-    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop")).toDF("d_lang", "tag")
-      .write.mode("overwrite").parquet(s"$tmp/dim")
-    val dim = s2.read.parquet(s"$tmp/dim").filter(col("tag") === "keep")
-    val joined = fact.join(dim, col("lang") === col("d_lang"))
-    joined.write.format("noop").mode("overwrite").save()
-    val executed = joined.queryExecution.executedPlan.toString
-    assert(executed.contains("dynamicpruningexpression"),
-      s"fact scan must carry a runtime pruning subquery:\n$executed")
-    val expected = fact.filter(col("lang") === "en").count()
-    assert(joined.count() == expected)
+    TestSpark.withTempDir("graft_dpp") { tmp =>
+      Seq(("en", "keep"), ("de", "drop"), ("fr", "drop")).toDF("d_lang", "tag")
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val dim = s2.read.parquet(s"$tmp/dim").filter(col("tag") === "keep")
+      val joined = fact.join(dim, col("lang") === col("d_lang"))
+      joined.write.format("noop").mode("overwrite").save()
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("dynamicpruningexpression"),
+        s"fact scan must carry a runtime pruning subquery:\n$executed")
+      val expected = fact.filter(col("lang") === "en").count()
+      assert(joined.count() == expected)
+    }
   }
 
   test("nested-schema pruning: selecting one struct field prunes the scan to that leaf") {
@@ -302,16 +303,17 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // field multiplies scan bytes
     val s2 = TestSpark.spark
     import s2.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_nested").toFile.getPath
-    Seq((1L, "en", 100L, "body-text")).toDF("doc_id", "lang", "n_chars", "body")
-      .select(col("doc_id"),
-        struct(col("lang"), col("n_chars"), col("body")).as("meta"))
-      .write.mode("overwrite").parquet(s"$dir/t")
-    val plan = s2.read.parquet(s"$dir/t").select(col("meta.lang"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("meta:struct<lang:string>"),
-      s"scan must read only the selected leaf, not the whole struct:\n$plan")
-    assert(!plan.contains("body"), s"unselected leaves must not be read:\n$plan")
+    TestSpark.withTempDir("graft_nested") { dir =>
+      Seq((1L, "en", 100L, "body-text")).toDF("doc_id", "lang", "n_chars", "body")
+        .select(col("doc_id"),
+          struct(col("lang"), col("n_chars"), col("body")).as("meta"))
+        .write.mode("overwrite").parquet(s"$dir/t")
+      val plan = s2.read.parquet(s"$dir/t").select(col("meta.lang"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("meta:struct<lang:string>"),
+        s"scan must read only the selected leaf, not the whole struct:\n$plan")
+      assert(!plan.contains("body"), s"unselected leaves must not be read:\n$plan")
+    }
   }
 
   test("CBO: ANALYZE TABLE statistics drive the broadcast decision without a hint") {
@@ -353,6 +355,20 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"distance tables must broadcast:\n$plan")
     assert(plan.contains("WindowGroupLimit"),
       s"per-probe top-3 must bound the exchange:\n$plan")
+  }
+
+  test("ann_ivfpq routes probes through a cell-keyed broadcast equi-join, never a cross") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivfpq")(s, d))
+    // the scan must only meet probe data through the (c_id = cluster)
+    // HASH join — a nested-loop or cartesian here would mean the corpus
+    // codes are scored against every probe instead of the probed cells
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe routing must be a broadcast hash join on the cell id:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ scoring must never cross probes with the whole corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-probe top-3 must bound the rank exchange:\n$plan")
   }
 
   test("ann_lsh_bucket bounds the re-rank with WindowGroupLimit and pushes the probe filter") {

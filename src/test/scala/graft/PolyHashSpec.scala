@@ -65,4 +65,20 @@ class PolyHashSpec extends AnyFunSuite {
     assert(out.getLong(0) == viaSql.getSeq[Long](1).head)
     assert(out.getLong(2) == viaSql.getSeq[Long](1)(1))
   }
+
+  test("wrong arity raises an analysis error, not a builder crash") {
+    // both registration paths share the validated builders, so a 2-arg
+    // poly_hash_arr / 1-arg dot_d must fail analysis with WRONG_NUM_ARGS
+    // instead of silently ignoring extras or throwing NoSuchElementException
+    graft.functions.PolyHashArr.register(s)
+    graft.functions.DotProduct.register(s)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      s.range(1).select(expr("poly_hash_arr(array('a'), array('b'))")).collect()
+    }
+    assert(e1.getMessage.contains("poly_hash_arr"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      s.range(1).select(expr("dot_d(array(1.0d))")).collect()
+    }
+    assert(e2.getMessage.contains("dot_d"))
+  }
 }

@@ -93,6 +93,22 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         (0L until n.toLong).toDF("node"), edges.toDF("a", "b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(stars == expected, s"alternating-stars path, trial $trial (n=$n, edges=$edges)")
+      // the endpoints-only variant must agree with the reference ON THE
+      // PARTICIPANTS (it promises no coverage of isolated nodes), on
+      // both of ITS paths: the LocalRelation fast path and the forced
+      // distributed loop
+      val participants = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expParticipants = expected.view.filterKeys(participants).toMap
+      val fromEdgesLocal = ConnectedComponents.minLabelFromEdges(
+        edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fromEdgesLocal == expParticipants,
+        s"minLabelFromEdges local path, trial $trial (n=$n, edges=$edges)")
+      val fromEdgesLoop = ConnectedComponents.minLabelFromEdges(
+        edges.toDF("a", "b"), localSolveMaxEdges = -1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fromEdgesLoop == expParticipants,
+        s"minLabelFromEdges loop path, trial $trial (n=$n, edges=$edges)")
     }
   }
 

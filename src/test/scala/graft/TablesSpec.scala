@@ -87,7 +87,7 @@ class TablesSpec extends AnyFunSuite {
     // reaches the scan for columns present in all batches
     val s2 = TestSpark.spark
     import s2.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toFile.getPath
+    TestSpark.withTempDir("graft_evolve") { dir =>
     Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
       .write.mode("append").parquet(dir)
     Seq((3L, "en", 0.9), (4L, "fr", 0.2)).toDF("doc_id", "lang", "quality")
@@ -106,6 +106,7 @@ class TablesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("PushedFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
       s"lang filter must stay pushed on the merged scan:\n$plan")
+    }
   }
 
   test("ignoreCorruptFiles salvages a scan past a truncated parquet part") {
@@ -115,7 +116,7 @@ class TablesSpec extends AnyFunSuite {
     // torn one — both pinned
     val s2 = TestSpark.spark
     import s2.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toFile.getPath
+    TestSpark.withTempDir("graft_corrupt") { dir =>
     Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.parquet(s"$dir/good")
     // move the good file in, then plant a torn file beside it
     val target = new java.io.File(dir)
@@ -136,6 +137,7 @@ class TablesSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(salvaged == Set(1L, 2L, 3L),
       s"healthy files must survive the salvage read: $salvaged")
+    }
   }
 
   test("file discovery knobs: pathGlobFilter selects files, recursiveFileLookup flattens nesting") {
@@ -146,7 +148,7 @@ class TablesSpec extends AnyFunSuite {
     // columns is the trap)
     val s2 = TestSpark.spark
     import s2.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_disc").toFile.getPath
+    TestSpark.withTempDir("graft_disc") { base =>
     Seq((1L, "a")).toDF("id", "v").coalesce(1)
       .write.parquet(s"$base/nested/batch_001")
     Seq((2L, "b")).toDF("id", "v").coalesce(1)
@@ -165,6 +167,7 @@ class TablesSpec extends AnyFunSuite {
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$base/nested")
     assert(globbed.count() == 2, "glob on *.parquet keeps every data file")
+    }
   }
 
   test("text ingest malformed-row policies: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {

@@ -16,4 +16,20 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `f` on a fresh temp directory and delete it recursively after —
+    * the one cleanup implementation for every spec that stages files
+    * (previously only the malformed-CSV test cleaned up after itself and
+    * the rest accumulated per run).
+    */
+  def withTempDir[T](prefix: String)(f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount) // children before parents
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
