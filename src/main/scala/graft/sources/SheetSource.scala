@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -168,51 +169,114 @@ private class SheetWriterFactory(path: String, cols: Array[String])
   }
 }
 
-/** Pruning-aware scan builder: Catalyst hands the required top-level
-  * columns here; the reader then parses only those cell indices. */
+/** The filters the tab reader evaluates itself — a serializable mirror
+  * of the accepted `sources.Filter`s, resolved to cell semantics: a cell
+  * is NULL only when the row is shorter than the header (the reader's
+  * missing-cell rule), so EqualTo is null-rejecting exactly like Spark's.
+  */
+private[sources] sealed trait SheetFilter extends Serializable {
+  def col: String
+  def eval(cell: String): Boolean
+}
+private[sources] case class SheetEq(col: String, value: String) extends SheetFilter {
+  def eval(cell: String): Boolean = cell != null && cell == value
+}
+private[sources] case class SheetNotNull(col: String) extends SheetFilter {
+  def eval(cell: String): Boolean = cell != null
+}
+private[sources] case class SheetIsNull(col: String) extends SheetFilter {
+  def eval(cell: String): Boolean = cell == null
+}
+
+/** Pruning- and predicate-aware scan builder: Catalyst hands the required
+  * top-level columns AND the query's filters here. Column pruning makes
+  * each row materialize only referenced cells; filter pushdown
+  * (`SupportsPushDownFilters` — the next rung of the DSv2 ladder) lets
+  * equality / null-ness predicates on string cells die AT the tab reader,
+  * so a selective query ships only matching rows out of the source —
+  * the one place in the engine where a predicate can reach a non-parquet
+  * scan. Accepted filters are FULLY evaluated by the reader (they are
+  * not re-evaluated post-scan), so their semantics must match Spark's
+  * exactly — see [[SheetFilter]]. Everything else is returned to Spark
+  * untouched.
+  */
 private class SheetScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the source's own column order; an empty projection (e.g.
     // count(*)) legitimately prunes to zero columns
     required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new SheetScan(full, required, path)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(c, v: String) => full.fieldNames.contains(c) && v != null
+      case IsNotNull(c)          => full.fieldNames.contains(c)
+      case IsNull(c)             => full.fieldNames.contains(c)
+      case _                     => false
+    }
+    pushed = accepted
+    rejected // Spark re-evaluates ONLY these after the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = {
+    val sheetFilters: Array[SheetFilter] = pushed.map {
+      case EqualTo(c, v: String) => SheetEq(c, v): SheetFilter
+      case IsNotNull(c)          => SheetNotNull(c)
+      case IsNull(c)             => SheetIsNull(c)
+      case f => throw new IllegalStateException(s"unpushable filter $f")
+    }
+    new SheetScan(full, required, path, sheetFilters)
+  }
 }
 
-private class SheetScan(full: StructType, required: StructType, path: String)
-    extends Scan with Batch {
+private class SheetScan(full: StructType, required: StructType, path: String,
+    filters: Array[SheetFilter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-sheet $path readSchema=${required.fieldNames.mkString(",")}"
+    s"graft-sheet $path readSchema=${required.fieldNames.mkString(",")}" +
+      s" pushedFilters=[${filters.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     SheetSource.tabFiles(path).map(f => SheetTabPartition(f.getAbsolutePath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new SheetReaderFactory(full.fieldNames, required.fieldNames)
+    new SheetReaderFactory(full.fieldNames, required.fieldNames, filters)
 }
 
 private case class SheetTabPartition(file: String) extends InputPartition
 
 /** Serializable factory shipped to executors: carries only the column
-  * names, resolves cell indices once per partition. */
-private class SheetReaderFactory(fullCols: Array[String], requiredCols: Array[String])
+  * names + pushed filters, resolves cell indices once per partition.
+  * Filters are evaluated against the FULL cell row (a pushed filter's
+  * column may be pruned out of the read schema), rows failing any filter
+  * are skipped before an InternalRow is ever built. */
+private class SheetReaderFactory(fullCols: Array[String],
+    requiredCols: Array[String], filters: Array[SheetFilter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SheetTabPartition].file
     val idx = requiredCols.map(c => fullCols.indexOf(c))
+    val fidx = filters.map(f => (fullCols.indexOf(f.col), f))
     new PartitionReader[InternalRow] {
       private val src = scala.io.Source.fromFile(file, "UTF-8")
       private val lines = src.getLines().drop(1) // header
       private var row: InternalRow = _
-      override def next(): Boolean =
-        if (lines.hasNext) {
+      private def cellAt(cells: Array[String], i: Int): String =
+        if (i >= 0 && i < cells.length) cells(i) else null
+      override def next(): Boolean = {
+        while (lines.hasNext) {
           val cells = lines.next().split("\t", -1)
-          row = InternalRow.fromSeq(idx.toSeq.map { i =>
-            if (i >= 0 && i < cells.length) UTF8String.fromString(cells(i)) else null
-          })
-          true
-        } else false
+          if (fidx.forall { case (i, f) => f.eval(cellAt(cells, i)) }) {
+            row = InternalRow.fromSeq(idx.toSeq.map { i =>
+              val c = cellAt(cells, i)
+              if (c == null) null else UTF8String.fromString(c)
+            })
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = row
       override def close(): Unit = src.close()
     }

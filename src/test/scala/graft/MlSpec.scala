@@ -286,6 +286,23 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(scanDesc.contains("readSchema=lang"),
       s"projection did not reach the sheet scan:\n$scanDesc")
     assert(pruned.distinct().count() == 5)
+    // filter pushdown gate (SupportsPushDownFilters): equality + IsNotNull
+    // on string cells must die AT the tab reader — visible in the scan
+    // description — with row parity against the post-scan-filter answer
+    val filtered = df.filter(col("lang") === "en").select("doc_id", "lang")
+    val fDesc = filtered.queryExecution.executedPlan.toString
+    assert(fDesc.contains("SheetEq(lang,en)"),
+      s"lang = 'en' did not reach the sheet reader:\n$fDesc")
+    val expectEn = docs.filter(_._2 == "en").map(_._1).sorted.toSeq
+    val gotEn = filtered.collect().map(_.getString(0).toLong).sorted.toSeq
+    assert(gotEn == expectEn, "pushed-filter read must match the fixture")
+    // the filter column may be pruned OUT of the projection and the
+    // pushed predicate must still apply (evaluated on the full cell row)
+    assert(df.filter(col("lang") === "en").select("doc_id").count() ==
+      expectEn.length.toLong)
+    // a non-pushable predicate (cast + comparison) still answers right
+    assert(df.filter(col("n_chars").cast("long") > 100).count() ==
+      docs.count(_._3 > 100).toLong)
   }
 
   test("DSv2 sheet WRITE: staged-commit tabs round-trip through the reader") {
@@ -473,6 +490,6 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got.size == 50, s"every probe must return rows, got ${got.size}")
     val recall = got.map { case (a, g) => (g & exact(a)).size }.sum / 150.0
     info(f"IVF-PQ recall@3 vs exact L2: $recall%.3f")
-    assert(recall >= 0.15, f"IVF-PQ recall collapsed: $recall%.3f")
+    assert(recall >= 0.18, f"IVF-PQ recall collapsed: $recall%.3f") // measured 0.260
   }
 }
