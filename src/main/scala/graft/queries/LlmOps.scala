@@ -680,15 +680,20 @@ object LlmOps {
         // collect and the returned output plan — cache it so the
         // distance pass runs once, not twice
         if (k == kmeansRounds) asgn = graft.Caching.ensureCached(asgn)
-        cent = v.join(asgn.select("vec_id", "c"), "vec_id")
+        val upd = v.join(asgn.select("vec_id", "c"), "vec_id")
           .select(col("c"), posexplode(col("qv")))
           .groupBy("c", "pos")
           .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
+        cent = upd
           .collect().toSeq
           .groupBy(_.getLong(0)).toSeq
           .map { case (c, rows) =>
             (c, rows.sortBy(_.getInt(1)).map(_.getLong(2))) }
           .sortBy(_._1)
+        // round plan (argmin + centroid mean — the whole per-round pass)
+        // for the PLANS.md iterative-family evidence; no-op unless the
+        // capture conf is set
+        if (k == 1) graft.plans.PlanProbe.capture("kmeans_round", upd)
       }
       val cks = cent.map { case (c, cv) => (c, cv.sum) }.toDF("c", "cent_sum")
       asgn.groupBy("c")

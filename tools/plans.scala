@@ -27,7 +27,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "ann_lsh_bucket", "ml_score", "agg_quartiles_exact",
   "chunk_overlap", "dataset_split", "dedup_strip", "source_overlap",
   "join_asof_nearest", "layout_zvalue", "corpus_novelty",
-  "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc")
+  "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc",
+  "dedup_cluster", "dedup_retention", "ann_ivfpq")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -171,6 +172,56 @@ for (k <- keys) {
   val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   sb.append(s"\n## $k\n\n```\n").append(plan.take(4000)).append("\n```\n")
 }
+
+// ---- iterative-family EXECUTED round plans (VERDICT r12 gap #1) ----
+// The multi-job operators do their real work in per-round actions whose
+// plans never appear in the returned frame; PlanProbe records each hooked
+// round's executed plan when the capture conf is set. dedup_cluster /
+// dedup_retention / graph_degree solve their (tiny, jac>=0.5) pair graphs
+// locally at every tested SF, so the distributed round below is captured
+// from a FORCED loop (localSolveMaxEdges = -1) over the REAL jaccard pair
+// graph — the exact plan the operator runs once the graph outgrows the
+// local bound.
+spark.conf.set("spark.graft.capturePlans", "true")
+graft.plans.PlanProbe.clear()
+spark.catalog.clearCache()
+// kmeans_iter + bpe_train execute their rounds while running normally
+graft.SparkEntry.queries("kmeans_iter")(spark, d).write.format("noop").mode("overwrite").save()
+spark.catalog.clearCache()
+graft.SparkEntry.queries("bpe_train")(spark, d).write.format("noop").mode("overwrite").save()
+spark.catalog.clearCache()
+// forced distributed CC loop over the real pair graph (the
+// dedup_ngram_jaccard output IS the jac>=0.5 pair set)
+val ccEdges = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, d)
+  .select($"da".as("a"), $"db".as("b"))
+graft.operators.ConnectedComponents
+  .minLabelFromEdges(ccEdges, localSolveMaxEdges = -1L)
+  .write.format("noop").mode("overwrite").save()
+spark.catalog.clearCache()
+sb.append("""
+# Iterative-family executed round plans
+
+`dedup_cluster` / `dedup_retention` / `graph_degree` share one pipeline:
+the gram kernel + banded shingle equi-join (dumped above as
+`dedup_ngram_jaccard` — their pair graphs ARE that plan) feeding
+ConnectedComponents. At every tested SF the jac>=0.5 pair graph is tiny
+(79 edges at sf0.1), so the hybrid solves it driver-side (one bounded
+collect, labels return as a LocalRelation — the r13 endpoints-only fast
+path; the final plans above show the label join). The sections below are
+the EXECUTED per-round plans of the distributed paths — captured live via
+graft.plans.PlanProbe from a forced loop over the real pair graph and from
+kmeans_iter/bpe_train's actual runs — i.e. the plan shape each round pays
+once the data outgrows the local/model bound. Check: one shuffle join +
+one aggregation per round, no NLJ, no cartesian, no unpruned scan.
+""")
+for ((key, title) <- Seq(
+    ("cc_round", "connected-components round (forced distributed loop, real jaccard pair graph): edge-cache join + min-label agg + pointer-jump self-join"),
+    ("kmeans_round", "kmeans_iter round: broadcast-literal centroids -> combinable min(struct) argmin -> (c, pos) combinable mean"),
+    ("bpe_round", "bpe_train round: vocabulary-layer pair explosion -> combinable sum -> 1-row TakeOrdered argmax"))) {
+  val p = graft.plans.PlanProbe.get(key).getOrElse(sys.error(s"probe $key not captured"))
+  sb.append(s"\n## $title\n\n```\n").append(p.take(5000)).append("\n```\n")
+}
+spark.conf.unset("spark.graft.capturePlans")
 Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
 println("PLANS_WRITTEN")
 }
