@@ -492,4 +492,22 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     info(f"IVF-PQ recall@3 vs exact L2: $recall%.3f")
     assert(recall >= 0.18, f"IVF-PQ recall collapsed: $recall%.3f") // measured 0.260
   }
+
+  test("PQ fit memo survives clearCache: re-entry recomputes lazily, identically") {
+    // the session-keyed pqFit memo hands every PQ key the same trained
+    // codebook and encode frame; a session-level clearCache drops the
+    // frames' persistence but must not change ANY result on re-entry
+    // (the memo re-pins and the plans recompute through lineage). Pin
+    // the full Verify-style sequence: run, clear, run again.
+    val first = SparkEntry.queries("embedding_pq")(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    s.catalog.clearCache()
+    val second = SparkEntry.queries("embedding_pq")(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(second.toSeq == first.toSeq,
+      "post-clearCache re-entry must reproduce the identical encoding")
+    s.catalog.clearCache()
+    val adc = SparkEntry.queries("ann_pq_adc")(s, d).collect()
+    assert(adc.length > 0 && adc.forall(_.getInt(2) <= 3))
+  }
 }
