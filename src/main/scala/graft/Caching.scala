@@ -59,3 +59,22 @@ object Caching {
   def ensureCached(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.persist() else df
 }
+
+/** Session-keyed memo for deterministic driver-side model state (trained
+  * codebooks, quantizer centroids, the frames that carry them): one
+  * computation per (session, key), so composed queries in one session
+  * never re-train identical models — and, for plans bearing UDF
+  * closures, actually SHARE the plan (ScalaUDF plan equality is closure
+  * identity, so only the literal same DataFrame object can hit the SQL
+  * cache). Entries whose session's SparkContext has stopped are evicted
+  * on the next access, so a long-lived JVM cycling sessions does not
+  * accumulate dead plans.
+  */
+final class SessionMemo[K, V] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, K), V]()
+  def getOrElseUpdate(s: org.apache.spark.sql.SparkSession, k: K)(f: (org.apache.spark.sql.SparkSession, K) => V): V = {
+    m.keySet.removeIf(e => e._1.sparkContext.isStopped)
+    m.computeIfAbsent((s, k), { case (ss, kk) => f(ss, kk) })
+  }
+}

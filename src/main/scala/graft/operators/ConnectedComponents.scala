@@ -110,25 +110,32 @@ object ConnectedComponents {
     val m = if (graphSizeHint >= 0L) graphSizeHint else edges.count()
     if (m <= localSolveMaxEdges) {
       val collected = edges.select(col("a"), col("b")).collect()
-      val (parent, minOfRoot, find) = unionFind(collected)
-      val nodeField = edges.schema.fields.head
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        nodeField.copy(name = "node"), nodeField.copy(name = "lbl")))
-      val labelRows: java.util.List[org.apache.spark.sql.Row] =
-        new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
-      parent.keys.foreach { v =>
-        labelRows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v))))
-      }
-      return spark.createDataFrame(labelRows, schema)
+      return labelFrame(spark, edges.schema.fields.head, unionFind(collected))
     }
     val participants = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
-    val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (m / 200000L).toInt + 1))
-    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-    try minLabelLoop(spark, participants, edges, maxIter, p)
-    finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+    // the loop tail (width rule + partition set/restore) is minLabel's —
+    // forcing its local bound off keeps ONE copy of that logic
+    minLabel(participants, edges, maxIter, graphSizeHint = m,
+      localSolveMaxEdges = -1L)
+  }
+
+  /** Build the (node, lbl) frame from a finished union-find — the one
+    * label-materialization shared by `localSolve` and the
+    * `minLabelFromEdges` LocalRelation fast path. */
+  private def labelFrame(spark: org.apache.spark.sql.SparkSession,
+      nodeField: org.apache.spark.sql.types.StructField,
+      uf: (scala.collection.mutable.HashMap[Any, Any],
+           scala.collection.mutable.HashMap[Any, Any], Any => Any)): DataFrame = {
+    val (parent, minOfRoot, find) = uf
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      nodeField.copy(name = "node"), nodeField.copy(name = "lbl")))
+    val labelRows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keys.foreach { v =>
+      labelRows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v))))
+    }
+    spark.createDataFrame(labelRows, schema)
   }
 
   /** Shared driver union-find over collected edge rows: returns the
@@ -188,16 +195,7 @@ object ConnectedComponents {
   private def localSolve(spark: org.apache.spark.sql.SparkSession,
       nodes: DataFrame, edges: DataFrame): DataFrame = {
     val collected = edges.select(col("a"), col("b")).collect()
-    val (parent, minOfRoot, find) = unionFind(collected)
-    val nodeField = nodes.schema.fields.head
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      nodeField.copy(name = "node"), nodeField.copy(name = "lbl")))
-    val labelRows: java.util.List[org.apache.spark.sql.Row] =
-      new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
-    parent.keys.foreach { v =>
-      labelRows.add(org.apache.spark.sql.Row(v, minOfRoot(find(v))))
-    }
-    val labelDf = spark.createDataFrame(labelRows, schema)
+    val labelDf = labelFrame(spark, nodes.schema.fields.head, unionFind(collected))
     attachLabels(nodes, labelDf, broadcastLabels = true)
   }
 

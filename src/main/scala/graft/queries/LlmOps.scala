@@ -749,28 +749,16 @@ object LlmOps {
     Q("ann_pq_adc", pqAdcOracle) { (s, d) =>
       import s.implicits._
       val (cent, encoded, v) = pqFit(s, d)
-      val codesv = encoded.groupBy("vec_id")
-        .agg(expr("transform(array_sort(collect_list(struct(sub, c))), p -> p.c)")
-          .as("codes"))
+      val codesv = pqCodesFrame(encoded)
       val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
       val dtab = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
-        .map { r =>
-          val (aId, qv) = (r.getLong(0), r.getSeq[Long](1))
-          val dt = for (sub <- 0 until pqSubspaces; c <- 0 until pqCodes) yield {
-            val cv = centMap((sub, c.toLong))
-            (0 until pqSubDim).map { i =>
-              val df0 = qv(sub * pqSubDim + i) - cv(i); df0 * df0
-            }.sum
-          }
-          (aId, dt)
-        }.toDF("a_id", "dt")
+        .map(r => (r.getLong(0), pqDistTable(r.getSeq[Long](1), centMap)))
+        .toDF("a_id", "dt")
       val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
       codesv.crossJoin(broadcast(dtab))
         .filter(col("vec_id") =!= col("a_id"))
-        .select(col("a_id"), col("vec_id").as("b_id"), expr(
-          s"""aggregate(sequence(0, ${pqSubspaces - 1}), cast(0 as bigint),
-             | (acc, sub) -> acc + element_at(dt, sub * $pqCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin)
-          .as("adc2"))
+        .select(col("a_id"), col("vec_id").as("b_id"),
+          expr(adcLookupExpr).as("adc2"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
           col("rnk"), col("adc2"))
@@ -792,8 +780,7 @@ object LlmOps {
     Q("ann_ivfpq", ivfPqOracle) { (s, d) =>
       import s.implicits._
       val (cent, encoded, v) = pqFit(s, d)
-      val centroids = coarseFit(s, d, ivfPqCells)
-      val centMat = centroids.map(_._1)
+      val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
       // corpus cell assignment in the SAME ×10⁶ integer space the coarse
       // fit trained in (qv IS ann_ivf's quantization); strict < keeps the
       // lowest cell on ties (= ORDER BY d2, c)
@@ -801,44 +788,28 @@ object LlmOps {
         var best = 0; var bestD = Long.MaxValue
         var c = 0
         while (c < centMat.length) {
-          val cv = centMat(c); var d2 = 0L; var j = 0
-          while (j < cv.length) { val df0 = qv(j) - cv(j); d2 += df0 * df0; j += 1 }
+          val d2 = sqDistL(qv, centMat(c))
           if (d2 < bestD) { bestD = d2; best = c }
           c += 1
         }
         best
       })
-      val codesv = encoded.groupBy("vec_id")
-        .agg(expr("transform(array_sort(collect_list(struct(sub, c))), p -> p.c)")
-          .as("codes"))
-      val corpus = codesv
+      val corpus = pqCodesFrame(encoded)
         .join(v.select(col("vec_id"), cellU(col("qv")).as("cluster")), "vec_id")
         .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
       val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
       val probeRows = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
         .flatMap { r =>
           val (aId, qv) = (r.getLong(0), r.getSeq[Long](1))
-          val cells = centMat.indices.map { c =>
-            val cv = centMat(c)
-            var d2 = 0L; var j = 0
-            while (j < cv.length) { val df0 = qv(j) - cv(j); d2 += df0 * df0; j += 1 }
-            (d2, c)
-          }.sorted.take(ivfPqNProbe).map(_._2)
-          val dt = for (sub <- 0 until pqSubspaces; c <- 0 until pqCodes) yield {
-            val cv = centMap((sub, c.toLong))
-            (0 until pqSubDim).map { i =>
-              val df0 = qv(sub * pqSubDim + i) - cv(i); df0 * df0
-            }.sum
-          }
+          val cells = centMat.indices.map(c => (sqDistL(qv, centMat(c)), c))
+            .sorted.take(ivfPqNProbe).map(_._2)
+          val dt = pqDistTable(qv, centMap)
           cells.map(cid => (aId, cid, dt))
         }.toDF("a_id", "c_id", "dt")
       val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
       broadcast(probeRows)
         .join(corpus, expr("c_id = cluster AND a_id <> b_id"))
-        .select(col("a_id"), col("b_id"), expr(
-          s"""aggregate(sequence(0, ${pqSubspaces - 1}), cast(0 as bigint),
-             | (acc, sub) -> acc + element_at(dt, sub * $pqCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin)
-          .as("adc2"))
+        .select(col("a_id"), col("b_id"), expr(adcLookupExpr).as("adc2"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
           col("rnk"), col("adc2"))
@@ -854,18 +825,59 @@ object LlmOps {
     * CORPUS assignment stays distributed at the call sites). Returns the
     * centroid matrix zipped with cell ids.
     */
-  private def coarseFit(s: SparkSession, d: String, nClusters: Int)
-      : Array[(Array[Long], Int)] = {
-    val sampleHash =
-      "cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint)"
-    val fitSample = Tables.embeddings(s, d)
-      .orderBy(expr(sampleHash), col("vec_id")).limit(65536)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray
-        .map(f => math.floor(f.toDouble * 1000000d + 0.5d).toLong))
-    graft.operators.CoarseQuantizer
-      .fitInt(fitSample, nClusters, iters = 5).zipWithIndex
+  /** Per-(vec_id) PQ code arrays from the per-(vec, sub) encode frame —
+    * the compressed-corpus table both ADC consumers scan. */
+  private def pqCodesFrame(encoded: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    encoded.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, c))), p -> p.c)")
+        .as("codes"))
+
+  /** One probe's flattened 16×16 ADC distance table (sub-major,
+    * code-minor — index sub*pqCodes + c) against the trained codebook. */
+  private def pqDistTable(qv: Seq[Long], centMap: Map[(Int, Long), Seq[Long]])
+      : IndexedSeq[Long] =
+    for (sub <- 0 until pqSubspaces; c <- 0 until pqCodes) yield {
+      val cv = centMap((sub, c.toLong))
+      (0 until pqSubDim).map { i =>
+        val df0 = qv(sub * pqSubDim + i) - cv(i); df0 * df0
+      }.sum
+    }
+
+  /** The ADC scoring expression: sum of per-subspace table lookups over
+    * the `codes` column against the broadcast `dt` column. ONE string
+    * feeds both ADC consumers, so the dt index layout cannot drift
+    * between them (it must match [[pqDistTable]] and the oracle twins). */
+  private def adcLookupExpr: String =
+    s"""aggregate(sequence(0, ${pqSubspaces - 1}), cast(0 as bigint),
+       | (acc, sub) -> acc + element_at(dt, sub * $pqCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin
+
+  /** Exact integer squared L2 between a quantized vector and a centroid —
+    * the one argmin kernel of the coarse-cell assignments. */
+  private def sqDistL(qv: Seq[Long], cv: Array[Long]): Long = {
+    var d2 = 0L; var j = 0
+    while (j < cv.length) { val df0 = qv(j) - cv(j); d2 += df0 * df0; j += 1 }
+    d2
   }
+
+  private val coarseFitMemo = new graft.SessionMemo[(String, Int), Array[(Array[Long], Int)]]
+
+  private def coarseFit(s: SparkSession, d: String, nClusters: Int)
+      : Array[(Array[Long], Int)] =
+    // session-memoized (graft.SessionMemo): ann_ivf and ann_ivfpq train
+    // the identical deterministic quantizer — one sample collect + local
+    // Lloyd per session, not one per caller
+    coarseFitMemo.getOrElseUpdate(s, (d, nClusters)) { case (ss, (dd, k)) =>
+      val sampleHash =
+        "cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint)"
+      val fitSample = Tables.embeddings(ss, dd)
+        .orderBy(expr(sampleHash), col("vec_id")).limit(65536)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray
+          .map(f => math.floor(f.toDouble * 1000000d + 0.5d).toLong))
+      graft.operators.CoarseQuantizer
+        .fitInt(fitSample, k, iters = 5).zipWithIndex
+    }
 
   /** Session-keyed memo of [[pqFitImpl]]: ONE codebook training per
     * (session, dataset dir). The trainer's model state (the 1,024-long
@@ -879,17 +891,15 @@ object LlmOps {
     * `clearCache()` the frames lose their persistence but stay CORRECT
     * (they recompute lazily through lineage; the re-entry path below
     * re-pins them), and the fit itself — deterministic in (session, d) —
-    * is never recomputed. Entries are bounded by sessions × dataset
-    * dirs, both O(1) in this engine's deployment shapes.
+    * is never recomputed. Stopped sessions' entries are evicted by
+    * [[graft.SessionMemo]] on the next access.
     */
-  private val pqFitMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
-    (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  private val pqFitMemo = new graft.SessionMemo[String,
+    (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
   private def pqFit(s: SparkSession, d: String)
       : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val (cent, encoded, v) = pqFitMemo.computeIfAbsent((s, d),
-      { case (ss, dd) => pqFitImpl(ss, dd) })
+    val (cent, encoded, v) = pqFitMemo.getOrElseUpdate(s, d)(pqFitImpl)
     // a clearCache() between consumers dropped the persistence; re-pin so
     // the second key's scan is cache-fed again (idempotent when warm)
     graft.Caching.ensureCached(v)

@@ -27,9 +27,11 @@ object TestSpark {
     try f(dir.toString)
     finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+      val walk = java.nio.file.Files.walk(dir) // stream holds open dir handles
+      try walk.iterator().asScala.toSeq
         .sortBy(-_.getNameCount) // children before parents
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }
