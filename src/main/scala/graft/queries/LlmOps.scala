@@ -779,23 +779,9 @@ object LlmOps {
     // and scoring stay distributed. All-integer → hash-exact oracle.
     Q("ann_ivfpq", ivfPqOracle) { (s, d) =>
       import s.implicits._
-      val (cent, encoded, v) = pqFit(s, d)
+      val (cent, _, v) = pqFit(s, d)
       val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
-      // corpus cell assignment in the SAME ×10⁶ integer space the coarse
-      // fit trained in (qv IS ann_ivf's quantization); strict < keeps the
-      // lowest cell on ties (= ORDER BY d2, c)
-      val cellU = udf((qv: Seq[Long]) => {
-        var best = 0; var bestD = Long.MaxValue
-        var c = 0
-        while (c < centMat.length) {
-          val d2 = sqDistL(qv, centMat(c))
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        best
-      })
-      val corpus = pqCodesFrame(encoded)
-        .join(v.select(col("vec_id"), cellU(col("qv")).as("cluster")), "vec_id")
+      val corpus = ivfPqCorpus(s, d)
         .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
       val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
       val probeRows = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
@@ -858,6 +844,44 @@ object LlmOps {
     var d2 = 0L; var j = 0
     while (j < cv.length) { val df0 = qv(j) - cv(j); d2 += df0 * df0; j += 1 }
     d2
+  }
+
+  /** The IVF-PQ index's compressed corpus table: (vec_id, cluster,
+    * codes) — every vector's coarse cell (assigned in the SAME ×10⁶
+    * integer space the fit trained in; strict < keeps the lowest cell on
+    * ties = ORDER BY d2, c) plus its PQ code ids. Consumed by the
+    * `ann_ivfpq` query and exposed package-private as the batch
+    * reference the streaming index-append gate compares against. */
+  private[graft] def ivfPqCorpus(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, encoded, v) = pqFit(s, d)
+    val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
+    val cellU = udf((qv: Seq[Long]) => {
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < centMat.length) {
+        val d2 = sqDistL(qv, centMat(c))
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    })
+    pqCodesFrame(encoded)
+      .join(v.select(col("vec_id"), cellU(col("qv")).as("cluster")), "vec_id")
+  }
+
+  /** The frozen [[graft.operators.IvfPqModel]] from the session's
+    * trained fits — the library-facing encoder for batch AND streaming
+    * index appends (StreamingSpec gates encode parity with
+    * [[ivfPqCorpus]]). */
+  private[graft] def ivfPqModel(s: SparkSession, d: String)
+      : graft.operators.IvfPqModel = {
+    val (cent, _, _) = pqFit(s, d)
+    val cells = coarseFit(s, d, ivfPqCells).map(_._1)
+    val byCode = cent.groupBy(_._1)
+    val cb = Array.tabulate(pqSubspaces)(sub =>
+      byCode(sub).sortBy(_._2).map(_._3.toArray).toArray)
+    graft.operators.IvfPqModel(cells, cb)
   }
 
   private val coarseFitMemo = new graft.SessionMemo[(String, Int), Array[(Array[Long], Int)]]

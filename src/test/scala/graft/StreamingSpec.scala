@@ -567,4 +567,63 @@ class StreamingSpec extends AnyFunSuite {
     // the planted copies MUST be flagged, and flagged across the batch cut
     assert(Set(9000L, 9001L).subsetOf(streamed))
   }
+
+  test("streaming IVF-PQ index append: frozen-codebook encode lands cell-partitioned, bit-equal to the trained index") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the production index-maintenance path: the model is FROZEN (trained
+    // once), new embeddings arrive as a stream, each micro-batch is
+    // cell-routed + PQ-encoded statelessly and appended to the
+    // cell-partitioned code table the search side scans. Gates: (1) the
+    // streamed encode must reproduce the fit pipeline's OWN corpus
+    // assignments bit-for-bit — IvfPqModel.encode is an independent
+    // reimplementation of the training-side assignment, so any drift in
+    // quantization/tie-breaks/index layout fails here; (2) the landed
+    // layout must actually be cell-partitioned (the file-level skipping
+    // ann_ivfpq's comment promises).
+    val expected = queries.LlmOps.ivfPqCorpus(s, d).collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getSeq[Long](1).map(_.toInt).toSeq)))
+      .toMap
+    s.catalog.clearCache()
+    val model = queries.LlmOps.ivfPqModel(s, d)
+    val base = "/tmp/graft_ivfpq_append"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = model.encode(ms.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt")
+      .partitionBy("cell")
+      .start(s"$base/out")
+    val (a, b) = vecs.partition(_._1 % 2 == 0) // interleaved arrival order
+    ms.addData(a); q.processAllAvailable()
+    ms.addData(b); q.processAllAvailable()
+    q.stop()
+    val landed = s.read.parquet(s"$base/out")
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2).toSeq)))
+      .toMap
+    assert(landed.size == expected.size,
+      s"landed ${landed.size} of ${expected.size} index rows")
+    val diverged = expected.collect {
+      case (id, e) if landed(id) != e => (id, e, landed(id)) }
+    assert(diverged.isEmpty,
+      s"streamed encode diverged from the trained index: ${diverged.take(3)}")
+    // cell-partitioned landing: one cell=<k> directory per occupied cell,
+    // and a one-cell read returns exactly that cell's members
+    val cellDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs == expected.values.map(v => s"cell=${v._1}").toSet)
+    val someCell = expected.values.head._1
+    val members = s.read.parquet(s"$base/out/cell=$someCell")
+      .select("vec_id").as[Long].collect().toSet
+    assert(members == expected.collect {
+      case (id, (c, _)) if c == someCell => id }.toSet)
+    rm(new java.io.File(base))
+  }
 }
