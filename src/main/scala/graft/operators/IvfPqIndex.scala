@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** The frozen IVF-PQ index model — the library-facing half of the
   * `ann_ivfpq` pipeline: a trained coarse-cell matrix plus the per-
-  * subspace PQ codebooks, applied as ONE stateless map to any frame of
-  * (vec_id, embedding) rows. Because encoding is stateless, the same
+  * subspace PQ codebooks, applied as ONE stateless map from (vec_id,
+  * embedding) rows to (vec_id, cluster, codes) index rows — the batch
+  * corpus table's exact schema. Because encoding is stateless, the same
   * model encodes a batch corpus and a STREAMING micro-batch identically —
   * the production index-append path: new embeddings arrive, are routed
   * to their cell and compressed to code ids against the frozen codebook,
@@ -28,7 +29,15 @@ import org.apache.spark.sql.functions._
 final case class IvfPqModel(cells: Array[Array[Long]],
     codebook: Array[Array[Array[Long]]]) extends Serializable {
 
+  /** The model's embedding dimensionality — every input must match it. */
+  def dim: Int = cells(0).length
+
   private def quantize(emb: Seq[Float]): Array[Long] = {
+    // fail loudly ON THE RECORD: a short vector would otherwise kill the
+    // micro-batch with an index error (and poison restarts), a long one
+    // would silently encode with the wrong subspace stride
+    require(emb.length == dim,
+      s"embedding dim ${emb.length} != model dim $dim")
     val qv = new Array[Long](emb.length)
     var i = 0
     while (i < qv.length) {
@@ -49,8 +58,8 @@ final case class IvfPqModel(cells: Array[Array[Long]],
     best
   }
 
-  private def encodeCodes(qv: Array[Long]): Array[Int] = {
-    val subDim = qv.length / codebook.length
+  private def encodeCodes(qv: Array[Long]): Array[Long] = {
+    val subDim = dim / codebook.length // model geometry, never input-derived
     Array.tabulate(codebook.length) { sub =>
       val cents = codebook(sub)
       var best = 0; var bestD = Long.MaxValue
@@ -63,19 +72,24 @@ final case class IvfPqModel(cells: Array[Array[Long]],
         if (d2 < bestD) { bestD = d2; best = c }
         c += 1
       }
-      best
+      best.toLong
     }
   }
 
   /** Encode (vec_id, embedding) rows — batch or streaming — into index
-    * rows (vec_id, cell, codes). Stateless map: safe under any streaming
-    * output mode, no shuffle introduced. */
+    * rows (vec_id, cluster, codes). Stateless map: safe under any
+    * streaming output mode, no shuffle introduced. Column names AND
+    * types match the batch corpus table (`LlmOps.ivfPqCorpus`:
+    * cluster INT, codes ARRAY<BIGINT>) exactly, so streamed appends
+    * land schema-compatible with the table the search side scans —
+    * a rename-or-cast at the append site would be the silent-drift
+    * trap the StreamingSpec parity gate exists to prevent. */
   def encode(df: DataFrame): DataFrame = {
     val encodeU = udf((emb: Seq[Float]) => {
       val qv = quantize(emb)
       (argminCell(qv), encodeCodes(qv).toSeq)
     })
     df.select(col("vec_id"), encodeU(col("embedding")).as("e"))
-      .select(col("vec_id"), col("e._1").as("cell"), col("e._2").as("codes"))
+      .select(col("vec_id"), col("e._1").as("cluster"), col("e._2").as("codes"))
   }
 }

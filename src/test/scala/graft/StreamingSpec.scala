@@ -582,48 +582,46 @@ class StreamingSpec extends AnyFunSuite {
     // layout must actually be cell-partitioned (the file-level skipping
     // ann_ivfpq's comment promises).
     val expected = queries.LlmOps.ivfPqCorpus(s, d).collect()
-      .map(r => (r.getLong(0), (r.getInt(2), r.getSeq[Long](1).map(_.toInt).toSeq)))
+      .map(r => (r.getLong(0), (r.getInt(2), r.getSeq[Long](1).toSeq)))
       .toMap
     s.catalog.clearCache()
     val model = queries.LlmOps.ivfPqModel(s, d)
-    val base = "/tmp/graft_ivfpq_append"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
     val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    val ms = MemoryStream[(Long, Seq[Float])]
-    val q = model.encode(ms.toDF().toDF("vec_id", "embedding"))
-      .writeStream.format("parquet")
-      .option("checkpointLocation", s"$base/ckpt")
-      .partitionBy("cell")
-      .start(s"$base/out")
-    val (a, b) = vecs.partition(_._1 % 2 == 0) // interleaved arrival order
-    ms.addData(a); q.processAllAvailable()
-    ms.addData(b); q.processAllAvailable()
-    q.stop()
-    val landed = s.read.parquet(s"$base/out")
-      .select("vec_id", "cell", "codes").collect()
-      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2).toSeq)))
-      .toMap
-    assert(landed.size == expected.size,
-      s"landed ${landed.size} of ${expected.size} index rows")
-    val diverged = expected.collect {
-      case (id, e) if landed(id) != e => (id, e, landed(id)) }
-    assert(diverged.isEmpty,
-      s"streamed encode diverged from the trained index: ${diverged.take(3)}")
-    // cell-partitioned landing: one cell=<k> directory per occupied cell,
-    // and a one-cell read returns exactly that cell's members
-    val cellDirs = new java.io.File(s"$base/out").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).toSet
-    assert(cellDirs == expected.values.map(v => s"cell=${v._1}").toSet)
-    val someCell = expected.values.head._1
-    val members = s.read.parquet(s"$base/out/cell=$someCell")
-      .select("vec_id").as[Long].collect().toSet
-    assert(members == expected.collect {
-      case (id, (c, _)) if c == someCell => id }.toSet)
-    rm(new java.io.File(base))
+    TestSpark.withTempDir("graft_ivfpq_append") { base =>
+      val ms = MemoryStream[(Long, Seq[Float])]
+      val q = model.encode(ms.toDF().toDF("vec_id", "embedding"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .partitionBy("cluster")
+        .start(s"$base/out")
+      try {
+        val (a, b) = vecs.partition(_._1 % 2 == 0) // interleaved arrival order
+        ms.addData(a); q.processAllAvailable()
+        ms.addData(b); q.processAllAvailable()
+      } finally q.stop() // a failed assert must not leave the query running
+      // NO rename/cast below: the landed schema must BE the batch corpus
+      // schema (cluster INT, codes ARRAY<BIGINT>)
+      val landed = s.read.parquet(s"$base/out")
+        .select("vec_id", "cluster", "codes").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Long](2).toSeq)))
+        .toMap
+      assert(landed.size == expected.size,
+        s"landed ${landed.size} of ${expected.size} index rows")
+      val diverged = expected.collect {
+        case (id, e) if landed(id) != e => (id, e, landed(id)) }
+      assert(diverged.isEmpty,
+        s"streamed encode diverged from the trained index: ${diverged.take(3)}")
+      // cell-partitioned landing: one cluster=<k> directory per occupied
+      // cell, and a one-cell read returns exactly that cell's members
+      val cellDirs = new java.io.File(s"$base/out").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).map(_.getName).toSet
+      assert(cellDirs == expected.values.map(v => s"cluster=${v._1}").toSet)
+      val someCell = expected.values.head._1
+      val members = s.read.parquet(s"$base/out/cluster=$someCell")
+        .select("vec_id").as[Long].collect().toSet
+      assert(members == expected.collect {
+        case (id, (c, _)) if c == someCell => id }.toSet)
+    }
   }
 }
