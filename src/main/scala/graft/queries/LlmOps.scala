@@ -892,15 +892,9 @@ object LlmOps {
     // the identical deterministic quantizer — one sample collect + local
     // Lloyd per session, not one per caller
     coarseFitMemo.getOrElseUpdate(s, (d, nClusters)) { case (ss, (dd, k)) =>
-      val sampleHash =
-        "cast(cast(vec_id as decimal(19,0)) * 2654435761 % 4294967296 as bigint)"
-      val fitSample = Tables.embeddings(ss, dd)
-        .orderBy(expr(sampleHash), col("vec_id")).limit(65536)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray
-          .map(f => math.floor(f.toDouble * 1000000d + 0.5d).toLong))
-      graft.operators.CoarseQuantizer
-        .fitInt(fitSample, k, iters = 5).zipWithIndex
+      graft.operators.IvfPqIndex
+        .fitCells(Tables.embeddings(ss, dd).select("vec_id", "embedding"), k)
+        .zipWithIndex
     }
 
   /** Session-keyed memo of [[pqFitImpl]]: ONE codebook training per
@@ -939,78 +933,14 @@ object LlmOps {
     * [[pqFit]] memo, so they always train the identical codebook AND
     * share the UDF-bearing encode plan (see the memo scaladoc).
     */
+  /** Delegates to the library trainer ([[graft.operators.IvfPqIndex
+    * .fitDetailed]]) on the fixture embeddings with this module's
+    * geometry — the public fit path IS the oracled path. */
   private def pqFitImpl(s: SparkSession, d: String)
       : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import s.implicits._
-    val v = graft.Caching.ensureCached(Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
-        .as("qv")))
-    val subv = graft.Caching.ensureCached(v
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${pqSubspaces - 1})")).as("sub"),
-        col("qv"))
-      .withColumn("sv", expr(s"slice(qv, sub * $pqSubDim + 1, $pqSubDim)"))
-      .drop("qv"))
-    // seeds: the pqCodes lowest-vec_id vectors' subspace slices
-    // (kmeans_iter's deterministic TakeOrdered seeding, per subspace)
-    val seedRows = v.orderBy("vec_id").limit(pqCodes).collect().toSeq
-    // a corpus below pqCodes vectors would seed a partial codebook and
-    // silently diverge from the oracle's fixed 16-code distance-table
-    // layout (ann_pq_adc indexes sub*pqCodes+c) — fail loudly instead
-    require(seedRows.length == pqCodes,
-      s"embedding_pq/ann_pq_adc need >= $pqCodes vectors to seed the codebook, " +
-        s"got ${seedRows.length}")
-    var cent: Seq[(Int, Long, Seq[Long])] = seedRows
-      .sortBy(_.getLong(0)).zipWithIndex.flatMap { case (r, c) =>
-        val qv = r.getSeq[Long](1)
-        (0 until pqSubspaces).map(sub =>
-          (sub, c.toLong, qv.slice(sub * pqSubDim, (sub + 1) * pqSubDim)))
-      }
-    // assignment is a compiled-UDF argmin over the closure-captured
-    // codebook (the ann_ivf assignU pattern): one MAP-ONLY pass over the
-    // subspace rows, no centroid fan-out join and no (vec_id, sub)
-    // argmin shuffle per round — the join+min(struct) form measured 4.0 s
-    // vs 1.5 s for this shape at sf0.1. Strict < keeps the lowest code on
-    // ties (= ORDER BY d2, c in the oracle).
-    def assignAgainst(cs: Seq[(Int, Long, Seq[Long])]) = {
-      val bySub: Array[Array[Array[Long]]] = {
-        val m = cs.groupBy(_._1)
-        Array.tabulate(pqSubspaces)(sub =>
-          m(sub).sortBy(_._2).map(_._3.toArray).toArray)
-      }
-      val assignU = udf((sub: Int, sv: Seq[Long]) => {
-        val cents = bySub(sub)
-        var best = 0; var bestD = Long.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          val cv = cents(c); var d2 = 0L; var i = 0
-          while (i < cv.length) { val df0 = sv(i) - cv(i); d2 += df0 * df0; i += 1 }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        (best.toLong, bestD)
-      })
-      subv.withColumn("m", assignU(col("sub"), col("sv")))
-        .select(col("vec_id"), col("sub"), col("m._1").as("c"),
-          col("m._2").as("d2"), col("sv"))
-    }
-    // pqRounds full Lloyd rounds (assign vs cent_{r-1}, update → cent_r),
-    // then ONE encoding assignment against the final codebook — the
-    // a1..a3 + af structure of pqFitCtes, aligned round for round
-    for (r <- 1 to pqRounds) {
-      val updated = assignAgainst(cent)
-        .select(col("sub"), col("c"), posexplode(col("sv")))
-        .groupBy("sub", "c", "pos")
-        .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
-        .collect().toSeq
-        .groupBy(row => (row.getInt(0), row.getLong(1)))
-        .map { case ((sub, c), rows) =>
-          (sub, c, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq) }
-      val have = updated.map(t => (t._1, t._2)).toSet
-      cent = (updated ++ cent.filterNot(t => have((t._1, t._2)))).toSeq
-        .sortBy(t => (t._1, t._2))
-    }
-    val encoded = graft.Caching.ensureCached(assignAgainst(cent).drop("sv"))
+    val (cent, encoded, v, _) = graft.operators.IvfPqIndex.fitDetailed(
+      Tables.embeddings(s, d).select("vec_id", "embedding"),
+      pqSubspaces, pqSubDim, pqCodes, pqRounds)
     (cent, encoded, v)
   }
 

@@ -493,6 +493,45 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(recall >= 0.18, f"IVF-PQ recall collapsed: $recall%.3f") // measured 0.260
   }
 
+  test("IvfPqIndex.fit is a public, deterministic trainer over any frame") {
+    import s.implicits._
+    // (1) the public fit on the fixture embeddings with the engine's
+    // default geometry must reproduce the keyed pipeline's own corpus
+    // assignments — the library path IS the oracled path
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val model = graft.operators.IvfPqIndex.fit(vecs)
+    val viaModel = model.encode(vecs).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Long](2).toSeq))).toMap
+    val viaPipeline = queries.LlmOps.ivfPqCorpus(s, d).collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getSeq[Long](1).toSeq))).toMap
+    s.catalog.clearCache()
+    assert(viaModel == viaPipeline,
+      "public fit diverged from the keyed pipeline's assignments")
+    // (2) non-default geometry on a synthetic frame: dims validated,
+    // outputs well-formed, and two fits produce the identical model
+    val tiny = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 13).toFloat - 6f).toSeq))
+      .toDF("vec_id", "embedding")
+    val m1 = graft.operators.IvfPqIndex.fit(tiny, nCells = 4, subspaces = 4,
+      codes = 8, rounds = 2)
+    val m2 = graft.operators.IvfPqIndex.fit(tiny, nCells = 4, subspaces = 4,
+      codes = 8, rounds = 2)
+    assert(m1.cells.map(_.toSeq).toSeq == m2.cells.map(_.toSeq).toSeq &&
+      m1.codebook.map(_.map(_.toSeq).toSeq).toSeq ==
+        m2.codebook.map(_.map(_.toSeq).toSeq).toSeq,
+      "two fits on the same frame must produce the identical model")
+    val enc = m1.encode(tiny).collect()
+    assert(enc.length == 40 && enc.forall { r =>
+      r.getInt(1) >= 0 && r.getInt(1) < 4 &&
+        r.getSeq[Long](2).length == 4 && r.getSeq[Long](2).forall(c => c >= 0 && c < 8)
+    })
+    // (3) a geometry that does not divide the dim fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfPqIndex.fit(tiny, subspaces = 3)
+    }
+    s.catalog.clearCache()
+  }
+
   test("PQ fit memo survives clearCache: re-entry recomputes lazily, identically") {
     // the session-keyed pqFit memo hands every PQ key the same trained
     // codebook and encode frame; a session-level clearCache drops the
