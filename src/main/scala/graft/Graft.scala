@@ -28,6 +28,12 @@ import org.apache.spark.sql.SparkSession
   * `install` deliberately does NOT touch session confs — shuffle
   * partitioning, AQE, timezone and ANSI settings belong to the session
   * owner (README documents the recommended ones).
+  *
+  * Model-style operators need no registration: train an ANN index with
+  * [[graft.operators.IvfPqIndex.fit]] and encode batch or streaming
+  * frames with the returned [[graft.operators.IvfPqModel]]; distributed
+  * order statistics live in [[graft.operators.ExactQuantiles]], graph
+  * connectivity in [[graft.operators.ConnectedComponents]].
   */
 object Graft {
   def install(spark: SparkSession): Unit = {
