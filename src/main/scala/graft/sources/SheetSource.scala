@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
@@ -90,6 +91,7 @@ private class SheetTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SheetScanBuilder(schema, path)
@@ -242,6 +244,50 @@ private class SheetScan(full: StructType, required: StructType, path: String,
     SheetSource.tabFiles(path).map(f => SheetTabPartition(f.getAbsolutePath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new SheetReaderFactory(full.fieldNames, required.fieldNames, filters)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SheetMicroBatchStream(path, full.fieldNames, required.fieldNames, filters)
+}
+
+/** Offset = how many tabs (in name order) have been consumed. */
+private case class SheetOffset(tabCount: Int) extends Offset {
+  override def json(): String = tabCount.toString
+}
+
+/** Streaming read of a workbook dir — the reference's "poll the
+  * spreadsheet for new data" made incremental: each trigger reads the
+  * tabs that appeared SINCE the last committed offset, one InputPartition
+  * per new tab, through the same pruning/pushdown-aware reader factory as
+  * the batch scan (column pruning and pushed filters apply per
+  * micro-batch). The offset is the consumed-tab COUNT over the
+  * name-sorted listing, which is exactly-once under the workbook write
+  * contract: committed tabs are `tab_%05d` in arrival order and never
+  * rewritten (the staged-rename commit), so the sorted listing only ever
+  * APPENDS — the reference's append-only run-log reality. A tab landing
+  * with an earlier name would silently shift the slice; the listing-
+  * prefix check in `planInputPartitions` fails loudly instead.
+  */
+private class SheetMicroBatchStream(path: String, fullCols: Array[String],
+    requiredCols: Array[String], filters: Array[SheetFilter])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = SheetOffset(0)
+  override def latestOffset(): Offset =
+    SheetOffset(SheetSource.tabFiles(path).length)
+  override def deserializeOffset(json: String): Offset =
+    SheetOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[SheetOffset].tabCount,
+      end.asInstanceOf[SheetOffset].tabCount)
+    val tabs = SheetSource.tabFiles(path)
+    require(tabs.length >= e0,
+      s"workbook $path shrank below committed offset $e0 (${tabs.length} tabs) — " +
+        "tabs must be append-only")
+    tabs.slice(s0, e0)
+      .map(f => SheetTabPartition(f.getAbsolutePath): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SheetReaderFactory(fullCols, requiredCols, filters)
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
+  override def stop(): Unit = ()
 }
 
 private case class SheetTabPartition(file: String) extends InputPartition

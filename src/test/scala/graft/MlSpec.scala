@@ -305,6 +305,41 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       docs.count(_._3 > 100).toLong)
   }
 
+  test("DSv2 sheet STREAMING read: appended tabs land incrementally, exactly once, filters pushed") {
+    // the reference's "poll the spreadsheet" reality as a MicroBatchStream:
+    // the offset is the consumed-tab count over the name-sorted listing
+    // (append-only under the writer's tab_%05d staged-rename contract), so
+    // each trigger reads ONLY the new tabs — through the same pruning/
+    // pushdown reader as the batch scan
+    TestSpark.withTempDir("graft_sheet_stream") { dir =>
+      def writeTab(name: String, rows: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name),
+          ("doc_id\tlang" +: rows).mkString("\n").getBytes("UTF-8"))
+      writeTab("tab_00000.tsv", Seq("1\ten", "2\tde"))
+      writeTab("tab_00001.tsv", Seq("3\ten"))
+      val q = s.readStream.format("graft.sources.SheetSourceProvider")
+        .load(dir)
+        .filter(col("lang") === "en") // pushed into the tab reader
+        .writeStream.format("memory").queryName("sheet_stream")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        val afterTwo = s.table("sheet_stream").select("doc_id")
+          .collect().map(_.getString(0).toLong).sorted.toSeq
+        assert(afterTwo == Seq(1L, 3L), s"first batches wrong: $afterTwo")
+        // a NEW tab lands (append-only name order) — only IT is read next
+        writeTab("tab_00002.tsv", Seq("4\tde", "5\ten"))
+        q.processAllAvailable()
+        val all = s.table("sheet_stream").select("doc_id")
+          .collect().map(_.getString(0).toLong).sorted.toSeq
+        assert(all == Seq(1L, 3L, 5L),
+          s"incremental read must add exactly the new tab's en rows: $all")
+      } finally q.stop()
+    }
+  }
+
   test("DSv2 sheet WRITE: staged-commit tabs round-trip through the reader") {
     // the upload analogy (SURVEY §3.1: write spec docs + upload): write a
     // derived result as a workbook via the connector's SupportsWrite path
