@@ -122,21 +122,43 @@ object IvfPqIndex {
     CoarseQuantizer.fitInt(fitSample, nCells, iters)
   }
 
+  /** A completed trainer run: the codebook rows (sub, code, centroid),
+    * the CACHED per-(vec, sub) encode frame, the cached quantized corpus
+    * and subspace frames, and `retire` — which unpersists exactly the
+    * caches THIS run created (a plan another owner had already cached is
+    * not touched; the Caching.scala ownership contract). */
+  private[graft] final case class PqFit(cent: Seq[(Int, Long, Seq[Long])],
+      encoded: DataFrame, v: DataFrame, subv: DataFrame, retire: () => Unit)
+
+  /** The (sub, code, centroid) rows as the [subspace][code][dim] matrix —
+    * ONE assembly shared by [[fit]] and the engine's session-memoized
+    * model accessor, so the codebook layout cannot drift between them. */
+  private[graft] def codebookMatrix(cent: Seq[(Int, Long, Seq[Long])],
+      subspaces: Int): Array[Array[Array[Long]]] = {
+    val byCode = cent.groupBy(_._1)
+    Array.tabulate(subspaces)(sub =>
+      byCode(sub).sortBy(_._2).map(_._3.toArray).toArray)
+  }
+
   /** The full PQ trainer: quantize, slice into `subspaces`×`subDim`
     * subspaces, seed from the `codes` lowest vec_ids, run `rounds`
     * integer-Lloyd rounds with the codebook as driver model state.
-    * Returns (codebook rows (sub, code, centroid), CACHED per-(vec, sub)
-    * encode frame, cached quantized corpus, cached subspace frame) —
-    * the query layer consumes the frames; [[fit]] wraps this for
-    * model-only training and retires them. */
+    * The query layer consumes the returned frames; [[fit]] wraps this
+    * for model-only training and calls `retire`. */
   private[graft] def fitDetailed(vecs: DataFrame, subspaces: Int,
-      subDim: Int, codes: Int, rounds: Int)
-      : (Seq[(Int, Long, Seq[Long])], DataFrame, DataFrame, DataFrame) = {
-    val v = graft.Caching.ensureCached(vecs
+      subDim: Int, codes: Int, rounds: Int): PqFit = {
+    val owned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val already = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      val out = graft.Caching.ensureCached(df)
+      if (!already) owned += out
+      out
+    }
+    val v = pin(vecs
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
         .as("qv")))
-    val subv = graft.Caching.ensureCached(v
+    val subv = pin(v
       .select(col("vec_id"), explode(expr(s"sequence(0, ${subspaces - 1})")).as("sub"),
         col("qv"))
       .withColumn("sv", expr(s"slice(qv, sub * $subDim + 1, $subDim)"))
@@ -200,27 +222,31 @@ object IvfPqIndex {
       cent = (updated ++ cent.filterNot(t => have((t._1, t._2)))).toSeq
         .sortBy(t => (t._1, t._2))
     }
-    val encoded = graft.Caching.ensureCached(assignAgainst(cent).drop("sv"))
-    (cent, encoded, v, subv)
+    val encoded = pin(assignAgainst(cent).drop("sv"))
+    PqFit(cent, encoded, v, subv,
+      () => owned.foreach(_.unpersist(blocking = false)))
   }
 
   /** Train a complete [[IvfPqModel]] on any (vec_id, embedding) frame.
-    * Model-only: the trainer's intermediate caches are retired before
+    * Model-only: the caches THIS fit created are retired before
     * returning (a query layer that also wants the encode frames uses
-    * `fitDetailed` and owns them). */
+    * `fitDetailed` and owns them). Validates the frame up front: a
+    * non-empty corpus with ONE consistent embedding dimensionality that
+    * divides into `subspaces` — a mixed-dim frame would otherwise fail
+    * nondeterministically mid-job inside the assignment UDF. */
   def fit(vecs: DataFrame, nCells: Int = 16, subspaces: Int = 16,
       codes: Int = 16, rounds: Int = 3): IvfPqModel = {
-    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
-    require(dim % subspaces == 0,
-      s"embedding dim $dim is not divisible into $subspaces subspaces")
+    val dims = vecs.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head
+    require(!dims.isNullAt(0), "cannot fit an IVF-PQ model on an empty frame")
+    val (dmin, dmax) = (dims.getInt(0), dims.getInt(1))
+    require(dmin == dmax,
+      s"embedding dimensionality is not uniform: min $dmin, max $dmax")
+    require(dmin % subspaces == 0,
+      s"embedding dim $dmin is not divisible into $subspaces subspaces")
     val cells = fitCells(vecs, nCells)
-    val (cent, encoded, v, subv) = fitDetailed(vecs, subspaces, dim / subspaces, codes, rounds)
-    encoded.unpersist(blocking = false)
-    v.unpersist(blocking = false)
-    subv.unpersist(blocking = false)
-    val byCode = cent.groupBy(_._1)
-    val cb = Array.tabulate(subspaces)(sub =>
-      byCode(sub).sortBy(_._2).map(_._3.toArray).toArray)
-    IvfPqModel(cells, cb)
+    val f = fitDetailed(vecs, subspaces, dmin / subspaces, codes, rounds)
+    f.retire()
+    IvfPqModel(cells, codebookMatrix(f.cent, subspaces))
   }
 }

@@ -878,10 +878,8 @@ object LlmOps {
       : graft.operators.IvfPqModel = {
     val (cent, _, _) = pqFit(s, d)
     val cells = coarseFit(s, d, ivfPqCells).map(_._1)
-    val byCode = cent.groupBy(_._1)
-    val cb = Array.tabulate(pqSubspaces)(sub =>
-      byCode(sub).sortBy(_._2).map(_._3.toArray).toArray)
-    graft.operators.IvfPqModel(cells, cb)
+    graft.operators.IvfPqModel(cells,
+      graft.operators.IvfPqIndex.codebookMatrix(cent, pqSubspaces))
   }
 
   private val coarseFitMemo = new graft.SessionMemo[(String, Int), Array[(Array[Long], Int)]]
@@ -925,23 +923,20 @@ object LlmOps {
     (cent, encoded, v)
   }
 
-  /** Shared PQ trainer (Spark twin of [[pqFitCtes]]): quantize, slice into
-    * subspaces, seed from the [[pqCodes]] lowest vec_ids, run [[pqRounds]]
-    * integer-Lloyd rounds with the codebook as driver model state, and
-    * return (final codebook, CACHED per-(vec, sub) encoding `af`-frame,
-    * cached quantized corpus). Both PQ keys reach this through the
-    * [[pqFit]] memo, so they always train the identical codebook AND
-    * share the UDF-bearing encode plan (see the memo scaladoc).
-    */
   /** Delegates to the library trainer ([[graft.operators.IvfPqIndex
-    * .fitDetailed]]) on the fixture embeddings with this module's
-    * geometry — the public fit path IS the oracled path. */
+    * .fitDetailed]] — the Spark twin of [[pqFitCtes]]) on the fixture
+    * embeddings with this module's geometry: the public fit path IS the
+    * oracled path. Both PQ keys reach this through the [[pqFit]] memo,
+    * so they always train the identical codebook AND share the
+    * UDF-bearing encode plan (see the memo scaladoc). The trainer's
+    * caches are deliberately NOT retired here — the returned frames are
+    * the memo's to keep (pqFit re-pins them after a clearCache). */
   private def pqFitImpl(s: SparkSession, d: String)
       : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val (cent, encoded, v, _) = graft.operators.IvfPqIndex.fitDetailed(
+    val f = graft.operators.IvfPqIndex.fitDetailed(
       Tables.embeddings(s, d).select("vec_id", "embedding"),
       pqSubspaces, pqSubDim, pqCodes, pqRounds)
-    (cent, encoded, v)
+    (f.cent, f.encoded, f.v)
   }
 
   /** DuckDB twin of the 3-round integer k-means: nested CTEs d/a/cl/cent

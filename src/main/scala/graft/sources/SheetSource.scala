@@ -64,11 +64,13 @@ private[sources] object SheetSource {
   }
 
   /** Worksheet files of a workbook dir (or the single file), sorted for a
-    * deterministic partition order. */
+    * deterministic partition order. In-flight `_staged_` files are NOT
+    * tabs: a reader (batch or streaming) must never observe a write
+    * before its commit rename. */
   def tabFiles(path: String): Seq[java.io.File] = {
     val f = new java.io.File(path)
     val files = if (f.isDirectory) f.listFiles().toSeq.filter(_.isFile) else Seq(f)
-    files.sortBy(_.getName)
+    files.filterNot(_.getName.startsWith("_staged_")).sortBy(_.getName)
   }
 
   /** Schema = header row of the first tab: all-string columns, the
@@ -133,10 +135,16 @@ private class SheetBatchWrite(schema: StructType, path: String, replace: Boolean
     if (replace)
       Option(dir.listFiles()).foreach(_.filter(f =>
         f.isFile && !f.getName.startsWith("_staged_")).foreach(_.delete()))
+    // append mode numbers AFTER the existing committed tabs — re-starting
+    // at 0 would overwrite earlier batches' tabs in place (silent data
+    // loss) AND violate the append-only name order the streaming offset
+    // relies on
+    val base = if (replace) 0 else SheetSource.tabFiles(path).length
     messages.zipWithIndex.foreach { case (m, i) =>
       val staged = new java.io.File(m.asInstanceOf[SheetTabCommit].staged)
-      val target = new java.io.File(dir, f"tab_$i%05d.tsv")
-      if (target.exists()) target.delete()
+      val target = new java.io.File(dir, f"tab_${base + i}%05d.tsv")
+      require(!target.exists(),
+        s"commit collision: $target already exists (concurrent writers?)")
       require(staged.renameTo(target), s"commit rename failed: $staged -> $target")
     }
   }
@@ -248,9 +256,21 @@ private class SheetScan(full: StructType, required: StructType, path: String,
     new SheetMicroBatchStream(path, full.fieldNames, required.fieldNames, filters)
 }
 
-/** Offset = how many tabs (in name order) have been consumed. */
-private case class SheetOffset(tabCount: Int) extends Offset {
-  override def json(): String = tabCount.toString
+/** Offset = how many tabs (in name order) have been consumed, PLUS the
+  * name of the last consumed tab — the anchor that detects a listing
+  * whose prefix changed (a file landing with an earlier sort name would
+  * otherwise silently shift the slice: duplicates re-emitted, the real
+  * new tab skipped). */
+private case class SheetOffset(tabCount: Int, lastTab: String) extends Offset {
+  override def json(): String =
+    if (tabCount == 0) "0" else s"$tabCount|$lastTab"
+}
+
+private object SheetOffset {
+  def parse(json: String): SheetOffset = json.trim.split("\\|", 2) match {
+    case Array(n) => SheetOffset(n.toInt, "")
+    case Array(n, name) => SheetOffset(n.toInt, name)
+  }
 }
 
 /** Streaming read of a workbook dir — the reference's "poll the
@@ -258,30 +278,40 @@ private case class SheetOffset(tabCount: Int) extends Offset {
   * tabs that appeared SINCE the last committed offset, one InputPartition
   * per new tab, through the same pruning/pushdown-aware reader factory as
   * the batch scan (column pruning and pushed filters apply per
-  * micro-batch). The offset is the consumed-tab COUNT over the
-  * name-sorted listing, which is exactly-once under the workbook write
-  * contract: committed tabs are `tab_%05d` in arrival order and never
-  * rewritten (the staged-rename commit), so the sorted listing only ever
-  * APPENDS — the reference's append-only run-log reality. A tab landing
-  * with an earlier name would silently shift the slice; the listing-
-  * prefix check in `planInputPartitions` fails loudly instead.
+  * micro-batch). Exactly-once rests on the workbook write contract:
+  * committed tabs are `tab_%05d` in arrival order (append mode numbers
+  * after the existing tabs) and never rewritten, so the name-sorted
+  * listing only ever APPENDS — the reference's append-only run-log
+  * reality. Both failure modes of that contract are detected loudly in
+  * `planInputPartitions`, never silently mis-sliced: a SHRUNK listing
+  * (tab deleted) and a SHIFTED prefix (a file landed with an earlier
+  * sort name than the committed anchor).
   */
 private class SheetMicroBatchStream(path: String, fullCols: Array[String],
     requiredCols: Array[String], filters: Array[SheetFilter])
     extends MicroBatchStream {
-  override def initialOffset(): Offset = SheetOffset(0)
-  override def latestOffset(): Offset =
-    SheetOffset(SheetSource.tabFiles(path).length)
-  override def deserializeOffset(json: String): Offset =
-    SheetOffset(json.trim.toInt)
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s0, e0) = (start.asInstanceOf[SheetOffset].tabCount,
-      end.asInstanceOf[SheetOffset].tabCount)
+  private def offsetAt(tabs: Seq[java.io.File], n: Int): SheetOffset =
+    SheetOffset(n, if (n == 0) "" else tabs(n - 1).getName)
+  override def initialOffset(): Offset = SheetOffset(0, "")
+  override def latestOffset(): Offset = {
     val tabs = SheetSource.tabFiles(path)
-    require(tabs.length >= e0,
-      s"workbook $path shrank below committed offset $e0 (${tabs.length} tabs) — " +
-        "tabs must be append-only")
-    tabs.slice(s0, e0)
+    offsetAt(tabs, tabs.length)
+  }
+  override def deserializeOffset(json: String): Offset = SheetOffset.parse(json)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (so, eo) = (start.asInstanceOf[SheetOffset], end.asInstanceOf[SheetOffset])
+    val tabs = SheetSource.tabFiles(path)
+    def anchored(o: SheetOffset): Boolean =
+      o.tabCount == 0 || o.lastTab.isEmpty || // legacy anchor-less offset
+        (tabs.length >= o.tabCount && tabs(o.tabCount - 1).getName == o.lastTab)
+    require(tabs.length >= eo.tabCount,
+      s"workbook $path shrank below committed offset ${eo.tabCount} " +
+        s"(${tabs.length} tabs) — tabs must be append-only")
+    require(anchored(so) && anchored(eo),
+      s"workbook $path listing prefix changed under committed offsets " +
+        s"(${so.json()} .. ${eo.json()}) — a tab landed out of name order; " +
+        "tabs must be append-only in sorted-name order")
+    tabs.slice(so.tabCount, eo.tabCount)
       .map(f => SheetTabPartition(f.getAbsolutePath): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -312,10 +312,17 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // each trigger reads ONLY the new tabs — through the same pruning/
     // pushdown reader as the batch scan
     TestSpark.withTempDir("graft_sheet_stream") { dir =>
-      def writeTab(name: String, rows: Seq[String]): Unit =
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, name),
+      def writeTab(name: String, rows: Seq[String]): Unit = {
+        // stage + ATOMIC_MOVE: the query's trigger loop polls the listing
+        // between processAllAvailable calls, so a tab must appear with its
+        // bytes complete — the same staged-rename contract the connector's
+        // own writer follows
+        val staged = java.nio.file.Paths.get(dir, s"_staged_$name")
+        java.nio.file.Files.write(staged,
           ("doc_id\tlang" +: rows).mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(staged, java.nio.file.Paths.get(dir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       writeTab("tab_00000.tsv", Seq("1\ten", "2\tde"))
       writeTab("tab_00001.tsv", Seq("3\ten"))
       val q = s.readStream.format("graft.sources.SheetSourceProvider")
@@ -365,6 +372,16 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .mode("overwrite").save(outDir.getAbsolutePath)
     assert(s.read.format("graft.sources.SheetSourceProvider")
       .load(outDir.getAbsolutePath).count() == expect.length)
+    // append numbers AFTER the existing tabs — a commit that restarted at
+    // tab_00000 would overwrite the first batch in place (and break the
+    // streaming offset's append-only name order)
+    stats.repartition(1).write.format("graft.sources.SheetSourceProvider")
+      .mode("append").save(outDir.getAbsolutePath)
+    val tabs2 = outDir.listFiles().filter(_.isFile).map(_.getName).sorted
+    assert(tabs2.toSeq == Seq("tab_00000.tsv", "tab_00001.tsv", "tab_00002.tsv"),
+      s"append must extend the tab sequence: ${tabs2.mkString(",")}")
+    assert(s.read.format("graft.sources.SheetSourceProvider")
+      .load(outDir.getAbsolutePath).count() == expect.length * 2)
   }
 
   test("schema-first CSV and JSON-lines ingest round-trips") {
