@@ -246,6 +246,23 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(leaked.isEmpty, s"leaked RDD-level persistence: $leaked")
   }
 
+  test("memo/cache-heavy family is re-entry-identical within one session") {
+    // the session-keyed memos (pqFit, coarseFit) and the CC/gram cache
+    // contracts all promise: running a key, clearing the cache, and
+    // running it again returns the IDENTICAL result — no stale model
+    // state, no order dependence, no recompute divergence. (A full
+    // 180-key double-run probe validated this r13; the suite pins the
+    // family where the memo/caching machinery actually lives.)
+    for (q <- Seq("dedup_cluster", "dedup_retention", "graph_degree",
+        "embedding_cluster", "ann_ivf", "ann_ivfpq", "ann_pq_adc")) {
+      val r1 = SparkEntry.queries(q)(s, d).collect().map(_.toString).toSeq
+      s.catalog.clearCache()
+      val r2 = SparkEntry.queries(q)(s, d).collect().map(_.toString).toSeq
+      s.catalog.clearCache()
+      assert(r1 == r2, s"$q diverged on same-session re-entry")
+    }
+  }
+
   test("bpe_train retires its own token-layer caches without clearCache") {
     // the trainer's output is model-sized (built from per-round argmax
     // collects), so no returned plan reads the cached layers — the
