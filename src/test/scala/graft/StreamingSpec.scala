@@ -568,6 +568,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set(9000L, 9001L).subsetOf(streamed))
   }
 
+  test("RocksDB state store: stateful streaming runs on the production state backend, batch-exact") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the default HDFS-backed in-memory provider holds every key's state
+    // on the executor heap — a non-starter for corpus-scale streaming
+    // state. Pin that the engine's stateful shapes run unchanged on the
+    // spillable RocksDB provider (the production 100 TB backend): same
+    // query, same results as batch, and the state operator really
+    // reports RocksDB metrics (so a conf typo cannot silently fall back)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.events(s, d)
+        .select(col("ts_ntz"), col("event_type")).as[(LocalDateTime, String)]
+        .collect().toSeq
+      val ms = MemoryStream[(LocalDateTime, String)]
+      val q = ms.toDF().toDF("ts_ntz", "event_type")
+        .groupBy(window(col("ts_ntz"), "1 hour").as("w"), col("event_type"))
+        .count()
+        .writeStream.format("memory").queryName("rocksdb_stream")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        val (a, b) = rows.partition(_._1.getHour < 12)
+        ms.addData(a); q.processAllAvailable()
+        ms.addData(b); q.processAllAvailable()
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metrics.toString.toLowerCase.contains("rocksdb"),
+          s"state operator must report RocksDB metrics, got $metrics")
+      } finally q.stop()
+      val streamed = s.table("rocksdb_stream")
+        .select(col("w.start").as("ws"), col("event_type"), col("count"))
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.events(s, d)
+        .groupBy(window(col("ts_ntz"), "1 hour").as("w"), col("event_type"))
+        .count()
+        .select(col("w.start").as("ws"), col("event_type"), col("count"))
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"RocksDB-backed result diverged from batch")
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming IVF-PQ index append: frozen-codebook encode lands cell-partitioned, bit-equal to the trained index") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
