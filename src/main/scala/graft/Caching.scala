@@ -66,15 +66,43 @@ object Caching {
   * never re-train identical models — and, for plans bearing UDF
   * closures, actually SHARE the plan (ScalaUDF plan equality is closure
   * identity, so only the literal same DataFrame object can hit the SQL
-  * cache). Entries whose session's SparkContext has stopped are evicted
-  * on the next access, so a long-lived JVM cycling sessions does not
-  * accumulate dead plans.
+  * cache).
+  *
+  * Eviction, two-layer: entries whose session's SparkContext has stopped
+  * are dropped on the next access, and when the map outgrows
+  * [[SessionMemo.MaxEntries]] every OTHER session's entries are dropped
+  * too — so a service cycling `newSession()` handles over one long-lived
+  * context (where `isStopped` never fires) stays bounded: an evicted
+  * session merely re-trains on its next call.
+  *
+  * The computation runs OUTSIDE the map (get → compute → putIfAbsent),
+  * never inside `computeIfAbsent`: training is seconds of Spark jobs,
+  * and holding a CHM bin that long would block unrelated sessions'
+  * lookups. The race cost is benign by construction — training is
+  * deterministic, so a losing duplicate computes the identical value
+  * (its transient caches clean up with the session's next clearCache).
   */
 final class SessionMemo[K, V] {
   private val m = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, K), V]()
   def getOrElseUpdate(s: org.apache.spark.sql.SparkSession, k: K)(f: (org.apache.spark.sql.SparkSession, K) => V): V = {
     m.keySet.removeIf(e => e._1.sparkContext.isStopped)
-    m.computeIfAbsent((s, k), { case (ss, kk) => f(ss, kk) })
+    val key = (s, k)
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      val computed = f(s, k)
+      if (m.size >= SessionMemo.MaxEntries)
+        m.keySet.removeIf(e => e._1 ne s)
+      val prev = m.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
   }
+}
+
+object SessionMemo {
+  /** Generous for the engine's deployment shapes (a handful of model
+    * keys × dataset dirs per session) while bounding session-cycling
+    * services; crossing it evicts other sessions' entries. */
+  final val MaxEntries = 64
 }

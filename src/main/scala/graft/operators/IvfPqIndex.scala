@@ -33,9 +33,12 @@ final case class IvfPqModel(cells: Array[Array[Long]],
   def dim: Int = cells(0).length
 
   private def quantize(emb: Seq[Float]): Array[Long] = {
-    // fail loudly ON THE RECORD: a short vector would otherwise kill the
-    // micro-batch with an index error (and poison restarts), a long one
-    // would silently encode with the wrong subspace stride
+    // fail loudly ON THE RECORD with an actionable message: a null or
+    // short vector would otherwise kill the micro-batch with a bare
+    // NPE/index error (and poison restarts), a long one would silently
+    // encode with the wrong subspace stride
+    require(emb != null,
+      "null embedding reached the encoder — filter or impute upstream")
     require(emb.length == dim,
       s"embedding dim ${emb.length} != model dim $dim")
     val qv = new Array[Long](emb.length)
@@ -184,11 +187,7 @@ object IvfPqIndex {
     // vs 1.5 s for this shape at sf0.1. Strict < keeps the lowest code on
     // ties (= ORDER BY d2, c in the oracle).
     def assignAgainst(cs: Seq[(Int, Long, Seq[Long])]) = {
-      val bySub: Array[Array[Array[Long]]] = {
-        val m = cs.groupBy(_._1)
-        Array.tabulate(subspaces)(sub =>
-          m(sub).sortBy(_._2).map(_._3.toArray).toArray)
-      }
+      val bySub = codebookMatrix(cs, subspaces) // the ONE assembly
       val assignU = udf((sub: Int, sv: Seq[Long]) => {
         val cents = bySub(sub)
         var best = 0; var bestD = Long.MaxValue
@@ -231,14 +230,19 @@ object IvfPqIndex {
     * Model-only: the caches THIS fit created are retired before
     * returning (a query layer that also wants the encode frames uses
     * `fitDetailed` and owns them). Validates the frame up front: a
-    * non-empty corpus with ONE consistent embedding dimensionality that
-    * divides into `subspaces` — a mixed-dim frame would otherwise fail
-    * nondeterministically mid-job inside the assignment UDF. */
+    * non-empty corpus, NO null embeddings, and ONE consistent embedding
+    * dimensionality that divides into `subspaces` — a mixed-dim or
+    * null-bearing frame would otherwise fail nondeterministically
+    * mid-job inside the sample collect or the assignment UDF. */
   def fit(vecs: DataFrame, nCells: Int = 16, subspaces: Int = 16,
       codes: Int = 16, rounds: Int = 3): IvfPqModel = {
     val dims = vecs.agg(
-      min(size(col("embedding"))), max(size(col("embedding")))).head
+      min(size(col("embedding"))), max(size(col("embedding"))),
+      count(lit(1)), count(col("embedding"))).head
     require(!dims.isNullAt(0), "cannot fit an IVF-PQ model on an empty frame")
+    require(dims.getLong(2) == dims.getLong(3),
+      s"${dims.getLong(2) - dims.getLong(3)} row(s) have a NULL embedding — " +
+        "filter or impute before fitting")
     val (dmin, dmax) = (dims.getInt(0), dims.getInt(1))
     require(dmin == dmax,
       s"embedding dimensionality is not uniform: min $dmin, max $dmax")

@@ -138,8 +138,23 @@ private class SheetBatchWrite(schema: StructType, path: String, replace: Boolean
     // append mode numbers AFTER the existing committed tabs — re-starting
     // at 0 would overwrite earlier batches' tabs in place (silent data
     // loss) AND violate the append-only name order the streaming offset
-    // relies on
-    val base = if (replace) 0 else SheetSource.tabFiles(path).length
+    // relies on. Base = max existing tab_%05d index + 1 (gap-proof: a
+    // count would collide after a deleted tab), and the first new name
+    // must sort strictly after EVERY existing tab — a workbook holding
+    // hand-named tabs that sort later (e.g. "z.tsv") cannot accept
+    // order-preserving appends, so fail BEFORE any rename rather than
+    // strand a running stream on a shifted listing.
+    val existing = if (replace) Seq.empty else SheetSource.tabFiles(path)
+    val TabIdx = raw"tab_(\d{5})\.tsv".r
+    val base = existing.map(_.getName).collect {
+      case TabIdx(n) => n.toInt + 1 }.maxOption.getOrElse(0)
+    if (existing.nonEmpty) {
+      val firstNew = f"tab_$base%05d.tsv"
+      val lastExisting = existing.last.getName
+      require(firstNew > lastExisting,
+        s"append would land '$firstNew' out of sorted-name order after " +
+          s"'$lastExisting' — rename non-standard tabs or use overwrite")
+    }
     messages.zipWithIndex.foreach { case (m, i) =>
       val staged = new java.io.File(m.asInstanceOf[SheetTabCommit].staged)
       val target = new java.io.File(dir, f"tab_${base + i}%05d.tsv")
