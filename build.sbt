@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver archives the last ~2000 chars of `sbt runMain` stdout and
+// parses graft.Bench's final JSON contract line from it. With the default
+// LoggedOutput strategy sbt re-logs every forked-process line under an
+// "[info] " prefix (BENCH_r13 tail shows the full line present but
+// prefixed → "parsed": null for three rounds). StdoutOutput inherits the
+// forked JVM's stdout/stderr raw, so the contract line reaches the
+// archive byte-identical to what Bench printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop sbt's "[success] Total time: …" epilogue, which otherwise
+// prints AFTER the contract line — a parser that only tries the literal
+// last stdout line would reject the run on that noise alone.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command layer, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

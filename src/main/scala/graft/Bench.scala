@@ -76,7 +76,22 @@ object Bench {
       // 4-gram broadcast-probe family (r12 profile: 7.28 s cold / 1.1 s
       // steady isolated; 1.73 s residual after dedup_cluster's 3-gram
       // warm; 0.9-1.2 s from the first timed run with this entry)
-      "decontaminate")
+      "decontaminate",
+      // ANN/PQ family (r13 driver: ann_ivfpq 10.85 s vs 1.60 in-suite
+      // median, ann_ivf 3.93 vs ~1.1 isolated): in alphabetical order
+      // ann_ivfpq is the family's FIRST timed key, so it absorbed the
+      // whole-family first-touch codegen (integer-Lloyd rounds, ADC
+      // lookup exprs, broadcast cell join) on top of its own fit. The
+      // SessionMemo is (session, dir)-keyed, so this sf0.001 pass does
+      // NOT pre-train the sf0.1 model (the timed first key still pays
+      // one honest small fit) — it only loads the generated classes,
+      // exactly the decontaminate treatment
+      "ann_ivfpq", "ann_ivf",
+      // JSON round-trip family (r14: fn_json_table 4.11 s first-touch in
+      // the gate bench — to_json/JsonToStructs-with-array/posexplode
+      // codegen classes nothing else loads; the query itself is a
+      // map-only projection)
+      "fn_json_table")
     // a renamed key here is a code bug — fail the bench loudly, don't
     // silently skip the warm and re-skew whichever query absorbed it
     warmQueries.foreach(q => require(SparkEntry.queries.contains(q),

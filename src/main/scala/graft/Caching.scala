@@ -58,6 +58,20 @@ object Caching {
     */
   def ensureCached(df: DataFrame): DataFrame =
     if (df.storageLevel == StorageLevel.NONE) df.persist() else df
+
+  /** Pin `df` COLD-ONLY and materialize the pin in one job; a warm call
+    * touches nothing — not even a count. For operators that return an
+    * UNEXECUTED plan over the pinned frame (the minhashNearDupPairs
+    * shape): one action here plus the consumer's own sink = 2 actions
+    * total, vs [[materializeRetiring]]'s 3 — and the r13 forensic showed
+    * driver-bench inflation tracks the ACTION count under host
+    * contention. The pin is the caller's to retire (clearCache /
+    * unpersist, per the ownership contract above).
+    */
+  def pinOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) { df.persist(); df.count() }
+    df
+  }
 }
 
 /** Session-keyed memo for deterministic driver-side model state (trained
@@ -68,34 +82,71 @@ object Caching {
   * identity, so only the literal same DataFrame object can hit the SQL
   * cache).
   *
-  * Eviction, two-layer: entries whose session's SparkContext has stopped
-  * are dropped on the next access, and when the map outgrows
-  * [[SessionMemo.MaxEntries]] every OTHER session's entries are dropped
-  * too — so a service cycling `newSession()` handles over one long-lived
-  * context (where `isStopped` never fires) stays bounded: an evicted
-  * session merely re-trains on its next call.
+  * Eviction, three-layer: entries whose session's SparkContext has
+  * stopped are dropped on the next access; when the map outgrows
+  * [[SessionMemo.MaxEntries]] every OTHER session's entries go first
+  * (a service cycling `newSession()` handles over one long-lived
+  * context stays bounded); and if the CURRENT session alone has filled
+  * the map — one long-lived session touching many (dataset, params)
+  * keys — its OLDEST entries (insertion order) are retired until the
+  * bound holds, so no single session grows the map without limit. An
+  * evicted entry merely re-trains on its next call.
+  *
+  * Eviction RELEASES what the entry pinned: any `Dataset` reachable
+  * through the value (directly, or as a tuple/collection element) is
+  * unpersisted, so evicted sessions' cached blocks don't linger in the
+  * shared CacheManager until their own clearCache. Stopped sessions
+  * skip the walk — their context's blocks died with the executor.
   *
   * The computation runs OUTSIDE the map (get → compute → putIfAbsent),
   * never inside `computeIfAbsent`: training is seconds of Spark jobs,
   * and holding a CHM bin that long would block unrelated sessions'
   * lookups. The race cost is benign by construction — training is
   * deterministic, so a losing duplicate computes the identical value
-  * (its transient caches clean up with the session's next clearCache).
+  * (and its transient caches are released on the spot).
   */
 final class SessionMemo[K, V] {
+  import scala.jdk.CollectionConverters._
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
   private val m = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, K), V]()
+    (org.apache.spark.sql.SparkSession, K), (V, Long)]()
+
+  /** Unpersist every Dataset reachable through a memo value. Values here
+    * are model state: a DataFrame, or a small tuple/Seq carrying a couple
+    * of frames plus codebook scalars — the walk is O(model size), never
+    * O(data). unpersist on an already-unpersisted frame is a no-op; a
+    * dying context can throw from the cache manager, which must not fail
+    * the caller's unrelated lookup. */
+  private def release(v: Any): Unit = v match {
+    case df: org.apache.spark.sql.Dataset[_] =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    case p: Product => p.productIterator.foreach(release)
+    case i: Iterable[_] => i.foreach(release)
+    case _ => ()
+  }
+
+  private def removeReleasing(key: (org.apache.spark.sql.SparkSession, K)): Unit = {
+    val removed = m.remove(key)
+    if (removed != null) release(removed._1)
+  }
+
   def getOrElseUpdate(s: org.apache.spark.sql.SparkSession, k: K)(f: (org.apache.spark.sql.SparkSession, K) => V): V = {
     m.keySet.removeIf(e => e._1.sparkContext.isStopped)
     val key = (s, k)
     val existing = m.get(key)
-    if (existing != null) existing
+    if (existing != null) existing._1
     else {
       val computed = f(s, k)
-      if (m.size >= SessionMemo.MaxEntries)
-        m.keySet.removeIf(e => e._1 ne s)
-      val prev = m.putIfAbsent(key, computed)
-      if (prev != null) prev else computed
+      if (m.size >= SessionMemo.MaxEntries) {
+        m.keySet.asScala.filter(_._1 ne s).toList.foreach(removeReleasing)
+        if (m.size >= SessionMemo.MaxEntries) {
+          val surplus = m.size - SessionMemo.MaxEntries + 1
+          m.entrySet.asScala.toList.sortBy(_.getValue._2).take(surplus)
+            .map(_.getKey).foreach(removeReleasing)
+        }
+      }
+      val prev = m.putIfAbsent(key, (computed, seq.incrementAndGet()))
+      if (prev != null) { release(computed); prev._1 } else computed
     }
   }
 }

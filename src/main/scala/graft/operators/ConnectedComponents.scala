@@ -72,6 +72,15 @@ object ConnectedComponents {
     *
     * Pass `localSolveMaxEdges = -1` to force the distributed loop (tests
     * do, to pin loop semantics on small fixtures).
+    *
+    * Driver-memory contract of the local path: `localSolveMaxEdges` is a
+    * ROW COUNT, not a byte estimate. At the default 2^20 bound the solve
+    * collects up to ~1M boxed (a, b) Rows and builds two `HashMap[Any,
+    * Any]` — roughly 100-300 MB of driver heap for long ids, and more for
+    * wide string ids (budget ~2× the average id width × 3M references).
+    * Callers with wide ids or small driver heaps should pass a smaller
+    * bound (or -1); the distributed loop needs no driver memory beyond
+    * the label frame's broadcast.
     */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
       graphSizeHint: Long = -1L,
@@ -102,6 +111,8 @@ object ConnectedComponents {
     * consumer to recompute through (the persist contract is moot).
     * Larger graphs fall through to the distributed loop with
     * participants derived distributively, exactly as before.
+    * Driver-memory contract of the local path: same as [[minLabel]]'s —
+    * the bound is an edge COUNT, not bytes; size it down for wide ids.
     */
   def minLabelFromEdges(edges: DataFrame, maxIter: Int = 50,
       graphSizeHint: Long = -1L,

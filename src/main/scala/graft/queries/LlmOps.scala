@@ -884,12 +884,21 @@ object LlmOps {
 
   private val coarseFitMemo = new graft.SessionMemo[(String, Int), Array[(Array[Long], Int)]]
 
+  /** Observable fit-run counters — ScaleSpec pins that the DRIVER'S
+    * alphabetical key order (ann_ivf → ann_ivfpq → ann_lsh_bucket →
+    * ann_pq_adc → … → embedding_pq) trains each model exactly once per
+    * session: wall-clock asserts are host-noise-flaky, a train count is
+    * not. Test-only observability; never read on a query path. */
+  private[graft] val coarseFitRuns = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] val pqFitRuns = new java.util.concurrent.atomic.AtomicInteger
+
   private def coarseFit(s: SparkSession, d: String, nClusters: Int)
       : Array[(Array[Long], Int)] =
     // session-memoized (graft.SessionMemo): ann_ivf and ann_ivfpq train
     // the identical deterministic quantizer — one sample collect + local
     // Lloyd per session, not one per caller
     coarseFitMemo.getOrElseUpdate(s, (d, nClusters)) { case (ss, (dd, k)) =>
+      coarseFitRuns.incrementAndGet()
       graft.operators.IvfPqIndex
         .fitCells(Tables.embeddings(ss, dd).select("vec_id", "embedding"), k)
         .zipWithIndex
@@ -933,6 +942,7 @@ object LlmOps {
     * the memo's to keep (pqFit re-pins them after a clearCache). */
   private def pqFitImpl(s: SparkSession, d: String)
       : (Seq[(Int, Long, Seq[Long])], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    pqFitRuns.incrementAndGet()
     val f = graft.operators.IvfPqIndex.fitDetailed(
       Tables.embeddings(s, d).select("vec_id", "embedding"),
       pqSubspaces, pqSubDim, pqCodes, pqRounds)

@@ -105,15 +105,21 @@ object Pipeline {
        |  WHERE 5 * c >= 4 * least(na.n, nb.n))
        |SELECT da, db, containment FROM cpairs ORDER BY da, db""".stripMargin) { (s, d) =>
     // shared pair-statistics kernel with jaccardPairs — only the filter
-    // predicate and reported metric differ; the cache lifecycle (cold-
-    // branch pin + retire, warm no-op) is Caching.materializeRetiring's
+    // predicate and reported metric differ. Single-consumption query, so
+    // (r14) it returns the pair plan UNEXECUTED over the pinned gram
+    // table (Caching.pinOnce — 2 actions total) instead of
+    // materializeRetiring's pin+materialize+retire (3): the r13 forensic
+    // showed driver-bench inflation tracks action count under host
+    // contention, and the pairs set was materialized only to be read
+    // once by the sink anyway. The gram pin is the caller's to retire
+    // (clearCache, as Bench/Verify do).
     val (stats, grams) = LlmOps.pairStats(s, d)
-    val pairs = stats
+    graft.Caching.pinOnce(grams)
+    stats
       .filter(expr("5 * c >= 4 * least(na, nb)"))
       .select(col("da"), col("db"),
         expr("cast(c as double) / least(na, nb)").as("containment"))
       .orderBy("da", "db")
-    graft.Caching.materializeRetiring(pairs, grams)
   }
 
   /** Deterministic source rebalancing: every language is downsampled to

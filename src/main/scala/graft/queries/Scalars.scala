@@ -194,6 +194,52 @@ object Scalars {
         .orderBy("event_id")
     },
 
+    // json_table-style LATERAL extraction — the one JSON shape real
+    // pipelines hit that fn_json/fn_json_schema don't pin: a MULTI-KEY
+    // nested document (scalars + an array) unpacked to typed columns AND
+    // rows. The doc is assembled in-query with to_json (the reference's
+    // spec-assembly round-trip: build the nested run document, re-parse
+    // it downstream); extraction is one from_json with the full nested
+    // StructType + posexplode of the array — schema-first, not N string
+    // path probes, so the parse runs once per row. Integer/string keys
+    // only (JSON float formatting is engine-specific; §7.3). The DuckDB
+    // twin builds its own doc with to_json(struct_pack(...)) and walks it
+    // with ->/->> json_extract paths — both engines genuinely round-trip
+    // JSON, and the hash compares the extracted typed values. Map-only at
+    // any scale: no shuffle before the presentation sort.
+    Q("fn_json_table",
+      s"""WITH d AS (SELECT event_id,
+         |    to_json(struct_pack(id := event_id, et := event_type,
+         |      k := CAST(props->>'$$.k' AS INT),
+         |      ks := [CAST(props->>'$$.k' AS INT), CAST(props->>'$$.k' AS INT) * 2, CAST(props->>'$$.k' AS INT) * 3])) AS doc
+         |  FROM events),
+         |x AS (SELECT event_id, doc->>'$$.et' AS et,
+         |    CAST(doc->>'$$.k' AS INT) AS k,
+         |    from_json(doc->'$$.ks', '["INTEGER"]') AS ks FROM d),
+         |f AS (SELECT event_id, et, k, unnest(ks) AS kx,
+         |    generate_subscripts(ks, 1) - 1 AS idx FROM x)
+         |SELECT event_id, et, k, CAST(idx AS INT) AS idx, CAST(kx AS INT) AS kx
+         |FROM f ORDER BY event_id, idx""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      // the sf fixture is ONE parquet file = one scan partition; the JSON
+      // build+parse is the dominant per-row cost and would run on a single
+      // core without this (the gramTable discipline — at cluster scale the
+      // scan arrives already partitioned and this is a no-op-cost hint)
+      val doc = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("event_id"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("et"),
+          k.as("k"), array(k, k * 2, k * 3).as("ks"))).as("doc"))
+      val schema = StructType(Seq(StructField("et", StringType),
+        StructField("k", IntegerType),
+        StructField("ks", ArrayType(IntegerType))))
+      doc.withColumn("p", from_json(col("doc"), schema))
+        .select(Seq(col("event_id"), col("p.et").as("et"),
+          col("p.k").as("k")) :+ posexplode(col("p.ks")).as(Seq("idx", "kx")): _*)
+        .orderBy("event_id", "idx")
+    },
+
     // null-handling surface: coalesce / nullif / nvl2-style CASE
     Q("fn_null",
       s"""SELECT o_orderkey,

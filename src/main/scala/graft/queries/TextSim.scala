@@ -340,7 +340,97 @@ object TextSim {
     Q("dedup_fuzzy", minhashOracleSql) { (s, d) =>
       minhashNearDupPairs(s, Tables.documents(s, d).select("doc_id", "text"))
     },
+
+    // Incremental / cross-run dedup — the warehouse pattern the batch
+    // near-dup family feeds: a PERSISTED minhash signature index of the
+    // already-ingested corpus (doc_id % 5 <> 0 stands in for "previous
+    // runs"; in production this table is precomputed once per run and
+    // stored banded/bucketed on (bi, bv1, bv2)), and each NEW batch
+    // (doc_id % 5 = 0) computes its own signatures map-side and probes
+    // the index with a band equi-join — the anti-join analog of the
+    // streaming index append. Candidates that survive the size-ratio
+    // guard get the exact shingle-Jaccard re-rank (dist <= 0.3, the
+    // dedup_fuzzy threshold); a new doc is a dup iff at least one index
+    // doc confirms. Output: every new doc with its shingle count, the
+    // smallest confirming index doc (NULL if novel), the confirming-doc
+    // count, and the dup flag. Scale shape: one scan of each side's
+    // grams (here ONE shared cached gram table since both splits come
+    // from the same fixture), band-keyed equi-join candidates — never
+    // all-pairs — and the re-rank touches candidate grams only. All
+    // integer sketches (the r12 cross-engine polyhash), so hash-exact
+    // oracled.
+    Q("dedup_incremental", incrementalOracleSql) { (s, d) =>
+      val grams = gramTable(s, Tables.documents(s, d).select("doc_id", "text"))
+      val bands = bandSignatures(grams)
+      val idx = bands.filter(col("doc_id") % 5 =!= 0)
+        .toDF("db", "nb", "bi2", "bv1b", "bv2b")
+      val newb = bands.filter(col("doc_id") % 5 === 0)
+        .toDF("da", "na", "bi", "bv1", "bv2")
+      val cand = newb.join(idx, expr("bi = bi2 AND bv1 = bv1b AND bv2 = bv2b" +
+          " AND cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
+        .select("da", "db", "na", "nb").distinct()
+      val common = cand.select("da", "db")
+        .join(grams.toDF("da3", "gh"), expr("da = da3"))
+        .join(grams.toDF("db3", "gh2"), expr("db = db3 AND gh = gh2"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      val dups = cand.join(common, Seq("da", "db"))
+        .withColumn("dist", expr("1.0d - cast(c as double) / (na + nb - c)"))
+        .filter(col("dist") <= 0.3)
+        .groupBy("da").agg(min("db").as("dup_of"), count(lit(1)).as("n_dups"))
+      newb.select(col("da"), col("na")).distinct()
+        .join(dups, Seq("da"), "left_outer")
+        .select(col("da").as("doc_id"), col("na").as("n_shingles"),
+          col("dup_of"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          when(col("dup_of").isNull, 0).otherwise(1).cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** DuckDB twin of `dedup_incremental`: the [[minhashOracleSql]] CTE
+    * chain up to `bands`, then the new-batch-vs-index split (doc_id % 5),
+    * the guarded band probe, the exact-Jaccard confirm, and the left-join
+    * verdict per new doc. Generated from the same constants/mix SQL so
+    * the twins cannot drift.
+    */
+  def incrementalOracleSql: String = {
+    val minCols = (0 until MinhashK)
+      .map(i => s"CAST(min(${minhashMixSql(i, "gh")}) AS BIGINT) AS m$i").mkString(",\n    ")
+    val bandRows = (0 until 5)
+      .map(b => s"SELECT doc_id, n, $b AS bi, m${2 * b} AS bv1, m${2 * b + 1} AS bv2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+       |hws AS (SELECT doc_id, $wordHashSql AS hw
+       |  FROM toks),
+       |grams AS (SELECT DISTINCT doc_id, gh FROM (
+       |  SELECT doc_id, unnest($gramFromWordsSql) AS gh
+       |  FROM hws) gg),
+       |sig AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    $minCols
+       |  FROM grams GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv1 = b.bv1 AND a.bv2 = b.bv2
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |    AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.7),
+       |common AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS c
+       |  FROM cand c JOIN grams ga ON ga.doc_id = c.da
+       |    JOIN grams gb ON gb.doc_id = c.db AND gb.gh = ga.gh
+       |  GROUP BY c.da, c.db),
+       |dups AS (SELECT cand.da, CAST(min(cand.db) AS BIGINT) AS dup_of,
+       |    CAST(count(*) AS BIGINT) AS n_dups
+       |  FROM cand JOIN common ON common.da = cand.da AND common.db = cand.db
+       |  WHERE CAST(1 AS DOUBLE) - CAST(common.c AS DOUBLE) / (cand.na + cand.nb - common.c) <= 0.3
+       |  GROUP BY cand.da),
+       |newdocs AS (SELECT doc_id, n FROM sig WHERE doc_id % 5 = 0)
+       |SELECT nd.doc_id, nd.n AS n_shingles, d.dup_of,
+       |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+       |FROM newdocs nd LEFT JOIN dups d ON d.da = nd.doc_id
+       |ORDER BY nd.doc_id""".stripMargin
+  }
 
   /** int64-hashed DISTINCT 3-word-shingle table (doc_id, gh), cached and
     * cache-pinned. Shingles are hashed to int64 INSIDE the transform
@@ -362,7 +452,10 @@ object TextSim {
     */
   def gramTable(s: SparkSession, docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.PolyHashArr.register(s)
-    val grams = graft.Caching.ensureCached(docs0
+    // pinOnce (r14, was ensureCached + unconditional count): a warm
+    // same-session re-entry skips even the count action — fewer job
+    // boundaries is the r13 host-contention lesson
+    graft.Caching.pinOnce(docs0
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3) // sequence(1,0) DESCENDS on Spark — drop short docs
       // the sf fixture is ONE parquet file = one partition; spread the
@@ -372,8 +465,6 @@ object TextSim {
       .withColumn("hw", expr(wordHashExpr))
       .select(col("doc_id"), explode(expr(gramFromWordsExpr)).as("gh"))
       .distinct())
-    grams.count()
-    grams
   }
 
   /** 5-band × 2-row minhash signatures (doc_id, n, bi, bv1, bv2) off the

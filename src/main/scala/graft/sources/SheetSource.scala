@@ -155,12 +155,28 @@ private class SheetBatchWrite(schema: StructType, path: String, replace: Boolean
         s"append would land '$firstNew' out of sorted-name order after " +
           s"'$lastExisting' — rename non-standard tabs or use overwrite")
     }
-    messages.zipWithIndex.foreach { case (m, i) =>
-      val staged = new java.io.File(m.asInstanceOf[SheetTabCommit].staged)
-      val target = new java.io.File(dir, f"tab_${base + i}%05d.tsv")
-      require(!target.exists(),
-        s"commit collision: $target already exists (concurrent writers?)")
-      require(staged.renameTo(target), s"commit rename failed: $staged -> $target")
+    // hard capacity: 5-digit names hold 100,000 tabs. Past that the next
+    // name would be 6 digits and sort BEFORE tab_99999.tsv, silently
+    // breaking the append-order contract the streaming offset relies on —
+    // fail with the real reason instead of a confusing order-guard error.
+    // (Widening the padding can't fix this in place: 9-digit names sort
+    // before existing 5-digit ones, so migration would need a rewrite.)
+    require(base + messages.length <= 100000,
+      s"workbook tab capacity exceeded: append needs tabs $base..${base + messages.length - 1} " +
+        "but the 5-digit naming scheme holds at most 100,000 tabs — " +
+        "start a new workbook directory")
+    // all-or-nothing against concurrent writers: compute the full target
+    // set and check every collision BEFORE the first rename — a require
+    // thrown mid-loop would leave earlier tabs already committed, exposing
+    // a partial append to batch and streaming readers
+    val staged = messages.map(m =>
+      new java.io.File(m.asInstanceOf[SheetTabCommit].staged))
+    val targets = staged.indices.map(i =>
+      new java.io.File(dir, f"tab_${base + i}%05d.tsv"))
+    targets.foreach(t => require(!t.exists(),
+      s"commit collision: $t already exists (concurrent writers?)"))
+    staged.zip(targets).foreach { case (src, target) =>
+      require(src.renameTo(target), s"commit rename failed: $src -> $target")
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =

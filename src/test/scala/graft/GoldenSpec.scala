@@ -221,4 +221,49 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows.length == 25)
     assert(rows.map(_.getLong(1)).sum == 1500L)
   }
+
+  test("fn_json_table: 3 rows per event, kx = k * (idx + 1), et/k round-trip intact") {
+    import org.apache.spark.sql.functions._
+    val rows = run("fn_json_table").collect()
+    val nEvents = Tables.events(s, d).count()
+    assert(rows.length == 3 * nEvents)
+    // the JSON round-trip must not mangle a single typed value
+    rows.foreach { r =>
+      val (k, idx, kx) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(idx >= 0 && idx <= 2 && kx == k * (idx + 1))
+    }
+    val direct = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    rows.foreach { r =>
+      val (et, k) = direct(r.getLong(0))
+      assert(r.getString(1) == et && r.getInt(2) == k)
+    }
+  }
+
+  test("dedup_incremental: verdicts partition the new batch and cover every cross-split fuzzy pair") {
+    val inc = run("dedup_incremental").collect()
+    assert(inc.nonEmpty && inc.forall(_.getLong(0) % 5 == 0),
+      "output rows must be exactly the new-batch docs")
+    inc.foreach { r =>
+      val dup = r.getInt(4) == 1
+      assert(dup == !r.isNullAt(2), "is_dup and dup_of must agree")
+      if (dup) {
+        assert(r.getLong(2) % 5 != 0, "dup_of must be an index doc")
+        assert(r.getLong(3) >= 1L)
+      } else assert(r.getLong(3) == 0L)
+    }
+    s.catalog.clearCache()
+    // completeness vs the symmetric near-dup pair set: every dedup_fuzzy
+    // pair with one endpoint per split shares the same bands/guard/Jaccard
+    // chain, so its new-side endpoint MUST be flagged dup here
+    val dupSet = inc.filter(_.getInt(4) == 1).map(_.getLong(0)).toSet
+    run("dedup_fuzzy").collect().foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      if (a % 5 == 0 && b % 5 != 0)
+        assert(dupSet.contains(a), s"fuzzy pair ($a,$b): $a missing from dup set")
+      if (b % 5 == 0 && a % 5 != 0)
+        assert(dupSet.contains(b), s"fuzzy pair ($a,$b): $b missing from dup set")
+    }
+  }
 }

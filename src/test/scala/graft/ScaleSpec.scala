@@ -394,4 +394,58 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("driver-order ANN keys train each model exactly once per session") {
+    // the r13 driver bench showed BOTH ann_ivf and ann_ivfpq paying
+    // fit-scale cost; this pins the SessionMemo sharing under the exact
+    // execution order the driver uses (alphabetical), in a FRESH session
+    // (newSession = new memo key), by TRAIN COUNT — wall-clock asserts
+    // are host-noise-flaky, an AtomicInteger is not
+    val s2 = s.newSession()
+    val c0 = graft.queries.LlmOps.coarseFitRuns.get()
+    val p0 = graft.queries.LlmOps.pqFitRuns.get()
+    for (q <- Seq("ann_ivf", "ann_ivfpq", "ann_lsh_bucket", "ann_pq_adc",
+        "embedding_pq"))
+      SparkEntry.queries(q)(s2, d).write.format("noop").mode("overwrite").save()
+    assert(graft.queries.LlmOps.coarseFitRuns.get() - c0 == 1,
+      "coarse quantizer must train exactly once across ann_ivf + ann_ivfpq")
+    assert(graft.queries.LlmOps.pqFitRuns.get() - p0 == 1,
+      "PQ codebook must train exactly once across ann_ivfpq + ann_pq_adc + embedding_pq")
+    s2.catalog.clearCache()
+  }
+
+  test("SessionMemo bounds a single session's entries and releases evicted pins") {
+    import org.apache.spark.storage.StorageLevel
+    val memo = new SessionMemo[Int, org.apache.spark.sql.DataFrame]
+    def frame(i: Int) = { val f = s.range(i, i + 10).toDF("v"); f.persist(); f }
+    val first = memo.getOrElseUpdate(s, 0)((_, _) => frame(0))
+    assert(first.storageLevel != StorageLevel.NONE)
+    // fill to one past the bound from the SAME session: the oldest entry
+    // (key 0) must be evicted and its pinned frame unpersisted
+    for (i <- 1 to SessionMemo.MaxEntries) memo.getOrElseUpdate(s, i)((_, _) => frame(i))
+    assert(first.storageLevel == StorageLevel.NONE,
+      "evicted entry's pinned frame must be unpersisted")
+    var recomputed = false
+    memo.getOrElseUpdate(s, 0) { (_, _) => recomputed = true; s.range(1).toDF("v") }
+    assert(recomputed, "an evicted key must recompute on re-request")
+    s.catalog.clearCache()
+  }
+
+  test("SessionMemo evicting another session's entry unpersists what it pinned") {
+    import org.apache.spark.storage.StorageLevel
+    val memo = new SessionMemo[Int, org.apache.spark.sql.DataFrame]
+    val other = s.newSession()
+    val pinned = memo.getOrElseUpdate(other, -1) { (ss, _) =>
+      val f = ss.range(10).toDF("v"); f.persist(); f
+    }
+    assert(pinned.storageLevel != StorageLevel.NONE)
+    // crossing the bound from the current session evicts OTHER sessions
+    // first — and must release their cached blocks, not leak them in the
+    // shared CacheManager until that session's own clearCache
+    for (i <- 0 until SessionMemo.MaxEntries)
+      memo.getOrElseUpdate(s, i)((_, _) => s.range(1).toDF("v"))
+    assert(pinned.storageLevel == StorageLevel.NONE,
+      "evicted session's pinned frame must be unpersisted")
+    s.catalog.clearCache()
+  }
 }
