@@ -28,7 +28,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "chunk_overlap", "dataset_split", "dedup_strip", "source_overlap",
   "join_asof_nearest", "layout_zvalue", "corpus_novelty",
   "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc",
-  "dedup_cluster", "dedup_retention", "ann_ivfpq")
+  "dedup_cluster", "dedup_retention", "ann_ivfpq",
+  "dedup_incremental", "fn_json_table")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -164,6 +165,18 @@ executed plans):
   jobs over the cached (token, count) VOCABULARY layer (one corpus
   aggregation up front, vocab-bounded rounds after; the per-word hash
   is the native codegen'd `poly_hash_arr` in the gram-kernel queries).
+- **r14 ops**: `dedup_incremental` is the cross-run warehouse shape: ONE
+  cached gram table feeds both splits (new batch = doc_id % 5 = 0, index
+  = rest), the index probe is a band-keyed EQUI-join on the raw minhash
+  pairs (hash-partitioned on (bi, bv1, bv2) -- shuffle-parallel, never
+  all-pairs), the exact-Jaccard confirm touches candidate grams only,
+  and the verdict is a left outer join back onto the new-batch
+  signatures. At 100 TB the index side is a PRE-STORED signature table
+  (one row per (doc, band), bucketed on the band key) so each new-run
+  probe is a co-located join against ~5 rows/doc of 8-byte minhashes --
+  the corpus text is never rescanned for old runs. `fn_json_table` is a
+  map-only codegen projection (to_json -> from_json(StructType) ->
+  posexplode); no exchange before the presentation sort.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
