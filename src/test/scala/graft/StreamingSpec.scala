@@ -517,30 +517,12 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     s.catalog.clearCache() // retire the gram cache (test owns it here)
 
-    // the online filter: state per band bucket = lowest doc_id seen; a doc
-    // arriving into a bucket someone already owns is a dup CANDIDATE
+    // the online filter is the LIBRARY path since r14
+    // (graft.streaming.NearDupFilter): state per band bucket = lowest
+    // doc_id seen; a doc arriving into an owned bucket is a dup CANDIDATE
     // (exact re-rank happens downstream, same as the batch pipeline)
-    val filter = (bucket: (Int, Long, Long), rows: Iterator[(Long, Int, Long, Long)],
-        state: GroupState[Long]) => {
-      val ids = rows.map(_._1).toSeq.sorted // micro-batch arrival order is
-      // shuffle-permuted; doc_id order restores run determinism
-      var owner = state.getOption
-      val out = scala.collection.mutable.ListBuffer[(Long, Int)]()
-      ids.foreach { id =>
-        owner match {
-          case Some(o) if o < id => out += ((id, bucket._1))
-          case Some(o) if o > id => out += ((o, bucket._1)); owner = Some(id)
-          case None => owner = Some(id)
-          case _ => ()
-        }
-      }
-      owner.foreach(state.update)
-      out.iterator
-    }
     val ms = MemoryStream[(Long, Int, Long, Long)]
-    val q = ms.toDS()
-      .groupByKey(r => (r._2, r._3, r._4))
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(filter)
+    val q = graft.streaming.NearDupFilter.candidates(ms.toDS())
       .toDF("doc_id", "bi")
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode(OutputMode.Update()).start()
@@ -566,6 +548,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
     // the planted copies MUST be flagged, and flagged across the batch cut
     assert(Set(9000L, 9001L).subsetOf(streamed))
+  }
+
+  test("warm-started near-dup stream flags dups of a persisted index in the first micro-batch") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the cross-run warehouse shape, streaming twin of dedup_incremental:
+    // prior runs = the doc_id % 5 <> 0 split, distilled to the per-bucket
+    // owner index; THIS run streams the % 5 = 0 split plus a planted
+    // near-copy of an INDEXED doc (9001 copies doc 1, which is index-side)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") === 1)
+      .select(lit(9001L).as("doc_id"), col("text"))
+    val allBands = queries.TextSim.bandSignatures(
+        queries.TextSim.gramTable(s, docs.unionByName(planted)))
+      .select("doc_id", "bi", "bv1", "bv2")
+    val idx = graft.streaming.NearDupFilter.indexFromBatch(
+        allBands.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 9000L))
+      .collect().toSeq
+    val streamRows = allBands
+      .filter(col("doc_id") % 5 === 0 || col("doc_id") === 9001L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    s.catalog.clearCache() // retire the gram cache (test owns it here)
+
+    val ms = MemoryStream[(Long, Int, Long, Long)]
+    val q = graft.streaming.NearDupFilter
+      .candidatesWarmStarted(ms.toDS(), s.createDataset(idx))
+      .toDF("doc_id", "bi")
+      .writeStream.format("memory").queryName("neardup_warm")
+      .outputMode(OutputMode.Update()).start()
+    // ONE micro-batch: collisions with prior runs must fire immediately,
+    // without any old-corpus row ever entering the stream
+    ms.addData(streamRows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("neardup_warm").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // driver-side twin of the warm-started transition over the same rows
+    val ownerByBucket = idx.map { case (b, o) => b -> o }.toMap
+    val twin = streamRows.groupBy(r => (r._2, r._3, r._4)).flatMap { case (b, rs) =>
+      val ids = rs.map(_._1).sorted
+      var owner = ownerByBucket.get(b)
+      val out = scala.collection.mutable.ListBuffer[Long]()
+      ids.foreach { id =>
+        owner match {
+          case Some(o) if o < id => out += id
+          case Some(o) if o > id => out += o; owner = Some(id)
+          case None => owner = Some(id)
+          case _ => ()
+        }
+      }
+      out
+    }.toSet
+    assert(streamed == twin, s"stream=${streamed.size} twin=${twin.size}")
+    assert(streamed.contains(9001L),
+      "a near-copy of an indexed doc must be flagged in its first micro-batch")
   }
 
   test("RocksDB state store: stateful streaming runs on the production state backend, batch-exact") {
