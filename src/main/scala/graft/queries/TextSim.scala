@@ -359,6 +359,48 @@ object TextSim {
     // all-pairs — and the re-rank touches candidate grams only. All
     // integer sketches (the r12 cross-engine polyhash), so hash-exact
     // oracled.
+    // Verbatim-span extraction — the exact-substring overlap scan
+    // (contamination / copyright / boilerplate detection at passage
+    // grain, the complement of whole-doc near-dup): every maximal word
+    // span of length >= 8 that appears verbatim in at least one OTHER
+    // document, reported per doc with its word-index range and the
+    // widest sharing count among its 8-gram windows. Pipeline: positioned
+    // 8-gram rolling hashes (the cross-engine word-polyhash composition,
+    // positions riding along) -> per-gram distinct-doc frequency ->
+    // semi-join positions whose gram is shared -> gaps-and-islands merge
+    // into maximal spans. Scale shape: UNLIKE pairwise dedup this never
+    // forms doc pairs — group-by-gram + equi-join back + per-doc window,
+    // all linear in corpus size and shuffle-parallel on the 8-byte gram
+    // key; a universally-common gram costs df counting, not a pair
+    // explosion. All integer arithmetic -> hash-exact oracled.
+    Q("text_verbatim_spans", verbatimSpansOracleSql) { (s, d) =>
+      graft.functions.PolyHashArr.register(s)
+      val pos = graft.Caching.pinOnce(Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= SpanGramLen)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("hw", expr(wordHashExpr))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(hw) - ${SpanGramLen - 1}),
+             | i -> struct(cast(i as bigint) as i,
+             |   aggregate(sequence(0, ${SpanGramLen - 1}), cast(0 as bigint),
+             |     (acc, j) -> (acc * 1000003 + element_at(hw, i + j)) % 1000000007) as gh))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh")))
+      val shared = pos.groupBy("gh")
+        .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
+      val wIsl = Window.partitionBy("doc_id").orderBy("i")
+      pos.join(shared, "gh")
+        .withColumn("grp", col("i") - row_number().over(wIsl))
+        .groupBy("doc_id", "grp")
+        .agg(min("i").as("span_start"),
+          (max("i") + (SpanGramLen - 1)).as("span_end"),
+          (max("i") - min("i") + SpanGramLen).as("span_words"),
+          max("df").as("max_df"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_words"), col("max_df"))
+        .orderBy("doc_id", "span_start")
+    },
+
     Q("dedup_incremental", incrementalOracleSql) { (s, d) =>
       val grams = gramTable(s, Tables.documents(s, d).select("doc_id", "text"))
       val bands = bandSignatures(grams)
@@ -385,6 +427,40 @@ object TextSim {
         .orderBy("doc_id")
     },
   )
+
+  /** Span gram length for `text_verbatim_spans` — 8 words is the usual
+    * contamination-scan grain (long enough that chance repeats are rare,
+    * short enough to catch quoted passages). `final val` literal: the
+    * oracle string bakes it at `all`'s initialization (the MinhashK
+    * discipline). */
+  final val SpanGramLen = 8
+
+  /** DuckDB twin of `text_verbatim_spans`: positioned rolling 8-gram
+    * hashes via list_reduce over the hw slice (init-0 fold and
+    * first-element-init reduce agree because 0 * 1000003 + h = h), the
+    * same shared-gram semi-join, and the same gaps-and-islands merge.
+    */
+  def verbatimSpansOracleSql: String = {
+    val L = SpanGramLen
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= $L),
+       |hws AS (SELECT doc_id, $wordHashSql AS hw
+       |  FROM toks),
+       |pos AS (SELECT doc_id, i,
+       |    list_reduce(hw[i : i + ${L - 1}], (a, b) -> (a * 1000003 + b) % 1000000007) AS gh
+       |  FROM (SELECT doc_id, hw, unnest(generate_series(1, len(hw) - ${L - 1})) AS i FROM hws) t),
+       |shared AS (SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT p.doc_id, p.i, s.df FROM pos p JOIN shared s ON p.gh = s.gh),
+       |isl AS (SELECT doc_id, i, df,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM hits)
+       |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       |  CAST(max(i) + ${L - 1} AS BIGINT) AS span_end,
+       |  CAST(max(i) - min(i) + $L AS BIGINT) AS span_words,
+       |  CAST(max(df) AS BIGINT) AS max_df
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 
   /** DuckDB twin of `dedup_incremental`: the [[minhashOracleSql]] CTE
     * chain up to `bands`, then the new-batch-vs-index split (doc_id % 5),

@@ -29,7 +29,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "join_asof_nearest", "layout_zvalue", "corpus_novelty",
   "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc",
   "dedup_cluster", "dedup_retention", "ann_ivfpq",
-  "dedup_incremental", "fn_json_table")
+  "dedup_incremental", "fn_json_table", "text_verbatim_spans")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -177,6 +177,10 @@ executed plans):
   the corpus text is never rescanned for old runs. `fn_json_table` is a
   map-only codegen projection (to_json -> from_json(StructType) ->
   posexplode); no exchange before the presentation sort.
+  `text_verbatim_spans` forms NO doc pairs: positioned 8-gram hashes
+  feed a per-gram distinct-doc aggregate, the shared positions come
+  back through ONE equi-join on the 8-byte gram key, and spans merge in
+  a per-doc window -- linear in corpus size end to end.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
