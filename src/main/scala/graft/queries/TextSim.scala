@@ -361,20 +361,37 @@ object TextSim {
     // oracled.
     // Verbatim-span extraction — the exact-substring overlap scan
     // (contamination / copyright / boilerplate detection at passage
-    // grain, the complement of whole-doc near-dup): every maximal word
-    // span of length >= 8 that appears verbatim in at least one OTHER
-    // document, reported per doc with its word-index range and the
-    // widest sharing count among its 8-gram windows. Pipeline: positioned
-    // 8-gram rolling hashes (the cross-engine word-polyhash composition,
+    // grain, the complement of whole-doc near-dup): per doc, every
+    // maximal word span whose EVERY 8-word window appears verbatim in at
+    // least one other document (each window possibly in a different
+    // partner — the merged span is the standard flagging grain, not a
+    // single-partner copy claim), with the word-index range and the
+    // widest per-window sharing count. Pipeline: positioned 8-gram
+    // rolling hashes (the cross-engine word-polyhash composition,
     // positions riding along) -> per-gram distinct-doc frequency ->
     // semi-join positions whose gram is shared -> gaps-and-islands merge
-    // into maximal spans. Scale shape: UNLIKE pairwise dedup this never
-    // forms doc pairs — group-by-gram + equi-join back + per-doc window,
-    // all linear in corpus size and shuffle-parallel on the 8-byte gram
-    // key; a universally-common gram costs df counting, not a pair
-    // explosion. All integer arithmetic -> hash-exact oracled.
+    // into maximal spans. The gram key is a DOUBLE hash — two
+    // independent mod-1e9+7 polynomial folds of the word hashes
+    // (bases 1000003 / 999983): unlike the dedup family, a collision
+    // here would flow STRAIGHT to output (there is no exact re-rank
+    // stage), and the dominant collision mode — gram-COMPOSITION
+    // collisions, birthday-bound over the corpus's ~n_grams² pairs —
+    // needs the difference polynomial to vanish at both bases
+    // (~2^-55 per pair, negligible at any n). Per-WORD hash collisions
+    // are not squared away (both folds consume the same word hashes),
+    // but a word collision only surfaces as a false span when the
+    // surrounding 7 words already match verbatim — a 7/8-verbatim
+    // window, which is precisely the content this scan exists to flag. Scale shape: UNLIKE pairwise
+    // dedup this never forms doc pairs — group-by-gram + equi-join back
+    // + per-doc window, all linear in corpus size and shuffle-parallel
+    // on the 16-byte gram key; a universally-common gram costs df
+    // counting, not a pair explosion. All integer arithmetic ->
+    // hash-exact oracled.
     Q("text_verbatim_spans", verbatimSpansOracleSql) { (s, d) =>
       graft.functions.PolyHashArr.register(s)
+      def fold(mult: Long) =
+        s"""aggregate(sequence(0, ${SpanGramLen - 1}), cast(0 as bigint),
+           |     (acc, j) -> (acc * $mult + element_at(hw, i + j)) % 1000000007)""".stripMargin
       val pos = graft.Caching.pinOnce(Tables.documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
         .filter(size(col("w")) >= SpanGramLen)
@@ -383,13 +400,14 @@ object TextSim {
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(1, size(hw) - ${SpanGramLen - 1}),
              | i -> struct(cast(i as bigint) as i,
-             |   aggregate(sequence(0, ${SpanGramLen - 1}), cast(0 as bigint),
-             |     (acc, j) -> (acc * 1000003 + element_at(hw, i + j)) % 1000000007) as gh))""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh")))
-      val shared = pos.groupBy("gh")
+             |   ${fold(1000003L)} as gh,
+             |   ${fold(999983L)} as gh2))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"),
+          col("p.gh").as("gh"), col("p.gh2").as("gh2")))
+      val shared = pos.groupBy("gh", "gh2")
         .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
       val wIsl = Window.partitionBy("doc_id").orderBy("i")
-      pos.join(shared, "gh")
+      pos.join(shared, Seq("gh", "gh2"))
         .withColumn("grp", col("i") - row_number().over(wIsl))
         .groupBy("doc_id", "grp")
         .agg(min("i").as("span_start"),
@@ -436,22 +454,26 @@ object TextSim {
   final val SpanGramLen = 8
 
   /** DuckDB twin of `text_verbatim_spans`: positioned rolling 8-gram
-    * hashes via list_reduce over the hw slice (init-0 fold and
-    * first-element-init reduce agree because 0 * 1000003 + h = h), the
-    * same shared-gram semi-join, and the same gaps-and-islands merge.
+    * DOUBLE hashes via list_reduce over the hw slice (init-0 fold and
+    * first-element-init reduce agree because 0 * base + h = h), the
+    * same shared-gram semi-join on BOTH hashes, and the same
+    * gaps-and-islands merge.
     */
   def verbatimSpansOracleSql: String = {
     val L = SpanGramLen
+    def fold(base: Long) =
+      s"list_reduce(hw[i : i + ${L - 1}], (a, b) -> (a * $base + b) % 1000000007)"
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
        |    FROM documents WHERE len(string_split(lower(text), ' ')) >= $L),
        |hws AS (SELECT doc_id, $wordHashSql AS hw
        |  FROM toks),
        |pos AS (SELECT doc_id, i,
-       |    list_reduce(hw[i : i + ${L - 1}], (a, b) -> (a * 1000003 + b) % 1000000007) AS gh
+       |    ${fold(1000003L)} AS gh,
+       |    ${fold(999983L)} AS gh2
        |  FROM (SELECT doc_id, hw, unnest(generate_series(1, len(hw) - ${L - 1})) AS i FROM hws) t),
-       |shared AS (SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |  FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-       |hits AS (SELECT p.doc_id, p.i, s.df FROM pos p JOIN shared s ON p.gh = s.gh),
+       |shared AS (SELECT gh, gh2, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM pos GROUP BY gh, gh2 HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT p.doc_id, p.i, s.df FROM pos p JOIN shared s ON p.gh = s.gh AND p.gh2 = s.gh2),
        |isl AS (SELECT doc_id, i, df,
        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM hits)
        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,

@@ -69,11 +69,17 @@ object NearDupFilter {
 
   /** Warm-started candidate stream: bucket state begins at the persisted
     * index's owners, so arrivals collide with PRIOR RUNS immediately.
+    * The index is distilled to ONE owner per bucket here (min doc_id,
+    * the ownership rule everywhere in this family) — Spark rejects
+    * multi-row initial state per key AT RUNTIME, so a caller passing raw
+    * per-doc signature rows instead of [[indexFromBatch]]'s aggregated
+    * output must not blow up the stream's first micro-batch.
     */
   def candidatesWarmStarted(bands: Dataset[(Long, Int, Long, Long)],
       index: Dataset[((Int, Long, Long), Long)]): Dataset[(Long, Int)] = {
     import bands.sparkSession.implicits._
-    val initial = index.groupByKey(_._1).mapValues(_._2)
+    val initial = index.groupByKey(_._1).mapValues(_._2).reduceGroups(math.min _)
+      .groupByKey(_._1).mapValues(_._2)
     bands.groupByKey(r => (r._2, r._3, r._4))
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout(),
         initialState = initial)(flag)

@@ -276,7 +276,11 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val got = run("text_verbatim_spans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got == expected, s"got ${got.size} spans, expected ${expected.size}")
-    assert(got.nonEmpty && got.exists(t => t._4 < 20), // non-vacuous: partial spans exist
+    // non-vacuous: at least one span strictly INSIDE a longer doc, so the
+    // islands merge is exercised on real partial overlaps (a whole-doc
+    // span of a duplicated short doc would not prove that)
+    val docLen = docs.toMap.view.mapValues(_.length.toLong).toMap
+    assert(got.nonEmpty && got.exists(t => t._4 < docLen(t._1)),
       "fixture must produce at least one sub-document span")
   }
 

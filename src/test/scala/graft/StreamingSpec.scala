@@ -560,17 +560,18 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val planted = docs.filter(col("doc_id") === 1)
       .select(lit(9001L).as("doc_id"), col("text"))
+    // ONE signature job; the index/stream split happens driver-side
     val allBands = queries.TextSim.bandSignatures(
         queries.TextSim.gramTable(s, docs.unionByName(planted)))
       .select("doc_id", "bi", "bv1", "bv2")
-    val idx = graft.streaming.NearDupFilter.indexFromBatch(
-        allBands.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 9000L))
-      .collect().toSeq
-    val streamRows = allBands
-      .filter(col("doc_id") % 5 === 0 || col("doc_id") === 9001L)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1).toSeq
     s.catalog.clearCache() // retire the gram cache (test owns it here)
+    // raw per-doc index rows, NOT pre-aggregated to one owner per bucket:
+    // candidatesWarmStarted must distill them itself (min per bucket)
+    val idx = allBands.filter(r => r._1 % 5 != 0 && r._1 < 9000L)
+      .map(r => ((r._2, r._3, r._4), r._1))
+    val streamRows = allBands.filter(r => r._1 % 5 == 0 || r._1 == 9001L)
 
     val ms = MemoryStream[(Long, Int, Long, Long)]
     val q = graft.streaming.NearDupFilter
@@ -587,7 +588,8 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
 
     // driver-side twin of the warm-started transition over the same rows
-    val ownerByBucket = idx.map { case (b, o) => b -> o }.toMap
+    // (min per bucket = the distillation candidatesWarmStarted applies)
+    val ownerByBucket = idx.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val twin = streamRows.groupBy(r => (r._2, r._3, r._4)).flatMap { case (b, rs) =>
       val ids = rs.map(_._1).sorted
       var owner = ownerByBucket.get(b)
