@@ -245,34 +245,10 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // independent twin: actual 8-word substrings compared as STRINGS —
     // no polynomial hashing anywhere — so this also proves the rolling
     // hash is collision-free on the fixture
-    val L = queries.TextSim.SpanGramLen
     val docs = Tables.documents(s, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
-      .filter(_._2.length >= L)
-    val gramDocs = scala.collection.mutable.HashMap.empty[Seq[String], scala.collection.mutable.Set[Long]]
-    docs.foreach { case (id, w) =>
-      w.sliding(L).foreach(g => gramDocs.getOrElseUpdate(g, scala.collection.mutable.Set()) += id)
-    }
-    val expected = docs.flatMap { case (id, w) =>
-      val hitPos = w.sliding(L).zipWithIndex.collect {
-        case (g, idx) if gramDocs(g).size >= 2 => idx + 1 // 1-based
-      }.toSeq
-      // gaps-and-islands merge + per-span max sharing count
-      val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long, Long)]()
-      var run = scala.collection.mutable.ListBuffer[Int]()
-      def close(): Unit = if (run.nonEmpty) {
-        val df = run.map(i => gramDocs(w.slice(i - 1, i - 1 + L)).size.toLong).max
-        spans += ((id, run.head.toLong, (run.last + L - 1).toLong,
-          (run.last - run.head + L).toLong, df))
-        run = scala.collection.mutable.ListBuffer[Int]()
-      }
-      hitPos.foreach { i =>
-        if (run.nonEmpty && i != run.last + 1) close()
-        run += i
-      }
-      close()
-      spans
-    }.sortBy(t => (t._1, t._2)).toSeq
+      .toSeq
+    val expected = SpanTwin.stringSpans(docs)
     val got = run("text_verbatim_spans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got == expected, s"got ${got.size} spans, expected ${expected.size}")

@@ -141,4 +141,45 @@ class PropertySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }.toMap
     assert(got == expected)
   }
+
+  test("text_verbatim_spans matches the string twin on randomized planted corpora") {
+    // fuzz the span kernel (double rolling hash + islands merge) against
+    // the hash-free SpanTwin on generated corpora with PLANTED shared
+    // passages at random offsets — exercises partial spans, L-length
+    // docs, multi-planted overlaps and plant-adjacency merges that the
+    // fixture may not contain
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("kite", "drum", "vast", "moss", "lens", "fern",
+      "bolt", "clay", "dusk", "reed", "silk", "tarn", "wick", "yarn")
+    val L = queries.TextSim.SpanGramLen
+    TestSpark.withTempDir("spans_prop") { dir =>
+      for (trial <- 1 to 3) {
+        val passage = Vector.fill(L + 2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        val docs = (0 until 40).map { i =>
+          val words0 = Vector.fill(L + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+          val words = if (i % 7 == 0) {
+            val off = rnd.nextInt(words0.size + 1)
+            words0.take(off) ++ passage ++ words0.drop(off)
+          } else words0
+          val text = words.mkString(" ")
+          (i.toLong, text, "en", "src0", text.length.toLong)
+        }
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val got = SparkEntry.queries("text_verbatim_spans")(s, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSeq
+        s.catalog.clearCache()
+        val expected = SpanTwin.stringSpans(
+          docs.map(t => t._1 -> t._2.split(" ", -1).toSeq))
+        assert(got == expected, s"trial $trial: got ${got.size}, expected ${expected.size}")
+        // every planted doc must carry a span covering its whole passage
+        val planted = docs.filter(_._1 % 7 == 0).map(_._1).toSet
+        assert(planted.forall(id =>
+          got.exists(t => t._1 == id && t._4 >= passage.size)),
+          s"trial $trial: a planted passage went undetected")
+      }
+    }
+  }
 }
