@@ -142,6 +142,38 @@ class PropertySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == expected)
   }
 
+  test("dedup_incremental flags planted near-copies of index docs and only new-batch rows") {
+    // controlled-corpus recall: plant exact copies of two INDEX docs
+    // (doc_id % 5 <> 0) at NEW-batch ids (% 5 == 0), write as a temp
+    // documents table, and require the incremental probe to flag both
+    // with dup_of = the copied index doc. Complements the fixture-based
+    // GoldenSpec gates (which depend on organic dups) with guaranteed
+    // positives through the same production path.
+    import s.implicits._
+    val src = Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val originals = src.filter(r => r._1 % 5 != 0 && r._2.split(" ").length >= 8).take(2)
+    assert(originals.length == 2)
+    val planted = originals.zipWithIndex.map { case (o, k) =>
+      (9000L + k * 5, o._2, o._3, o._4, o._5) // 9000, 9005: both % 5 == 0
+    }
+    TestSpark.withTempDir("inc_prop") { dir =>
+      (src.toSeq ++ planted).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("dedup_incremental")(s, dir).collect()
+      s.catalog.clearCache()
+      assert(rows.forall(_.getLong(0) % 5 == 0), "only new-batch docs in output")
+      planted.zip(originals).foreach { case (p, o) =>
+        val r = rows.find(_.getLong(0) == p._1)
+        assert(r.isDefined, s"planted doc ${p._1} missing from output")
+        assert(r.get.getInt(4) == 1 && !r.get.isNullAt(2),
+          s"planted exact copy ${p._1} of index doc ${o._1} must be flagged dup")
+        assert(r.get.getLong(2) % 5 != 0, "dup_of must be an index doc")
+      }
+    }
+  }
+
   test("text_verbatim_spans matches the string twin on randomized planted corpora") {
     // fuzz the span kernel (double rolling hash + islands merge) against
     // the hash-free SpanTwin on generated corpora with PLANTED shared
