@@ -461,6 +461,37 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.forall { case (_, p, _) => p.length >= 2 && p.forall(_ >= ' ') })
   }
 
+  test("HLL sketches are mergeable: daily sketch union re-aggregates to weekly uniques") {
+    // the 100 TB re-aggregation pattern the plain approx_count_distinct
+    // CANNOT express: per-day HLL register sketches are stored once
+    // (map-combinable binary column), and any coarser rollup — week,
+    // month, all-time — is a cheap union over the STORED sketches, never
+    // a rescan of the raw events. Spark 4 surface: hll_sketch_agg /
+    // hll_union_agg / hll_sketch_estimate (DataSketches HLL); no DuckDB
+    // twin (engine-specific registers), so this is a ✗-capability row
+    // gated here: the merged weekly estimate must agree with the
+    // single-pass weekly sketch and land within HLL error of the truth.
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("date_trunc('DAY', ts_ntz)").as("day"))
+      .withColumn("week", expr("date_trunc('WEEK', day)"))
+    val daily = ev.groupBy("week", "day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weeklyMerged = daily.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged"))
+    val weeklyDirect = ev.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("direct"),
+        countDistinct("user_id").as("exact"))
+    val joined = weeklyMerged.join(weeklyDirect, "week").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (merged, direct, exact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(merged == direct,
+        s"sketch-of-union must equal union-of-sketches: $merged vs $direct")
+      assert(math.abs(merged - exact).toDouble / exact < 0.05,
+        s"HLL estimate $merged outside 5% of exact $exact")
+    }
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))
