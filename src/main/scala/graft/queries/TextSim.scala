@@ -388,22 +388,7 @@ object TextSim {
     // counting, not a pair explosion. All integer arithmetic ->
     // hash-exact oracled.
     Q("text_verbatim_spans", verbatimSpansOracleSql) { (s, d) =>
-      graft.functions.PolyHashArr.register(s)
-      def fold(mult: Long) =
-        s"""aggregate(sequence(0, ${SpanGramLen - 1}), cast(0 as bigint),
-           |     (acc, j) -> (acc * $mult + element_at(hw, i + j)) % 1000000007)""".stripMargin
-      val pos = graft.Caching.pinOnce(Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= SpanGramLen)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("hw", expr(wordHashExpr))
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(hw) - ${SpanGramLen - 1}),
-             | i -> struct(cast(i as bigint) as i,
-             |   ${fold(1000003L)} as gh,
-             |   ${fold(999983L)} as gh2))""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"),
-          col("p.gh").as("gh"), col("p.gh2").as("gh2")))
+      val pos = spanPosTable(s, d)
       val shared = pos.groupBy("gh", "gh2")
         .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
       val wIsl = Window.partitionBy("doc_id").orderBy("i")
@@ -417,6 +402,33 @@ object TextSim {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_words"), col("max_df"))
         .orderBy("doc_id", "span_start")
+    },
+
+    // Span ATTRIBUTION — the report grain downstream of the span scan:
+    // per ordered doc pair (da < db), how many 8-gram windows they share
+    // verbatim and the covering word ranges on each side. This is the
+    // one step of the family that DOES form pairs, so it is explicitly
+    // bounded: only grams with 2 <= df <= SpanAttribDfCap participate
+    // (a boilerplate gram in thousands of docs belongs in the span
+    // scan's df column, not in a quadratic pair list — the jaccardPairs
+    // hot-shingle discipline). Within the cap the join is an equi-join
+    // on the 16-byte double-hash key, shuffle-parallel, with per-pair
+    // output rows bounded by df cap² per gram. n_windows counts window
+    // PAIRS (a gram at two positions in da matching one in db = 2).
+    Q("span_attribution", spanAttributionOracleSql) { (s, d) =>
+      val pos = spanPosTable(s, d)
+      val shared = pos.groupBy("gh", "gh2")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df").between(2, SpanAttribDfCap))
+      val hits = pos.join(shared.select("gh", "gh2"), Seq("gh", "gh2"))
+      val a = hits.toDF("gh", "gh2", "da", "ia")
+      val b = hits.toDF("ghb", "gh2b", "db", "ib")
+      a.join(b, expr("gh = ghb AND gh2 = gh2b AND da < db"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("n_windows"),
+          min("ia").as("a_start"), (max("ia") + (SpanGramLen - 1)).as("a_end"),
+          min("ib").as("b_start"), (max("ib") + (SpanGramLen - 1)).as("b_end"))
+        .orderBy("da", "db")
     },
 
     Q("dedup_incremental", incrementalOracleSql) { (s, d) =>
@@ -453,6 +465,73 @@ object TextSim {
     * discipline). */
   final val SpanGramLen = 8
 
+  /** Attribution df cap: grams shared by more than this many docs are
+    * excluded from the PAIR list (they stay in the span scan's df) —
+    * bounds the one quadratic step of the family. */
+  final val SpanAttribDfCap = 20
+
+  /** Positioned double-hashed span gram table (doc_id, i, gh, gh2),
+    * pinned cold-only — the shared kernel of `text_verbatim_spans` and
+    * `span_attribution` (identical plan text, so a same-session second
+    * consumer warm-hits the SQL cache). See the span Q scaladoc for the
+    * double-hash collision argument.
+    */
+  private def spanPosTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.PolyHashArr.register(s)
+    def fold(mult: Long) =
+      s"""aggregate(sequence(0, ${SpanGramLen - 1}), cast(0 as bigint),
+         |     (acc, j) -> (acc * $mult + element_at(hw, i + j)) % 1000000007)""".stripMargin
+    graft.Caching.pinOnce(Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= SpanGramLen)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("hw", expr(wordHashExpr))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(hw) - ${SpanGramLen - 1}),
+           | i -> struct(cast(i as bigint) as i,
+           |   ${fold(1000003L)} as gh,
+           |   ${fold(999983L)} as gh2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"),
+        col("p.gh").as("gh"), col("p.gh2").as("gh2")))
+  }
+
+  /** Shared CTE prefix `toks/hws/pos` of both span oracles — the DuckDB
+    * twin of [[spanPosTable]]. */
+  private def spanPosCtes: String = {
+    val L = SpanGramLen
+    def fold(base: Long) =
+      s"list_reduce(hw[i : i + ${L - 1}], (a, b) -> (a * $base + b) % 1000000007)"
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= $L),
+       |hws AS (SELECT doc_id, $wordHashSql AS hw
+       |  FROM toks),
+       |pos AS (SELECT doc_id, i,
+       |    ${fold(1000003L)} AS gh,
+       |    ${fold(999983L)} AS gh2
+       |  FROM (SELECT doc_id, hw, unnest(generate_series(1, len(hw) - ${L - 1})) AS i FROM hws) t)""".stripMargin
+  }
+
+  /** DuckDB twin of `span_attribution`: the [[spanPosCtes]] prefix, the
+    * df-capped shared-gram set, and the bounded pair aggregation. */
+  def spanAttributionOracleSql: String = {
+    val L = SpanGramLen
+    s"""WITH $spanPosCtes,
+       |shared AS (SELECT gh, gh2 FROM pos GROUP BY gh, gh2
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SpanAttribDfCap),
+       |hits AS (SELECT p.doc_id, p.i, p.gh, p.gh2
+       |  FROM pos p JOIN shared s ON p.gh = s.gh AND p.gh2 = s.gh2)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(min(a.i) AS BIGINT) AS a_start,
+       |  CAST(max(a.i) + ${L - 1} AS BIGINT) AS a_end,
+       |  CAST(min(b.i) AS BIGINT) AS b_start,
+       |  CAST(max(b.i) + ${L - 1} AS BIGINT) AS b_end
+       |FROM hits a JOIN hits b
+       |  ON a.gh = b.gh AND a.gh2 = b.gh2 AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** DuckDB twin of `text_verbatim_spans`: positioned rolling 8-gram
     * DOUBLE hashes via list_reduce over the hw slice (init-0 fold and
     * first-element-init reduce agree because 0 * base + h = h), the
@@ -461,16 +540,7 @@ object TextSim {
     */
   def verbatimSpansOracleSql: String = {
     val L = SpanGramLen
-    def fold(base: Long) =
-      s"list_reduce(hw[i : i + ${L - 1}], (a, b) -> (a * $base + b) % 1000000007)"
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= $L),
-       |hws AS (SELECT doc_id, $wordHashSql AS hw
-       |  FROM toks),
-       |pos AS (SELECT doc_id, i,
-       |    ${fold(1000003L)} AS gh,
-       |    ${fold(999983L)} AS gh2
-       |  FROM (SELECT doc_id, hw, unnest(generate_series(1, len(hw) - ${L - 1})) AS i FROM hws) t),
+    s"""WITH $spanPosCtes,
        |shared AS (SELECT gh, gh2, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
        |  FROM pos GROUP BY gh, gh2 HAVING count(DISTINCT doc_id) >= 2),
        |hits AS (SELECT p.doc_id, p.i, s.df FROM pos p JOIN shared s ON p.gh = s.gh AND p.gh2 = s.gh2),

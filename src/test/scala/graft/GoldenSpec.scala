@@ -260,6 +260,18 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "fixture must produce at least one sub-document span")
   }
 
+  test("span_attribution matches the hash-free string twin") {
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .toSeq
+    val expected = SpanTwin.stringAttribution(docs)
+    val got = run("span_attribution").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
   test("dedup_incremental: verdicts partition the new batch and cover every cross-split fuzzy pair") {
     val inc = run("dedup_incremental").collect()
     assert(inc.nonEmpty && inc.forall(_.getLong(0) % 5 == 0),

@@ -7,6 +7,39 @@ package graft
   * collision check on the production double rolling hash.
   */
 object SpanTwin {
+
+  /** String-based twin of `span_attribution`: per ordered doc pair, the
+    * count of matching L-gram window pairs (df-capped) and the covering
+    * ranges — same semantics, zero hashing. */
+  def stringAttribution(docsIn: Seq[(Long, Seq[String])])
+      : Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val L = queries.TextSim.SpanGramLen
+    val cap = queries.TextSim.SpanAttribDfCap
+    val docs = docsIn.filter(_._2.length >= L)
+    val gramPos = scala.collection.mutable.HashMap
+      .empty[Seq[String], scala.collection.mutable.ListBuffer[(Long, Int)]]
+    docs.foreach { case (id, w) =>
+      w.sliding(L).zipWithIndex.foreach { case (g, p) =>
+        gramPos.getOrElseUpdate(g, scala.collection.mutable.ListBuffer()) += ((id, p + 1))
+      }
+    }
+    val agg = scala.collection.mutable.HashMap
+      .empty[(Long, Long), (Long, Long, Long, Long, Long)]
+    gramPos.values.foreach { occ =>
+      if (occ.map(_._1).distinct.size >= 2 && occ.map(_._1).distinct.size <= cap) {
+        for ((da, ia) <- occ; (db, ib) <- occ if da < db) {
+          val cur = agg.getOrElse((da, db),
+            (0L, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))
+          agg((da, db)) = (cur._1 + 1, math.min(cur._2, ia), math.max(cur._3, ia),
+            math.min(cur._4, ib), math.max(cur._5, ib))
+        }
+      }
+    }
+    agg.toSeq.map { case ((da, db), (n, as, ae, bs, be)) =>
+      (da, db, n, as, ae + L - 1, bs, be + L - 1)
+    }.sortBy(t => (t._1, t._2))
+  }
+
   def stringSpans(docsIn: Seq[(Long, Seq[String])]): Seq[(Long, Long, Long, Long, Long)] = {
     val L = queries.TextSim.SpanGramLen
     val docs = docsIn.filter(_._2.length >= L)

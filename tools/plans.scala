@@ -29,7 +29,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "join_asof_nearest", "layout_zvalue", "corpus_novelty",
   "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc",
   "dedup_cluster", "dedup_retention", "ann_ivfpq",
-  "dedup_incremental", "fn_json_table", "text_verbatim_spans")
+  "dedup_incremental", "fn_json_table", "text_verbatim_spans",
+  "span_attribution")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
