@@ -91,7 +91,11 @@ object Bench {
       // the gate bench — to_json/JsonToStructs-with-array/posexplode
       // codegen classes nothing else loads; the query itself is a
       // map-only projection)
-      "fn_json_table")
+      "fn_json_table",
+      // span family (r14): the positioned double-fold gram expression is
+      // its own codegen shape; span_attribution is the family's first
+      // timed key alphabetically and would absorb it
+      "span_attribution")
     // a renamed key here is a code bug — fail the bench loudly, don't
     // silently skip the warm and re-skew whichever query absorbed it
     warmQueries.foreach(q => require(SparkEntry.queries.contains(q),
