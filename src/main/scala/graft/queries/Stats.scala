@@ -891,10 +891,110 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** WEIGHTED quartiles (lower weighted quantile: the smallest value whose
+    * cumulative weight reaches p of the total) of l_quantity weighted by
+    * integer-cent revenue, per return flag — the "what quantity level
+    * carries half the money" audit, which unweighted percentiles get
+    * wrong whenever weight correlates with value. All-integer: weights
+    * snap to cents, the quantile predicates are cross-multiplied
+    * (4·cw ≥ k·tw — no division anywhere), so both engines agree exactly.
+    * Scale: the heavy pass is ONE map-combinable groupBy over
+    * (flag, quantity) — a 3×50-row table at any corpus size; the
+    * cumulative window runs on those ≤50 rows per flag, so unlike a
+    * naive per-row cumulative-weight window (a full sort of the fact
+    * table) this survives 100 TB unchanged. Int64 cross-products hold to
+    * ~5×10¹⁷ cents of total weight; past that the pre-agg sums move to
+    * DECIMAL(38,0) without touching the shape.
+    */
+  private val aggWeightedMedian = Q("agg_weighted_median",
+    s"""WITH b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS wt FROM lineitem),
+       |g AS (SELECT flag, q, CAST(sum(wt) AS BIGINT) AS w FROM b GROUP BY flag, q),
+       |c AS (SELECT flag, q, w,
+       |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS cw,
+       |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw FROM g)
+       |SELECT flag, CAST(max(tw) AS BIGINT) AS w_total,
+       |  CAST(min(CASE WHEN 4 * cw >= tw THEN q END) AS BIGINT) AS wq25,
+       |  CAST(min(CASE WHEN 2 * cw >= tw THEN q END) AS BIGINT) AS wq50,
+       |  CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN q END) AS BIGINT) AS wq75
+       |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("q"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("wt"))
+    val g = b.groupBy("flag", "q").agg(sum("wt").as("w"))
+    val c = g
+      .withColumn("cw", sum("w").over(Window.partitionBy("flag").orderBy("q")))
+      .withColumn("tw", sum("w").over(Window.partitionBy("flag")))
+    c.groupBy("flag").agg(
+        max("tw").as("w_total"),
+        min(when(expr("4 * cw >= tw"), col("q"))).as("wq25"),
+        min(when(expr("2 * cw >= tw"), col("q"))).as("wq50"),
+        min(when(expr("4 * cw >= 3 * tw"), col("q"))).as("wq75"))
+      .orderBy("flag")
+  }
+
+  /** Cramér's V association between two categorical columns (market
+    * segment × nation over customer) — the audit that answers "is this
+    * slice dimension independent of that one" before stratifying or
+    * rebalancing on either. χ² is summed as per-cell ×10⁹ floor-scaled
+    * integers (the ln-score discipline: each cell's double is computed
+    * with IDENTICAL expression shape on both engines, so the scaled
+    * integers match exactly and the SUM is order-independent — a raw
+    * double Σ would hash-differ on addend order). Scale: the fact table
+    * is scanned ONCE into a combinable (seg, nat) count; marginals and
+    * the grand total are WINDOW sums over that cell table (≤
+    * |dom₁|·|dom₂| rows — model-sized forever), so there are no joins
+    * and no re-scans. (The first cut re-derived rt/ct/tot as separate
+    * aggregations of `cells`; ReuseExchange does NOT collapse those —
+    * each branch pushes a different isnotnull join-key filter into its
+    * scan, so the canonical plans differ and the customer table was
+    * physically read five times. The window shape makes single-scan
+    * true by construction, not by optimizer luck.) The empty-partition
+    * global window is safe: it sees cell rows, never fact rows.
+    */
+  private val statsCramersV = Q("stats_cramers_v", {
+    val e = "CAST(rtv AS DOUBLE) * ctv / nv"
+    val dev = s"(CAST(o AS DOUBLE) - $e)"
+    val si = s"CAST(floor($dev * $dev / ($e) * 1000000000 + 0.5) AS BIGINT)"
+    s"""WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+       |    CAST(count(*) AS BIGINT) AS o FROM customer GROUP BY seg, nat),
+       |rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rtv FROM cells GROUP BY seg),
+       |ct AS (SELECT nat, CAST(sum(o) AS BIGINT) AS ctv FROM cells GROUP BY nat),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nv,
+       |    CAST(count(DISTINCT seg) AS BIGINT) AS nseg,
+       |    CAST(count(DISTINCT nat) AS BIGINT) AS nnat FROM cells),
+       |j AS (SELECT c.o AS o, r.rtv AS rtv, x.ctv AS ctv, t.nv AS nv
+       |  FROM cells c JOIN rt r ON r.seg = c.seg
+       |    JOIN ct x ON x.nat = c.nat CROSS JOIN tot t),
+       |chi AS (SELECT CAST(sum($si) AS BIGINT) AS chi2_9 FROM j)
+       |SELECT t.nv AS n, t.nseg AS n_seg, t.nnat AS n_nat, chi.chi2_9,
+       |  round(sqrt(CAST(chi.chi2_9 AS DOUBLE) / 1000000000
+       |    / (t.nv * (least(t.nseg, t.nnat) - 1))), 6) AS v6
+       |FROM chi CROSS JOIN tot t""".stripMargin
+  }) { (s, d) =>
+    val e = "CAST(rtv AS DOUBLE) * ctv / nv"
+    val dev = s"(CAST(o AS DOUBLE) - $e)"
+    val si = s"CAST(floor($dev * $dev / ($e) * 1000000000 + 0.5) AS BIGINT)"
+    val cells = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("o"))
+    val w = cells
+      .withColumn("rtv", sum("o").over(Window.partitionBy("seg")))
+      .withColumn("ctv", sum("o").over(Window.partitionBy("nat")))
+      .withColumn("nv", sum("o").over(Window.partitionBy()))
+    w.agg(max("nv").as("n"),
+        countDistinct("seg").as("n_seg"), countDistinct("nat").as("n_nat"),
+        sum(expr(si)).as("chi2_9"))
+      .select(col("n"), col("n_seg"), col("n_nat"), col("chi2_9"),
+        expr("round(sqrt(CAST(chi2_9 AS DOUBLE) / 1000000000" +
+          " / (n * (least(n_seg, n_nat) - 1))), 6)").as("v6"))
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
     aggQuartilesExact, skewProfile,
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
-    tokenPmi)
+    tokenPmi, aggWeightedMedian, statsCramersV)
 }

@@ -177,13 +177,18 @@ object TextSim {
     * plain integer arithmetic (the r7-r11 form minhashed xxhash64 gram
     * keys — engine-specific, rows-only).
     */
-  def minhashOracleSql: String = {
+  /** Shared DuckDB CTE prefix `toks/hws/grams/sig/bands` — the twin of
+    * [[gramTable]] + [[sigTable]] + [[bandSignatures]], generated ONCE
+    * from the MinhashK/band constants so the three minhash-family oracles
+    * (`dedup_fuzzy`, `dedup_incremental`, `dedup_calibration`) cannot
+    * drift from each other or from the Spark kernels. */
+  private def minhashCtes: String = {
     val minCols = (0 until MinhashK)
       .map(i => s"CAST(min(${minhashMixSql(i, "gh")}) AS BIGINT) AS m$i").mkString(",\n    ")
     val bandRows = (0 until 5)
       .map(b => s"SELECT doc_id, n, $b AS bi, m${2 * b} AS bv1, m${2 * b + 1} AS bv2 FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
        |    FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
        |hws AS (SELECT doc_id, $wordHashSql AS hw
        |  FROM toks),
@@ -194,7 +199,11 @@ object TextSim {
        |    $minCols
        |  FROM grams GROUP BY doc_id),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  def minhashOracleSql: String = {
+    s"""WITH $minhashCtes,
        |guarded AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
        |  FROM bands a JOIN bands b
        |    ON a.bi = b.bi AND a.bv1 = b.bv1 AND a.bv2 = b.bv2 AND a.doc_id <= b.doc_id
@@ -431,6 +440,56 @@ object TextSim {
         .orderBy("da", "db")
     },
 
+    // Estimator CALIBRATION for the minhash family — per banded candidate
+    // pair (strict da < db; identity pairs would trivially agree on all
+    // rows), the full-sketch agreement count (est_match of MinhashK=10)
+    // against the EXACT shingle Jaccard, plus their signed error. This is
+    // the measurement that justifies the family's band parameters: the
+    // production answer to "can I trust 5×2 bands at threshold 0.7?" is
+    // this table's err3 distribution, recomputed on the operator's own
+    // corpus. Scale shape: candidates come from the SAME guarded band
+    // equi-join as dedup_fuzzy (never all-pairs), sketch comparison is a
+    // broadcast-size join back to the wide signature table, and the exact
+    // intersection touches candidate grams only. All-integer sketches →
+    // hash-exact oracled; est/exact doubles follow §7.3 (identical
+    // expression shape both engines, round(,3) presentation).
+    // The wide sig table is consumed THREE times (band explode + both
+    // sides of the sketch comparison), so it is pinned — computed once
+    // off the cached gram table instead of re-aggregated per consumer;
+    // this is the same ~100 B/doc signature index `dedup_incremental`
+    // persists, materialized rather than recomputed.
+    Q("dedup_calibration", calibrationOracleSql) { (s, d) =>
+      val grams = gramTable(s, Tables.documents(s, d).select("doc_id", "text"))
+      val sig = graft.Caching.pinOnce(sigTable(grams))
+      val bands = bandsFromSig(sig)
+      val cand = bands.toDF("da", "na", "bi", "bv1", "bv2")
+        .join(bands.toDF("db", "nb", "bi2", "bv1b", "bv2b"),
+          expr("bi = bi2 AND bv1 = bv1b AND bv2 = bv2b AND da < db" +
+            " AND cast(least(na, nb) as double) / greatest(na, nb) >= 0.7"))
+        .select("da", "db", "na", "nb").distinct()
+      val agree = (0 until MinhashK)
+        .map(i => s"(case when am$i = bm$i then 1 else 0 end)").mkString(" + ")
+      val sa = sig.toDF("sa_id" +: "sa_n" +: (0 until MinhashK).map(i => s"am$i"): _*)
+      val sb = sig.toDF("sb_id" +: "sb_n" +: (0 until MinhashK).map(i => s"bm$i"): _*)
+      val est = cand
+        .join(sa, expr("da = sa_id")).join(sb, expr("db = sb_id"))
+        .withColumn("est_match", expr(s"cast($agree as bigint)"))
+        .select("da", "db", "na", "nb", "est_match")
+      val common = cand.select("da", "db")
+        .join(grams.toDF("da3", "gh"), expr("da = da3"))
+        .join(grams.toDF("db3", "gh2"), expr("db = db3 AND gh = gh2"))
+        .groupBy("da", "db").agg(count(lit(1)).as("cc"))
+      est.join(common, Seq("da", "db"), "left_outer")
+        .withColumn("n_common", expr("cast(coalesce(cc, 0) as bigint)"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_common"), col("est_match"),
+          expr(s"round(cast(est_match as double) / $MinhashK, 3)").as("est3"),
+          expr("round(cast(n_common as double) / (na + nb - n_common), 3)").as("j3"),
+          expr(s"round(cast(est_match as double) / $MinhashK" +
+            " - cast(n_common as double) / (na + nb - n_common), 3)").as("err3"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     Q("dedup_incremental", incrementalOracleSql) { (s, d) =>
       val grams = gramTable(s, Tables.documents(s, d).select("doc_id", "text"))
       val bands = bandSignatures(grams)
@@ -560,24 +619,41 @@ object TextSim {
     * verdict per new doc. Generated from the same constants/mix SQL so
     * the twins cannot drift.
     */
+  /** DuckDB twin of `dedup_calibration`: the [[minhashCtes]] prefix, the
+    * strict (da < db) guarded band candidates, the wide-signature
+    * agreement count, and the exact-intersection left join — the same
+    * round(,3) presentation expressions as the Spark side, generated from
+    * MinhashK so the agreement sum cannot drift. */
+  def calibrationOracleSql: String = {
+    val agree = (0 until MinhashK)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $minhashCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv1 = b.bv1 AND a.bv2 = b.bv2 AND a.doc_id < b.doc_id
+       |  WHERE CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n) >= 0.7),
+       |est AS (SELECT c.da, c.db, c.na, c.nb,
+       |    CAST($agree AS BIGINT) AS est_match
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db),
+       |common AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS cc
+       |  FROM cand c JOIN grams ga ON ga.doc_id = c.da
+       |    JOIN grams gb ON gb.doc_id = c.db AND gb.gh = ga.gh
+       |  GROUP BY c.da, c.db)
+       |SELECT e.da AS doc_a, e.db AS doc_b,
+       |  CAST(coalesce(cm.cc, 0) AS BIGINT) AS n_common,
+       |  e.est_match,
+       |  round(CAST(e.est_match AS DOUBLE) / $MinhashK, 3) AS est3,
+       |  round(CAST(coalesce(cm.cc, 0) AS DOUBLE)
+       |    / (e.na + e.nb - coalesce(cm.cc, 0)), 3) AS j3,
+       |  round(CAST(e.est_match AS DOUBLE) / $MinhashK
+       |    - CAST(coalesce(cm.cc, 0) AS DOUBLE)
+       |    / (e.na + e.nb - coalesce(cm.cc, 0)), 3) AS err3
+       |FROM est e LEFT JOIN common cm ON cm.da = e.da AND cm.db = e.db
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def incrementalOracleSql: String = {
-    val minCols = (0 until MinhashK)
-      .map(i => s"CAST(min(${minhashMixSql(i, "gh")}) AS BIGINT) AS m$i").mkString(",\n    ")
-    val bandRows = (0 until 5)
-      .map(b => s"SELECT doc_id, n, $b AS bi, m${2 * b} AS bv1, m${2 * b + 1} AS bv2 FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |    FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
-       |hws AS (SELECT doc_id, $wordHashSql AS hw
-       |  FROM toks),
-       |grams AS (SELECT DISTINCT doc_id, gh FROM (
-       |  SELECT doc_id, unnest($gramFromWordsSql) AS gh
-       |  FROM hws) gg),
-       |sig AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-       |    $minCols
-       |  FROM grams GROUP BY doc_id),
-       |bands AS (
-       |  $bandRows),
+    s"""WITH $minhashCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
        |  FROM bands a JOIN bands b
        |    ON a.bi = b.bi AND a.bv1 = b.bv1 AND a.bv2 = b.bv2
@@ -644,15 +720,25 @@ object TextSim {
     * per-doc map+agg stage a STREAMING ingest runs too (StreamingSpec's
     * online near-dup filter consumes exactly these rows).
     */
-  def bandSignatures(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def bandSignatures(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandsFromSig(sigTable(grams))
+
+  /** WIDE per-doc signature table (doc_id, n, m0..m9): the 10 deterministic
+    * minhashes AND the shingle count in ONE map-side-combinable aggregation
+    * over the gram table. [[bandSignatures]] explodes this into band rows;
+    * `dedup_calibration` consumes it directly to compare full sketches. */
+  def sigTable(grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val aggCols = count(lit(1)).as("n") +:
       (0 until MinhashK).map(i => min(expr(minhashMix(i, "gh"))).as(s"m$i"))
-    val sig = grams.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    grams.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Band-row explode of a [[sigTable]] frame: (doc_id, n, bi, bv1, bv2). */
+  def bandsFromSig(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     sig.select(col("doc_id"), col("n"), explode(array(
         (0 until 5).map(b => struct(lit(b).as("bi"),
           col(s"m${2 * b}").as("bv1"), col(s"m${2 * b + 1}").as("bv2"))): _*)).as("band"))
       .select(col("doc_id"), col("n"), col("band.bi"), col("band.bv1"), col("band.bv2"))
-  }
 
   /** MinHash banded near-dup pairs of `docs` (doc_id, text): all pairs
     * da <= db with exact shingle-Jaccard distance <= 0.3 that collide in

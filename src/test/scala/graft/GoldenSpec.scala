@@ -93,6 +93,47 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"organic near-dup pair count $organic outside the plausible band [15, 60]")
   }
 
+  test("dedup_calibration: exact Jaccard matches a string-shingle re-derivation; estimator arithmetic consistent") {
+    // hash-free twin: per doc the DISTINCT 3-word shingle set as STRINGS
+    // (the GoldenSpec string-twin discipline — no polyhash anywhere), so
+    // a gram-hash collision in the engine would surface here as a j3 or
+    // n_common mismatch
+    val shingles: Map[Long, Set[String]] = Tables.documents(s, d)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).toLowerCase.split(" ")
+        r.getLong(0) -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val rows = run("dedup_calibration").collect()
+    assert(rows.nonEmpty, "banded candidates must exist at sf0.001")
+    rows.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      assert(da < db, s"calibration pairs must be strict: ($da,$db)")
+      val (nc, est) = (r.getLong(2), r.getLong(3))
+      val (est3, j3, err3) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val (sa, sb) = (shingles(da), shingles(db))
+      val c = (sa & sb).size.toLong
+      assert(nc == c, s"($da,$db): n_common=$nc but string-shingle intersection=$c")
+      val jex = c.toDouble / (sa.size + sb.size - c)
+      // round(,3) deviates from the unrounded value by at most 5e-4
+      assert(math.abs(j3 - jex) <= 5.0001e-4, s"($da,$db): j3=$j3 vs brute $jex")
+      assert(est >= 0 && est <= queries.TextSim.MinhashK, s"est_match=$est out of range")
+      assert(math.abs(est3 - est.toDouble / queries.TextSim.MinhashK) <= 5.0001e-4)
+      // err3 is the rounded SIGNED error of the same two unrounded terms
+      val err = est.toDouble / queries.TextSim.MinhashK - jex
+      assert(math.abs(err3 - err) <= 5.0001e-4, s"($da,$db): err3=$err3 vs brute $err")
+    }
+    // the candidate set must cover every organic confirmed near-dup pair:
+    // dedup_fuzzy's da<db rows came through the SAME guarded band join
+    val calPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    run("dedup_fuzzy").collect()
+      .filter(r => r.getLong(0) != r.getLong(1))
+      .foreach { p =>
+        val pr = (p.getLong(0), p.getLong(1))
+        assert(calPairs.contains(pr), s"confirmed near-dup $pr missing from calibration")
+      }
+  }
+
   test("agg_approx_distinct: HLL estimate within 5% of exact") {
     // the query now emits both the sketch and the exact count — assert
     // the ±5% invariant directly on the query's own output

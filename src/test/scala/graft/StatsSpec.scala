@@ -492,6 +492,63 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("agg_weighted_median: quartiles satisfy the lower-weighted-quantile definition on a brute recount") {
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toLong, cents(r.getDouble(2))))
+    val res = SparkEntry.queries("agg_weighted_median")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val flags = rows.map(_._1).distinct
+    assert(res.keySet == flags.toSet)
+    flags.foreach { flag =>
+      val grp = rows.filter(_._1 == flag)
+      val byQ = grp.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val total = byQ.map(_._2).sum
+      val (wTotal, q25, q50, q75) = res(flag)
+      assert(wTotal == total, s"$flag: w_total $wTotal vs brute $total")
+      // lower weighted p-quantile: smallest q whose cumulative weight
+      // reaches p·total — re-derived by direct scan of the cum table
+      def brute(num: Long, den: Long): Long = {
+        var cum = 0L
+        byQ.find { case (_, w) => cum += w; cum * den >= num * total }.get._1
+      }
+      assert(q25 == brute(1, 4), s"$flag wq25")
+      assert(q50 == brute(1, 2), s"$flag wq50")
+      assert(q75 == brute(3, 4), s"$flag wq75")
+      // the defining inequality pair for the median: weight at or below
+      // q50 covers half; strictly below does not
+      val below = byQ.filter(_._1 < q50).map(_._2).sum
+      val atOrBelow = byQ.filter(_._1 <= q50).map(_._2).sum
+      assert(2 * atOrBelow >= total && 2 * below < total, s"$flag median property")
+    }
+  }
+
+  test("stats_cramers_v: chi-square matches a brute contingency recount; V in [0,1]") {
+    val cust = Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = cust.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = cust.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = cust.length.toLong
+    // the same per-cell ×1e9 floor-scaled integer the query sums — brute
+    // recount with the identical expression shape
+    val chi2_9 = cells.map { case ((seg, nat), o) =>
+      val e = rt(seg).toDouble * ct(nat) / n
+      val dev = o.toDouble - e
+      math.floor(dev * dev / e * 1e9 + 0.5).toLong
+    }.sum
+    val r = SparkEntry.queries("stats_cramers_v")(s, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == rt.size && row.getLong(2) == ct.size)
+    assert(row.getLong(3) == chi2_9, s"chi2_9 ${row.getLong(3)} vs brute $chi2_9")
+    val v = row.getDouble(4)
+    val vBrute = math.sqrt(chi2_9.toDouble / 1e9 / (n * (math.min(rt.size, ct.size) - 1)))
+    assert(math.abs(v - vBrute) <= 5.0001e-7, s"v6 $v vs brute $vBrute")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))
