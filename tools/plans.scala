@@ -30,7 +30,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc",
   "dedup_cluster", "dedup_retention", "ann_ivfpq",
   "dedup_incremental", "fn_json_table", "text_verbatim_spans",
-  "span_attribution")
+  "span_attribution",
+  "agg_weighted_median", "stats_cramers_v", "dedup_calibration")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -182,6 +183,18 @@ executed plans):
   feed a per-gram distinct-doc aggregate, the shared positions come
   back through ONE equi-join on the 8-byte gram key, and spans merge in
   a per-doc window -- linear in corpus size end to end.
+  `agg_weighted_median` collapses the fact table into ONE combinable
+  (flag, quantity) aggregate before any window -- the cumulative pass
+  runs on a value-domain table (<= 50 rows/flag forever), never a
+  per-row sort of lineitem. `stats_cramers_v` is scan-once by
+  construction: marginals + grand total are window sums over the
+  model-sized cell table (the joins-back shape measurably re-scanned
+  customer 5x -- differing pushed isnotnull filters defeat
+  ReuseExchange -- hence the window form; no joins in the plan at
+  all). `dedup_calibration` reuses dedup_fuzzy's guarded band
+  equi-join for candidates and pins the wide signature table
+  (three consumers, ~100 B/doc -- the same index dedup_incremental
+  persists).
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
