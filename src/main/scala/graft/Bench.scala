@@ -95,7 +95,12 @@ object Bench {
       // span family (r14): the positioned double-fold gram expression is
       // its own codegen shape; span_attribution is the family's first
       // timed key alphabetically and would absorb it
-      "span_attribution")
+      "span_attribution",
+      // decimal-predicate sparse-cosine family (r14): DECIMAL(38,0)
+      // cross-multiplied gate + decimal moment sums are their own codegen
+      // classes (measured 15.0 s first-touch vs 4.1 s steady at sf0.1);
+      // stats_corr_matrix shares the decimal-sum shape
+      "sim_sparse_cosine", "stats_corr_matrix")
     // a renamed key here is a code bug — fail the bench loudly, don't
     // silently skip the warm and re-skew whichever query absorbed it
     warmQueries.foreach(q => require(SparkEntry.queries.contains(q),

@@ -33,7 +33,8 @@ import org.apache.spark.sql.SparkSession
   * [[graft.operators.IvfPqIndex.fit]] and encode batch or streaming
   * frames with the returned [[graft.operators.IvfPqModel]]; distributed
   * order statistics live in [[graft.operators.ExactQuantiles]], graph
-  * connectivity in [[graft.operators.ConnectedComponents]].
+  * connectivity in [[graft.operators.ConnectedComponents]], and the
+  * one-pass exact Pearson matrix in [[graft.operators.CorrMatrix]].
   */
 object Graft {
   def install(spark: SparkSession): Unit = {

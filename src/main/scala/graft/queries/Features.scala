@@ -775,8 +775,93 @@ object Features {
       .select(col("node").as("p_name"), col("r").as("pr5")).orderBy("p_name")
   }
 
+  /** Sparse tf-idf cosine similarity between customers over their RARE
+    * purchased parts (bought by 2-20 distinct customers) — the
+    * collaborative-filtering "who buys like whom" operator, and the
+    * sparse-feature member of the similarity family (dense cosine =
+    * `sim_cosine_topk`, set-Jaccard = `dedup_fuzzy`). Weights are the
+    * text_keyword_extract discipline: idf floor-scaled to exact ×10⁵
+    * FIRST, then multiplied by the integer purchase count, so every dot
+    * product and norm is an exact BIGINT sum (order-independent — a
+    * double Σ across the aggregation would hash-differ). The cos ≥ 0.5
+    * gate is the cross-multiplied integer predicate 4·num² ≥ na·nb in
+    * DECIMAL(38,0) — no double ever decides membership; cos6 is
+    * presentation only, and the pair must share ≥ 2 rare parts (one
+    * shared singleton part trivially scores 1.0).
+    *
+    * Scale shape: the ONLY pair-forming step is the equi-join on the
+    * df-capped part key — fan-out ≤ df²/2 ≤ 190 per part, linear in
+    * parts, never all-pairs over customers (the dedup_fuzzy band-join
+    * discipline). Everything else is combinable aggregates plus two
+    * norm joins on the pair table. Int64 bound: norm² ≤ (idfmax_e5 ·
+    * Σtf)² — holds to idfmax·L ≈ 3×10⁹ weight-mass per customer; past
+    * that the two sums move to DECIMAL(38,0) without changing shape.
+    */
+  private val simSparseCosine = Q("sim_sparse_cosine",
+    s"""WITH cp AS (SELECT o.o_custkey AS c, l.l_partkey AS p,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY c, p),
+       |dfs AS (SELECT p, CAST(count(*) AS BIGINT) AS df FROM cp GROUP BY p),
+       |nc AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM cp),
+       |w AS (SELECT c, cp.p, CAST(cp.tf * CAST(floor(
+       |      ln((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+       |        / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE)))
+       |      * CAST(100000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |    AS BIGINT) AS w
+       |  FROM cp JOIN dfs ON dfs.p = cp.p CROSS JOIN nc
+       |  WHERE df BETWEEN 2 AND 20),
+       |nrm AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY c),
+       |pr AS (SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS nsh,
+       |    CAST(sum(a.w * b.w) AS BIGINT) AS num
+       |  FROM w a JOIN w b ON b.p = a.p AND a.c < b.c GROUP BY ca, cb)
+       |SELECT pr.ca AS cust_a, pr.cb AS cust_b, nsh AS n_shared,
+       |  num AS dot_e10, na.n2 AS norm2_a, nb.n2 AS norm2_b,
+       |  round(CAST(num AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos6
+       |FROM pr JOIN nrm na ON na.c = pr.ca JOIN nrm nb ON nb.c = pr.cb
+       |WHERE nsh >= 2
+       |  AND 4 * (CAST(num AS DECIMAL(38,0)) * num) >= CAST(na.n2 AS DECIMAL(38,0)) * nb.n2
+       |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
+    // pin the (c, p, tf) purchase table FIRST: dfs, nc and the weight
+    // projection all derive from it, and unpinned each would re-run the
+    // lineitem⋈orders join (measured: 3 recomputes = 6 fact scans at
+    // materialization time)
+    val cp = graft.Caching.pinOnce(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          expr("o_orderkey = l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("tf")))
+    val dfs = cp.groupBy("p").agg(count(lit(1)).as("df"))
+    val nc = cp.agg(countDistinct("c").as("n"))
+    // the (c, p, w) weight table has THREE consumers (norms + both join
+    // sides) — pin it too, the dedup_calibration sig-table discipline
+    val w = graft.Caching.pinOnce(cp
+      .join(dfs.filter(col("df").between(2, 20)), "p")
+      .crossJoin(broadcast(nc))
+      .select(col("c"), col("p"), expr(
+        "cast(tf * cast(floor(ln((cast(n as double) + 1.0d) / (cast(df as double) + 1.0d))" +
+          " * 100000.0d + 0.5d) as bigint) as bigint)").as("w")))
+    val nrm = w.groupBy("c").agg(sum(expr("w * w")).as("n2"))
+    val pr = w.toDF("ca", "pa", "wa")
+      .join(w.toDF("cb", "pb", "wb"), expr("pb = pa AND ca < cb"))
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"))
+    pr.join(nrm.toDF("ca2", "na"), expr("ca = ca2"))
+      .join(nrm.toDF("cb2", "nb"), expr("cb = cb2"))
+      .filter(expr("nsh >= 2" +
+        " AND 4 * (cast(num as decimal(38,0)) * num) >= cast(na as decimal(38,0)) * nb"))
+      .select(col("ca").as("cust_a"), col("cb").as("cust_b"),
+        col("nsh").as("n_shared"), col("num").as("dot_e10"),
+        col("na").as("norm2_a"), col("nb").as("norm2_b"),
+        expr("round(cast(num as double)" +
+          " / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)").as("cos6"))
+      .orderBy("cust_a", "cust_b")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
     featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau,
-    eventsOhlc, graphPagerank, resampleFfill, embeddingProject)
+    eventsOhlc, graphPagerank, resampleFfill, embeddingProject, simSparseCosine)
 }

@@ -991,10 +991,125 @@ object Stats {
           " / (n * (least(n_seg, n_nat) - 1))), 6)").as("v6"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the event stream's
+    * day-halves, per event type — the nonparametric companion to
+    * [[driftPsi]]: PSI needs binning and misses shape changes inside a
+    * bin; KS is the sup-norm CDF distance at full value resolution.
+    * D's numerator is the EXACT integer max over the value domain of
+    * |F1·n2 − F2·n1| (cross-multiplied — no division near the max), so
+    * the statistic is engine-exact; d6 is presentation. Scale: the
+    * stream collapses FIRST into ONE combinable (type, cent-value,
+    * half) count — the cumulative windows and the max run on the
+    * value-DOMAIN table (cents-bounded forever, the feature_cdf
+    * discipline), never on raw events. Int64: F·n ≤ n² holds to n ≈
+    * 3×10⁹ rows per type; past that the cross-products move to
+    * DECIMAL(38,0) unchanged in shape.
+    */
+  private val statsKsTest = Q("stats_ks_test",
+    s"""WITH b AS (SELECT event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM b),
+       |g AS (SELECT event_type, vc,
+       |    CAST(sum(CASE WHEN day < m THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN day >= m THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM b CROSS JOIN mid GROUP BY event_type, vc),
+       |t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+       |    CAST(sum(c2) AS BIGINT) AS n2 FROM g GROUP BY event_type
+       |  HAVING sum(c1) > 0 AND sum(c2) > 0),
+       |c AS (SELECT event_type, vc,
+       |    CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY vc) AS BIGINT) AS f1,
+       |    CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY vc) AS BIGINT) AS f2
+       |  FROM g),
+       |d AS (SELECT c.event_type,
+       |    CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+       |  FROM c JOIN t ON t.event_type = c.event_type GROUP BY c.event_type)
+       |SELECT d.event_type, t.n1, t.n2, d_num,
+       |  round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d6
+       |FROM d JOIN t ON t.event_type = d.event_type
+       |ORDER BY d.event_type""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d).select(col("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"),
+      expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+    val mid = b.agg(expr("(min(day) + max(day) + 1) div 2").as("m"))
+    val g = b.crossJoin(broadcast(mid))
+      .groupBy("event_type", "vc")
+      .agg(sum(expr("case when day < m then 1 else 0 end")).as("c1"),
+        sum(expr("case when day >= m then 1 else 0 end")).as("c2"))
+    // half totals as per-type WINDOW sums over the domain table rather
+    // than a separate aggregate joined back: the join form re-derived g
+    // (and its event scan) once per consumer — the stats_cramers_v
+    // lesson. One exchange on event_type serves all three windows.
+    val perType = Window.partitionBy("event_type")
+    val c = g
+      .withColumn("f1", sum("c1").over(perType.orderBy("vc")))
+      .withColumn("f2", sum("c2").over(perType.orderBy("vc")))
+      .withColumn("n1", sum("c1").over(perType))
+      .withColumn("n2", sum("c2").over(perType))
+    c.filter(col("n1") > 0 && col("n2") > 0)
+      .groupBy("event_type")
+      .agg(max(expr("abs(f1 * n2 - f2 * n1)")).as("d_num"),
+        max("n1").as("n1"), max("n2").as("n2"))
+      .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+        expr("round(cast(d_num as double) / (cast(n1 as double) * n2), 6)").as("d6"))
+      .orderBy("event_type")
+  }
+
+  /** One-pass Pearson correlation matrix over lineitem's four numeric
+    * measures — the profiling step before feature selection ("are price
+    * and quantity collinear?"). Every moment is an EXACT integer sum:
+    * measures snap to integers first (quantity, cents, percent points),
+    * per-row products stay in int64 (≤ ~10¹⁴), and the sums are
+    * DECIMAL(38,0) on the Spark side / native 128-bit on the oracle —
+    * so n·Sxy − Sx·Sy is exact on both engines and `cov_n2` (= n² ×
+    * covariance) is hash-comparable as a DECIMAL(38,0). r6 is
+    * presentation: the same huge-integer→double casts and sqrt shapes
+    * on both sides; inputs are ~10²⁰ with conversion error ≤ 2⁻⁴⁰
+    * relative, 7 orders under the round(,6) bucket — the ln-family
+    * ulp-margin argument. Scale: ONE combinable aggregate over the
+    * fact table to a single 15-number row; the 6-row pair matrix is a
+    * driver-free explode of that row. k columns → k(k−1)/2 output
+    * rows, one pass, no shuffle beyond the final 1-row exchange.
+    */
+  private val statsCorrMatrix = Q("stats_corr_matrix", {
+    val cols = Seq(
+      "CAST(l_quantity AS BIGINT)",
+      "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+      "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+      "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums = (1 to 4).map(i => s"sum(x$i) AS s$i").mkString(", ")
+    val prods = (for (i <- 1 to 4; j <- i to 4)
+      yield s"sum(x$i * x$j) AS q$i$j").mkString(", ")
+    val branches = (for (i <- 1 to 4; j <- (i + 1) to 4) yield
+      s"""SELECT '${names(i - 1)}' AS col_x, '${names(j - 1)}' AS col_y, n,
+         |  CAST(CAST(n AS HUGEINT) * q$i$j - s$i * s$j AS DECIMAL(38,0)) AS cov_n2,
+         |  round(CAST(CAST(n AS HUGEINT) * q$i$j - s$i * s$j AS DOUBLE)
+         |    / (sqrt(CAST(CAST(n AS HUGEINT) * q$i$i - s$i * s$i AS DOUBLE))
+         |     * sqrt(CAST(CAST(n AS HUGEINT) * q$j$j - s$j * s$j AS DOUBLE))), 6) AS r6
+         |  FROM m""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH b AS (SELECT ${cols.zipWithIndex.map { case (c, i) => s"$c AS x${i + 1}" }.mkString(", ")}
+       |  FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $prods FROM b)
+       |SELECT * FROM ($branches) u ORDER BY col_x, col_y""".stripMargin
+  }) { (s, d) =>
+    // snap to integer units (quantity, cents, percent points) then hand
+    // off to the generic one-pass operator — the query pins the UNITS,
+    // the operator owns the moment/presentation arithmetic
+    val b = Tables.lineitem(s, d).select(
+      expr("cast(l_quantity as bigint)").as("l_quantity"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("l_extendedprice"),
+      expr("cast(floor(l_discount * 100 + 0.5) as bigint)").as("l_discount"),
+      expr("cast(floor(l_tax * 100 + 0.5) as bigint)").as("l_tax"))
+    graft.operators.CorrMatrix.of(b,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
     aggQuartilesExact, skewProfile,
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
-    tokenPmi, aggWeightedMedian, statsCramersV)
+    tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
+    statsCorrMatrix)
 }

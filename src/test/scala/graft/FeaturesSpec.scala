@@ -421,4 +421,44 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     names.filterNot(linked).foreach(nm => assert(got(nm) == teleport))
     assert(names.exists(nm => got(nm) > teleport), "some node must gain link mass")
   }
+
+  test("sim_sparse_cosine: pairs match a brute rare-part weight re-derivation, both directions") {
+    val om = Tables.orders(s, d).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cp = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").collect()
+      .map(r => (om(r.getLong(0)), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfm = cp.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nCust = cp.keys.map(_._1).toSet.size
+    val idf = dfm.collect { case (p, df) if df >= 2 && df <= 20 =>
+      p -> math.floor(math.log((nCust + 1.0) / (df + 1.0)) * 100000.0 + 0.5).toLong }
+    val byC: Map[Long, Map[Long, Long]] = cp.toSeq
+      .collect { case ((c, p), tf) if idf.contains(p) => (c, p, tf * idf(p)) }
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val norm2 = byC.view.mapValues(_.values.map(x => x * x).sum).toMap
+    val custs = byC.keys.toSeq.sorted
+    val brute = (for {
+      ai <- custs.indices; bi <- (ai + 1) until custs.length
+      a = custs(ai); b = custs(bi)
+      shared = byC(a).keySet & byC(b).keySet
+      if shared.size >= 2
+      num = shared.toSeq.map(p => byC(a)(p) * byC(b)(p)).sum
+      if BigInt(4) * BigInt(num) * num >= BigInt(norm2(a)) * norm2(b)
+    } yield (a, b) -> ((shared.size.toLong, num, norm2(a), norm2(b)))).toMap
+    val res = SparkEntry.queries("sim_sparse_cosine")(s, d).collect()
+    assert(res.nonEmpty, "qualifying pairs must exist at sf0.001")
+    val seen = res.map { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (nsh, num, na, nb) = brute(key)
+      assert(r.getLong(2) == nsh, s"$key n_shared")
+      assert(r.getLong(3) == num, s"$key dot")
+      assert(r.getLong(4) == na && r.getLong(5) == nb, s"$key norms")
+      val cosB = num.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      assert(math.abs(r.getDouble(6) - cosB) <= 5.0001e-7, s"$key cos6")
+      assert(r.getDouble(6) >= 0.5 - 5.0001e-7, s"$key below the cos gate")
+      key
+    }.toSet
+    assert(seen == brute.keySet, // completeness: nothing the gate admits is dropped
+      s"missing=${(brute.keySet -- seen).take(5)} extra=${(seen -- brute.keySet).take(5)}")
+  }
 }

@@ -549,6 +549,84 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(v >= 0.0 && v <= 1.0)
   }
 
+  test("stats_ks_test: D matches a brute sorted-CDF re-derivation per type") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val days = evs.map(_._3)
+    val m = (days.min + days.max + 1) / 2
+    val res = SparkEntry.queries("stats_ks_test")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val byType = evs.groupBy(_._1)
+    var checked = 0
+    byType.foreach { case (ty, rows) =>
+      val h1 = rows.filter(_._3 < m).map(_._2)
+      val h2 = rows.filter(_._3 >= m).map(_._2)
+      if (h1.nonEmpty && h2.nonEmpty) {
+        val (n1, n2) = (h1.length.toLong, h2.length.toLong)
+        // sup over the pooled value domain of |F1*n2 - F2*n1| — the KS
+        // numerator re-derived by direct counting, no windows anywhere
+        val dnum = (h1 ++ h2).distinct.map(x =>
+          math.abs(h1.count(_ <= x) * n2 - h2.count(_ <= x) * n1)).max
+        val (rn1, rn2, rd, d6) = res(ty)
+        assert(rn1 == n1 && rn2 == n2, s"$ty half sizes")
+        assert(rd == dnum, s"$ty: d_num $rd vs brute $dnum")
+        assert(math.abs(d6 - dnum.toDouble / (n1.toDouble * n2)) <= 5.0001e-7)
+        assert(d6 >= 0.0 && d6 <= 1.0)
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty with an empty half must be excluded")
+    }
+    assert(checked > 0 && res.size == checked, "every oracled type re-derived")
+  }
+
+  test("stats_corr_matrix: cov_n2 matches a BigInt moment re-derivation exactly; r6 in [-1,1]") {
+    val rows = Tables.lineitem(s, d)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+      .map(r => Array(r.getDouble(0).toLong, cents(r.getDouble(1)),
+        cents(r.getDouble(2)), cents(r.getDouble(3))))
+    val n = BigInt(rows.length)
+    def sSum(i: Int) = rows.map(r => BigInt(r(i))).sum
+    def qSum(i: Int, j: Int) = rows.map(r => BigInt(r(i)) * r(j)).sum
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val res = SparkEntry.queries("stats_corr_matrix")(s, d).collect()
+    assert(res.length == 6, "4 columns -> 6 pairs")
+    res.foreach { r =>
+      val (cx, cy) = (r.getString(0), r.getString(1))
+      val (i, j) = (names.indexOf(cx), names.indexOf(cy))
+      assert(i >= 0 && j > i, s"pair ($cx,$cy) ordering")
+      assert(r.getLong(2) == rows.length)
+      val cov = n * qSum(i, j) - sSum(i) * sSum(j)
+      assert(BigInt(r.getDecimal(3).toBigInteger) == cov, s"($cx,$cy) cov_n2")
+      val dx = n * qSum(i, i) - sSum(i) * sSum(i)
+      val dy = n * qSum(j, j) - sSum(j) * sSum(j)
+      val rBrute = cov.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+      val r6 = r.getDouble(4)
+      assert(math.abs(r6 - rBrute) <= 5.0001e-7, s"($cx,$cy): r6 $r6 vs brute $rBrute")
+      assert(r6 >= -1.0 && r6 <= 1.0)
+    }
+  }
+
+  test("CorrMatrix operator: exact ±1 on constructed colinear columns, k=3 pair count, name order") {
+    import s.implicits._
+    // y = 2x (r exactly 1), z = 100 - 3x (r exactly -1): the operator's
+    // integer moments make these EXACT, not approximate
+    val df = (1L to 200L).map(x => (x, 2 * x, 100 - 3 * x)).toDF("x", "y", "z")
+    val res = graft.operators.CorrMatrix.of(df, Seq("x", "y", "z")).collect()
+    assert(res.length == 3)
+    val byPair = res.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(byPair(("x", "y")).getDouble(4) == 1.0)
+    assert(byPair(("x", "z")).getDouble(4) == -1.0)
+    assert(byPair(("y", "z")).getDouble(4) == -1.0)
+    res.foreach(r => assert(r.getLong(2) == 200L))
+    // cov_n2 against a BigInt brute on one pair: n·Sxy − Sx·Sy
+    val xs = (1L to 200L).map(BigInt(_))
+    val cov = BigInt(200) * xs.map(x => x * 2 * x).sum - xs.sum * xs.map(_ * 2).sum
+    assert(BigInt(byPair(("x", "y")).getDecimal(3).toBigInteger) == cov)
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))

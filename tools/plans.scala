@@ -31,7 +31,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "dedup_cluster", "dedup_retention", "ann_ivfpq",
   "dedup_incremental", "fn_json_table", "text_verbatim_spans",
   "span_attribution",
-  "agg_weighted_median", "stats_cramers_v", "dedup_calibration")
+  "agg_weighted_median", "stats_cramers_v", "dedup_calibration",
+  "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -194,7 +195,15 @@ executed plans):
   all). `dedup_calibration` reuses dedup_fuzzy's guarded band
   equi-join for candidates and pins the wide signature table
   (three consumers, ~100 B/doc -- the same index dedup_incremental
-  persists).
+  persists). `stats_ks_test` carries the same lesson as cramers: half
+  totals are WINDOW sums over the (type, cent) domain table, never a
+  separate aggregate joined back (the join form re-derived the event
+  scan once per consumer). `stats_corr_matrix` is ONE combinable
+  aggregate to a single 15-number moment row; the 6-row matrix is an
+  explode of that row. `sim_sparse_cosine`'s only pair-forming step is
+  the equi-join on the df-capped part key (fan-out <= 190/part); the
+  purchase table and the weight table are pinned (measured: unpinned,
+  the lineitem-orders join ran three times).
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
