@@ -1105,11 +1105,212 @@ object Stats {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
   }
 
+  /** Spearman rank correlation between quantity and price cents per
+    * return flag — the monotone-association twin of `stats_corr_matrix`
+    * (Pearson answers "linear?", Spearman answers "monotone?"; the gap
+    * between them is the classic nonlinearity probe). Ranks are DOUBLED
+    * average ranks so ties stay in integer arithmetic: for a row with
+    * value v, 2·avgrank = rank(v) + cumcount(≤ v) exactly (min position
+    * plus max position of the tie run), so rx/ry are BIGINTs and the
+    * Pearson-over-ranks moments reuse the CorrMatrix exactness contract —
+    * per-row products ≤ (2n)² in int64, DECIMAL(38,0) sums, cov_n2
+    * hash-exact, rho6 presentation-only. Scale: ranking within a group
+    * is inherently a per-group sort; both rank windows share ONE
+    * exchange on flag (two in-partition sorts). A 100-TB deployment with
+    * few giant groups would swap the window for the ExactQuantiles-style
+    * range-partitioned rank (per-partition counts → offset merge) — the
+    * moments and outputs are unchanged, so the contract survives the
+    * physical swap.
+    */
+  private val statsSpearman = Q("stats_spearman",
+    s"""WITH b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y FROM lineitem),
+       |r AS (SELECT flag,
+       |    rank() OVER (PARTITION BY flag ORDER BY x)
+       |      + count(*) OVER (PARTITION BY flag ORDER BY x
+       |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+       |    rank() OVER (PARTITION BY flag ORDER BY y)
+       |      + count(*) OVER (PARTITION BY flag ORDER BY y
+       |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry
+       |  FROM b),
+       |m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+       |    sum(CAST(rx * ry AS HUGEINT)) AS sxy,
+       |    sum(CAST(rx * rx AS HUGEINT)) AS sxx,
+       |    sum(CAST(ry * ry AS HUGEINT)) AS syy
+       |  FROM r GROUP BY flag)
+       |SELECT flag, n,
+       |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
+       |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |    / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+       |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))), 6) AS rho6
+       |FROM m
+       |WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+       |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+       |ORDER BY flag""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      expr("cast(l_quantity as bigint)").as("x"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("y"))
+    // rank() and the RANGE-framed cumulative count share partition AND
+    // order, so each variable costs one in-partition sort; both windows
+    // hang off the SAME hashpartitioning(flag) exchange.
+    val wx = Window.partitionBy("flag").orderBy("x")
+    val wy = Window.partitionBy("flag").orderBy("y")
+    val r = b
+      .withColumn("rx", rank().over(wx) +
+        count(lit(1)).over(wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ry", rank().over(wy) +
+        count(lit(1)).over(wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+    val m = r.groupBy("flag").agg(count(lit(1)).as("n"),
+      sum(expr("cast(rx as decimal(38,0))")).as("sx"),
+      sum(expr("cast(ry as decimal(38,0))")).as("sy"),
+      sum(expr("cast(rx * ry as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(rx * rx as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(ry * ry as decimal(38,0))")).as("syy"))
+    def term(q: String, a: String, b2: String) =
+      s"cast(n as decimal(38,0)) * $q - $a * $b2"
+    // a zero variance term means every value in the group is identical —
+    // rho is undefined there, and inf/NaN renderings are not hash-stable
+    // cross-engine, so degenerate groups are excluded on BOTH sides
+    m.filter(expr(s"${term("sxx", "sx", "sx")} > 0") &&
+        expr(s"${term("syy", "sy", "sy")} > 0"))
+      .select(col("flag"), col("n"),
+      expr(s"cast(${term("sxy", "sx", "sy")} as decimal(38,0))").as("cov_n2"),
+      expr(s"round(cast(${term("sxy", "sx", "sy")} as double)" +
+        s" / (sqrt(cast(${term("sxx", "sx", "sx")} as double))" +
+        s" * sqrt(cast(${term("syy", "sy", "sy")} as double))), 6)").as("rho6"))
+      .orderBy("flag")
+  }
+
+  /** Lag-1 autocorrelation of the daily event count per event type — the
+    * seasonality/trend screen a pipeline runs before picking a drift
+    * detector (high AC1 → day-over-day momentum, PSI windows must span
+    * it). Pairs are ADJACENT observed days (day, day+1 both present);
+    * counts are integers, so the Pearson moments over (c_t, c_{t−1})
+    * reuse the exact-integer discipline: products in int64, DECIMAL(38,0)
+    * sums, cov_n2 hash-exact, ac1_6 presentation. Scale: the daily table
+    * is |types|×|days| rows (tiny at any SF) — the heavy lifting is the
+    * ONE map-combinable count aggregate over events; the lag window and
+    * moment aggregate run on the reduced domain.
+    */
+  private val eventsAutocorr = Q("events_autocorr",
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY event_type, day),
+       |p AS (SELECT event_type, day, c,
+       |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS pday,
+       |    lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+       |  FROM daily),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(c AS HUGEINT)) AS sx, sum(CAST(pc AS HUGEINT)) AS sy,
+       |    sum(CAST(c * pc AS HUGEINT)) AS sxy,
+       |    sum(CAST(c * c AS HUGEINT)) AS sxx,
+       |    sum(CAST(pc * pc AS HUGEINT)) AS syy
+       |  FROM p WHERE pday = day - 1 GROUP BY event_type)
+       |SELECT event_type, n,
+       |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
+       |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |    / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+       |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))), 6) AS ac1_6
+       |FROM m
+       |WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
+       |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val p = daily
+      .withColumn("pday", lag("day", 1).over(w))
+      .withColumn("pc", lag("c", 1).over(w))
+      .filter(col("pday") === col("day") - 1)
+    val m = p.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(expr("cast(c as decimal(38,0))")).as("sx"),
+      sum(expr("cast(pc as decimal(38,0))")).as("sy"),
+      sum(expr("cast(c * pc as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(c * c as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(pc * pc as decimal(38,0))")).as("syy"))
+    def term(q: String, a: String, b2: String) =
+      s"cast(n as decimal(38,0)) * $q - $a * $b2"
+    // same degenerate-variance exclusion as stats_spearman: a type whose
+    // daily counts never vary has no defined AC1 on either engine
+    m.filter(col("n") >= 2 &&
+        expr(s"${term("sxx", "sx", "sx")} > 0") &&
+        expr(s"${term("syy", "sy", "sy")} > 0"))
+      .select(col("event_type"), col("n"),
+      expr(s"cast(${term("sxy", "sx", "sy")} as decimal(38,0))").as("cov_n2"),
+      expr(s"round(cast(${term("sxy", "sx", "sy")} as double)" +
+        s" / (sqrt(cast(${term("sxx", "sx", "sx")} as double))" +
+        s" * sqrt(cast(${term("syy", "sy", "sy")} as double))), 6)").as("ac1_6"))
+      .orderBy("event_type")
+  }
+
+  /** Mann-Whitney U between the first- and second-half days of each
+    * event type's value distribution — the rank-sum drift test on the
+    * SAME half-split as `stats_ks_test` (KS asks "did the shape move?",
+    * U asks "did one half stochastically dominate?"). Computed from the
+    * (type, cent) contingency domain, never per-row ranks: DOUBLED
+    * U2 = Σ_v c1(v)·(2·cum2(<v) + c2(v)) counts each cross-half pair
+    * twice (wins ×2, ties ×1), staying in exact BIGINT arithmetic;
+    * auc6 = U2 / (2·n1·n2) is the common-language effect size
+    * (presentation round only). Scale: identical to the KS plan — one
+    * combinable aggregate to the cent domain, window sums over ONE
+    * exchange on event_type, no joins.
+    */
+  private val statsMannwhitney = Q("stats_mannwhitney",
+    s"""WITH b AS (SELECT event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM b),
+       |g AS (SELECT event_type, vc,
+       |    CAST(sum(CASE WHEN day < m THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN day >= m THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM b CROSS JOIN mid GROUP BY event_type, vc),
+       |c AS (SELECT event_type, vc, c1, c2,
+       |    coalesce(CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY vc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum2,
+       |    CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+       |    CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+       |  FROM g),
+       |u AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+       |    CAST(sum(c1 * (2 * cum2 + c2)) AS BIGINT) AS u2
+       |  FROM c GROUP BY event_type HAVING max(n1) > 0 AND max(n2) > 0)
+       |SELECT event_type, n1, n2, u2,
+       |  round(CAST(u2 AS DOUBLE) / (2.0 * n1 * n2), 6) AS auc6
+       |FROM u ORDER BY event_type""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d).select(col("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"),
+      expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+    val mid = b.agg(expr("(min(day) + max(day) + 1) div 2").as("m"))
+    val g = b.crossJoin(broadcast(mid))
+      .groupBy("event_type", "vc")
+      .agg(sum(expr("case when day < m then 1 else 0 end")).as("c1"),
+        sum(expr("case when day >= m then 1 else 0 end")).as("c2"))
+    // domain rows are one-per-vc, so a ROWS frame ending 1 PRECEDING is
+    // exactly "count of second-half values strictly below vc"; the half
+    // totals are windows over the same exchange (the cramers/ks lesson —
+    // never a separate aggregate joined back).
+    val perType = Window.partitionBy("event_type")
+    val c = g
+      .withColumn("cum2", coalesce(sum("c2").over(perType.orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n1", sum("c1").over(perType))
+      .withColumn("n2", sum("c2").over(perType))
+    c.groupBy("event_type")
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        sum(expr("c1 * (2 * cum2 + c2)")).as("u2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"), col("n1"), col("n2"), col("u2"),
+        expr("round(cast(u2 as double) / (2.0 * n1 * n2), 6)").as("auc6"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
     aggQuartilesExact, skewProfile,
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
-    statsCorrMatrix)
+    statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney)
 }

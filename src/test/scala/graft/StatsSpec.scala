@@ -608,6 +608,101 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("stats_spearman: cov_n2 matches a sorted-rank BigInt re-derivation; rank sums are n(n+1)") {
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toLong, cents(r.getDouble(2))))
+    val res = SparkEntry.queries("stats_spearman")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getDouble(3)))).toMap
+    val byFlag = rows.groupBy(_._1)
+    // fixture flags all have varying quantity AND price, so none is
+    // excluded by the degenerate-variance guard
+    assert(res.keySet == byFlag.keySet)
+    byFlag.foreach { case (flag, grp) =>
+      // doubled average rank re-derived by direct position counting:
+      // 2·avgrank(v) = #{u < v} + #{u <= v} + 1 — no windows, no sorting tricks
+      def ranks2(vs: Array[Long]): Array[Long] =
+        vs.map(v => vs.count(_ < v).toLong + vs.count(_ <= v) + 1)
+      val xs = grp.map(_._2)
+      val ys = grp.map(_._3)
+      val rx = ranks2(xs)
+      val ry = ranks2(ys)
+      val n = BigInt(grp.length)
+      // doubled ranks sum to exactly n(n+1) — the tie-handling invariant
+      assert(rx.map(BigInt(_)).sum == n * (n + 1), s"$flag rx sum")
+      assert(ry.map(BigInt(_)).sum == n * (n + 1), s"$flag ry sum")
+      val sxy = rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum
+      val cov = n * sxy - rx.map(BigInt(_)).sum * ry.map(BigInt(_)).sum
+      val (rn, rcov, rho6) = res(flag)
+      assert(rn == grp.length, s"$flag n")
+      assert(rcov == cov, s"$flag cov_n2 $rcov vs brute $cov")
+      val dx = n * rx.map(a => BigInt(a) * a).sum - rx.map(BigInt(_)).sum.pow(2)
+      val dy = n * ry.map(a => BigInt(a) * a).sum - ry.map(BigInt(_)).sum.pow(2)
+      val rhoBrute = cov.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+      assert(math.abs(rho6 - rhoBrute) <= 5.0001e-7, s"$flag rho6 $rho6 vs $rhoBrute")
+      assert(rho6 >= -1.0 && rho6 <= 1.0)
+    }
+  }
+
+  test("events_autocorr: moments match a brute adjacent-day pair scan") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val res = SparkEntry.queries("events_autocorr")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getDouble(3)))).toMap
+    var checked = 0
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val pairs = daily.keys.toSeq.sorted.flatMap(day =>
+        daily.get(day - 1).map(prev => (daily(day), prev)))
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val dx = n * pairs.map(p => BigInt(p._1) * p._1).sum - sx * sx
+      val dy = n * pairs.map(p => BigInt(p._2) * p._2).sum - sy * sy
+      if (pairs.length >= 2 && dx > 0 && dy > 0) {
+        val cov = n * pairs.map(p => BigInt(p._1) * p._2).sum - sx * sy
+        val (rn, rcov, ac) = res(ty)
+        assert(rn == pairs.length, s"$ty n")
+        assert(rcov == cov, s"$ty cov $rcov vs $cov")
+        val acBrute = cov.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+        assert(math.abs(ac - acBrute) <= 5.0001e-7, s"$ty ac1 $ac vs $acBrute")
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty degenerate (pairs/variance) must be excluded")
+    }
+    assert(checked > 0 && res.size == checked)
+  }
+
+  test("stats_mannwhitney: U2 matches a direct cross-half pairwise count") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = (evs.map(_._3).min + evs.map(_._3).max + 1) / 2
+    val res = SparkEntry.queries("stats_mannwhitney")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    var checked = 0
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      val h1 = rows.filter(_._3 < m).map(_._2)
+      val h2 = rows.filter(_._3 >= m).map(_._2)
+      if (h1.nonEmpty && h2.nonEmpty) {
+        // doubled U by literal pairwise comparison: 2 per win, 1 per tie
+        val u2 = (for (a <- h1; b <- h2) yield
+          (if (a > b) 2L else if (a == b) 1L else 0L)).sum
+        val (rn1, rn2, ru2, auc) = res(ty)
+        assert(rn1 == h1.length && rn2 == h2.length, s"$ty half sizes")
+        assert(ru2 == u2, s"$ty u2 $ru2 vs brute $u2")
+        val aucBrute = u2.toDouble / (2.0 * h1.length * h2.length)
+        assert(math.abs(auc - aucBrute) <= 5.0001e-7, s"$ty auc $auc vs $aucBrute")
+        assert(auc >= 0.0 && auc <= 1.0)
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty with an empty half must be excluded")
+    }
+    assert(checked > 0 && res.size == checked)
+  }
+
   test("CorrMatrix operator: exact ±1 on constructed colinear columns, k=3 pair count, name order") {
     import s.implicits._
     // y = 2x (r exactly 1), z = 100 - 3x (r exactly -1): the operator's

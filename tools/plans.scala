@@ -32,7 +32,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "dedup_incremental", "fn_json_table", "text_verbatim_spans",
   "span_attribution",
   "agg_weighted_median", "stats_cramers_v", "dedup_calibration",
-  "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine")
+  "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine",
+  "stats_spearman", "events_autocorr", "stats_mannwhitney")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
@@ -203,7 +204,15 @@ executed plans):
   explode of that row. `sim_sparse_cosine`'s only pair-forming step is
   the equi-join on the df-capped part key (fan-out <= 190/part); the
   purchase table and the weight table are pinned (measured: unpinned,
-  the lineitem-orders join ran three times).
+  the lineitem-orders join ran three times). `stats_mannwhitney` and
+  `events_autocorr` are the same domain-table shape (one combinable
+  aggregate, then windows/lag over ONE exchange on the type key; 2 and
+  2 exchanges, 2 and 1 scans). `stats_spearman` is the family's one
+  deliberate per-row sort: ranks need positions, so both doubled-rank
+  windows (rank + RANGE cumcount share partition AND order) hang off a
+  SINGLE hashpartitioning(flag) exchange -- 1 scan, 1 exchange; a
+  giant-group deployment swaps the window for the ExactQuantiles
+  range-partitioned rank with identical outputs.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
