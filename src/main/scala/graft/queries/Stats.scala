@@ -1306,11 +1306,140 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** One-way ANOVA F of event value (cents) across event types — the
+    * mean-shift screen that completes the drift suite (KS: shape, U:
+    * dominance, AC1: momentum, this: do the GROUP MEANS differ more than
+    * within-group noise explains?). Exactness: group moments (n, Σvc,
+    * Σvc²) are exact integer sums; the total scatter ×N
+    * (sst_n = N·Σvc² − S², DECIMAL(38,0)) is hash-exact; SSB is an exact
+    * BIGINT because each group's term n_g(m_g−m)² =
+    * (s_g·N − S·n_g)²/(n_g·N²) is computed from exact ≤10³³ integers
+    * with ONE double division and floor(x+0.5)-snapped — both engines
+    * do the identical IEEE operation, and the integer SUM of snapped
+    * terms is order-free (the stats_cramers_v discipline; never sum raw
+    * doubles across groups). f6/eta2_6 are presentation. Degenerate
+    * guards are exact-integer: SST>0 via sst_n, SSW>0 via
+    * max_g(n_g·ss_g − s_g²)>0 — no double comparison decides inclusion.
+    * Scale: ONE combinable aggregate over events (the only O(data)
+    * stage); everything after runs on the |types|-row table. Int64: vc²
+    * ≤ 10¹⁰ per row keeps per-row products exact; the DECIMAL(38,0)
+    * sums carry to ~10³⁸ total cents² — beyond any corpus.
+    */
+  private val statsAnova = Q("stats_anova",
+    s"""WITH b AS (SELECT event_type AS g,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       |gm AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+       |    sum(CAST(vc AS HUGEINT)) AS sg,
+       |    sum(CAST(vc * vc AS HUGEINT)) AS ssg FROM b GROUP BY g),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(ng) AS HUGEINT) AS n, sum(sg) AS s, sum(ssg) AS ss,
+       |    max(CAST(ng AS HUGEINT) * ssg - sg * sg) AS maxa FROM gm),
+       |e AS (SELECT t.k, t.n, t.maxa,
+       |    CAST(t.n * t.ss - t.s * t.s AS DECIMAL(38,0)) AS sst_n,
+       |    CAST(sum(CAST(floor(
+       |      CAST((gm.sg * t.n - t.s * gm.ng) * (gm.sg * t.n - t.s * gm.ng) AS DOUBLE)
+       |        / (CAST(gm.ng AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+       |      + 0.5) AS BIGINT)) AS BIGINT) AS ssb_c2
+       |  FROM gm CROSS JOIN t GROUP BY t.k, t.n, t.maxa, t.s, t.ss)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, sst_n, ssb_c2,
+       |  round((CAST(ssb_c2 AS DOUBLE) / (k - 1))
+       |    / ((CAST(sst_n AS DOUBLE) / CAST(n AS DOUBLE) - ssb_c2) / (CAST(n AS BIGINT) - k)), 6) AS f6,
+       |  round(CAST(ssb_c2 AS DOUBLE) / (CAST(sst_n AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS eta2_6
+       |FROM e
+       |WHERE k >= 2 AND CAST(n AS BIGINT) > k AND sst_n > 0 AND maxa > 0""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d).select(col("event_type").as("g"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+    val gm = b.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum(expr("cast(vc as decimal(38,0))")).as("sg"),
+      sum(expr("cast(vc * vc as decimal(38,0))")).as("ssg"))
+    // totals as windows over the |types|-row table (one tiny exchange),
+    // never a re-aggregating join back to a second events scan
+    val w = Window.partitionBy(lit(1))
+    val e = gm
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("n", sum(expr("cast(ng as decimal(38,0))")).over(w))
+      .withColumn("s", sum("sg").over(w))
+      .withColumn("ss", sum("ssg").over(w))
+      .withColumn("maxa", max(expr("cast(ng as decimal(38,0)) * ssg - sg * sg")).over(w))
+    e.groupBy("k", "n", "s", "ss", "maxa")
+      .agg(sum(expr("cast(floor(" +
+        "cast((sg * n - s * ng) * (sg * n - s * ng) as double)" +
+        " / (cast(ng as double) * cast(n as double) * cast(n as double))" +
+        " + 0.5) as bigint)")).as("ssb_c2"))
+      .select(expr("cast(k as bigint)").as("k"), expr("cast(n as bigint)").as("n"),
+        expr("cast(n * ss - s * s as decimal(38,0))").as("sst_n"),
+        col("ssb_c2"), col("maxa"))
+      .filter(col("k") >= 2 && expr("n > k") && col("sst_n") > 0 && col("maxa") > 0)
+      .select(col("k"), col("n"), col("sst_n"), col("ssb_c2"),
+        expr("round((cast(ssb_c2 as double) / (k - 1))" +
+          " / ((cast(sst_n as double) / cast(n as double) - ssb_c2) / (n - k)), 6)").as("f6"),
+        expr("round(cast(ssb_c2 as double)" +
+          " / (cast(sst_n as double) / cast(n as double)), 6)").as("eta2_6"))
+  }
+
+  /** CUSUM changepoint per event type over the daily count series — the
+    * "WHEN did it shift" localization that follows a positive drift test
+    * (PSI/KS say THAT the window moved; the argmax of the mean-centered
+    * cumulative sum says WHERE). cus_i = n·F_i − i·T over the observed-day
+    * sequence (row i of n days, F cumulative count, T total) is an EXACT
+    * BIGINT — no mean division anywhere — so the peak score and its
+    * arg-day are engine-exact; ties break to the EARLIEST day via an
+    * exact filter + min, never a sort-order dependence. frac6 ∈ [0,1]
+    * (score/(n·T)) is presentation. Scale: the only O(data) stage is the
+    * combinable daily count; windows and the argmax run on the
+    * |types|×|days| domain table over ONE exchange on type. Int64:
+    * n·F ≤ days·rows ≈ 10⁴·10¹² at 100 TB — within int64.
+    */
+  private val eventsCusum = Q("events_cusum",
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY event_type, day),
+       |r AS (SELECT event_type, day, c,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS f,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+       |  FROM daily),
+       |cus AS (SELECT event_type, day, n, t, abs(n * f - i * t) AS a,
+       |    max(abs(n * f - i * t)) OVER (PARTITION BY event_type) AS amax
+       |  FROM r WHERE n >= 2)
+       |SELECT event_type, max(n) AS n_days, max(t) AS total,
+       |  min(day) AS cp_day, max(amax) AS cus_num,
+       |  round(CAST(max(amax) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * max(t)), 6) AS frac6
+       |FROM cus WHERE a = amax GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .agg(count(lit(1)).as("c"))
+    // all four window columns share partitioning on event_type: the two
+    // ordered ones add one in-partition sort, the two frame-less totals
+    // ride the same exchange
+    val perType = Window.partitionBy("event_type")
+    val ordered = perType.orderBy("day")
+    val r = daily
+      .withColumn("i", row_number().over(ordered).cast("bigint"))
+      .withColumn("f", sum("c").over(ordered))
+      .withColumn("n", count(lit(1)).over(perType))
+      .withColumn("t", sum("c").over(perType))
+      .filter(col("n") >= 2)
+      .withColumn("a", abs(col("n") * col("f") - col("i") * col("t")))
+    r.withColumn("amax", max("a").over(perType))
+      .filter(col("a") === col("amax"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"), max("t").as("total"),
+        min("day").as("cp_day"), max("amax").as("cus_num"))
+      .select(col("event_type"), col("n_days"), col("total"), col("cp_day"),
+        col("cus_num"),
+        expr("round(cast(cus_num as double) / (cast(n_days as double) * total), 6)").as("frac6"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
     aggQuartilesExact, skewProfile,
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
-    statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney)
+    statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
+    statsAnova, eventsCusum)
 }

@@ -703,6 +703,79 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(checked > 0 && res.size == checked)
   }
 
+  test("stats_anova: moments and snapped SSB match a BigInt re-derivation; F agrees with the rational value") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val res = SparkEntry.queries("stats_anova")(s, d).collect()
+    assert(res.length == 1)
+    val row = res.head
+    val groups = evs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = BigInt(groups.size)
+    val n = BigInt(evs.length)
+    val sAll = evs.map(e => BigInt(e._2)).sum
+    val ssAll = evs.map(e => BigInt(e._2) * e._2).sum
+    val sstN = n * ssAll - sAll * sAll
+    // snapped per-group SSB term replicated with the engines' EXACT double
+    // shape: one nearest-rounding of each exact integer, one division
+    val ssb = groups.values.map { vs =>
+      val ng = BigInt(vs.length)
+      val sg = vs.map(BigInt(_)).sum
+      val num = (sg * n - sAll * ng).pow(2)
+      math.floor(num.toDouble / (ng.toDouble * n.toDouble * n.toDouble) + 0.5).toLong
+    }.sum
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
+    assert(BigInt(row.getDecimal(2).toBigInteger) == sstN, "sst_n")
+    assert(row.getLong(3) == ssb, s"ssb_c2 ${row.getLong(3)} vs brute $ssb")
+    // rational-value cross-check: SSB/SST from exact BigInts (no snapping)
+    // must sit within the snapping error of the reported eta²
+    val ssbExact = groups.values.map { vs =>
+      val ng = BigInt(vs.length)
+      val sg = vs.map(BigInt(_)).sum
+      (sg * n - sAll * ng).pow(2).toDouble / (ng.toDouble * n.toDouble * n.toDouble)
+    }.sum
+    val sst = sstN.toDouble / n.toDouble
+    assert(math.abs(row.getDouble(5) - ssbExact / sst) < 1e-4, "eta2 vs rational")
+    val fExact = (ssbExact / (k.toDouble - 1)) / ((sst - ssbExact) / (n.toDouble - k.toDouble))
+    assert(row.getDouble(4) > 0 && math.abs(row.getDouble(4) - fExact) / fExact < 1e-3, "F vs rational")
+    assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+  }
+
+  test("events_cusum: peak, arg-day, and totals match a brute prefix-sum scan; last prefix is zero") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val res = SparkEntry.queries("events_cusum")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    var checked = 0
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val days = daily.keys.toSeq.sorted
+      if (days.length >= 2) {
+        val t = daily.values.sum
+        val n = days.length.toLong
+        var f = 0L
+        val cus = days.zipWithIndex.map { case (day, idx) =>
+          f += daily(day); (day, math.abs(n * f - (idx + 1) * t))
+        }
+        // the mean-centered walk returns to zero at the last day by
+        // construction — the peak is an interior excursion
+        assert(cus.last._2 == 0L, s"$ty terminal cusum")
+        val amax = cus.map(_._2).max
+        val cpDay = cus.filter(_._2 == amax).map(_._1).min
+        val (rn, rt, rday, rcus, frac) = res(ty)
+        assert(rn == n && rt == t, s"$ty totals")
+        assert(rcus == amax, s"$ty peak $rcus vs brute $amax")
+        assert(rday == cpDay, s"$ty cp_day $rday vs brute $cpDay")
+        assert(math.abs(frac - amax.toDouble / (n.toDouble * t)) <= 5.0001e-7)
+        assert(frac >= 0.0 && frac <= 1.0)
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty single-day series must be excluded")
+    }
+    assert(checked > 0 && res.size == checked)
+  }
+
   test("CorrMatrix operator: exact ±1 on constructed colinear columns, k=3 pair count, name order") {
     import s.implicits._
     // y = 2x (r exactly 1), z = 100 - 3x (r exactly -1): the operator's

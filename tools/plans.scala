@@ -33,7 +33,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "span_attribution",
   "agg_weighted_median", "stats_cramers_v", "dedup_calibration",
   "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine",
-  "stats_spearman", "events_autocorr", "stats_mannwhitney")
+  "stats_spearman", "events_autocorr", "stats_mannwhitney",
+  "stats_anova", "events_cusum")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
