@@ -41,6 +41,7 @@ object Graft {
     functions.DotProduct.register(spark)
     functions.PolyHashArr.register(spark)
     functions.Blooms.register(spark)
+    functions.MisraGries.register(spark)
     operators.TopK.ensureStrategy(spark)
     operators.TopK.ensureRewrite(spark)
   }

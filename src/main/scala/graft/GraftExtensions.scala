@@ -14,8 +14,9 @@ import graft.functions.DotProduct
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Registers the engine's native expressions: `dot_d` and
-  * `poly_hash_arr`, plus the bloom-filter pair (`bloom_agg` /
+  * Registers the engine's native expressions: `dot_d`,
+  * `poly_hash_arr`, and the `freq_items` Misra–Gries heavy-hitters
+  * aggregate, plus the bloom-filter pair (`bloom_agg` /
   * `bloom_might_contain`) that [[graft.functions.Blooms]] exposes from
   * Spark's internals.
   */
@@ -40,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.PolyHashArr].getName, "poly_hash_arr"),
       graft.functions.PolyHashArr.builder))
+    // mergeable Misra–Gries heavy-hitters sketch (TypedImperativeAggregate)
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(
+        classOf[graft.functions.MisraGries].getName, "freq_items"),
+      graft.functions.MisraGries.builder))
     // the builders are SHARED with Blooms.register — one arity/sizing
     // implementation for both registration paths
     ext.injectFunction((

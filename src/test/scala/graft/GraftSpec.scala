@@ -28,6 +28,12 @@ class GraftSpec extends AnyFunSuite {
         .collect().head.getDouble(0)
       assert(dot == 11.0)
 
+      // freq_items usable from SQL text; exact on a stream narrower than k
+      val fi = s.sql(
+        "SELECT inline(f) FROM (SELECT freq_items(x, 8) AS f FROM VALUES ('a'),('b'),('a') t(x))")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(fi == Seq(("a", 2L), ("b", 1L)))
+
       // bloom pair usable from SQL text (build on a 1-row relation)
       val bloomHit = s.sql(
         "SELECT bloom_might_contain((SELECT bloom_agg(x) FROM VALUES (CAST(7 AS BIGINT)) t(x)), CAST(7 AS BIGINT)) AS hit")
