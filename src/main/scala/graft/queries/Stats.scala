@@ -1114,13 +1114,19 @@ object Stats {
     * plus max position of the tie run), so rx/ry are BIGINTs and the
     * Pearson-over-ranks moments reuse the CorrMatrix exactness contract —
     * per-row products ≤ (2n)² in int64, DECIMAL(38,0) sums, cov_n2
-    * hash-exact, rho6 presentation-only. Scale: ranking within a group
-    * is inherently a per-group sort; both rank windows share ONE
-    * exchange on flag (two in-partition sorts). A 100-TB deployment with
-    * few giant groups would swap the window for the ExactQuantiles-style
-    * range-partitioned rank (per-partition counts → offset merge) — the
-    * moments and outputs are unchanged, so the contract survives the
-    * physical swap.
+    * hash-exact, rho6 presentation-only. Scale: rows collapse FIRST to
+    * the (flag, x, y) joint DOMAIN through one combinable aggregate (the
+    * only O(data) stage — at 100 TB the cents domain is bounded, so the
+    * domain table stops growing with the corpus); both doubled ranks are
+    * then WINDOW columns over that table (RANGE unbounded..current =
+    * cum(≤v), RANGE current..current = the tie group) sharing ONE
+    * exchange on flag, and the moments are a second combinable
+    * aggregate. No joins — a marginal-tables-joined-back form scanned
+    * lineitem three times (differing pushed join-key filters defeat
+    * ReuseExchange; the stats_cramers_v lesson). A deployment with few
+    * giant groups would swap the domain windows for the
+    * ExactQuantiles-style range-partitioned rank — the moments and
+    * outputs are unchanged, so the contract survives the physical swap.
     */
   private val statsSpearman = Q("stats_spearman",
     s"""WITH b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
@@ -1151,22 +1157,41 @@ object Stats {
     val b = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
       expr("cast(l_quantity as bigint)").as("x"),
       expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("y"))
-    // rank() and the RANGE-framed cumulative count share partition AND
-    // order, so each variable costs one in-partition sort; both windows
-    // hang off the SAME hashpartitioning(flag) exchange.
-    val wx = Window.partitionBy("flag").orderBy("x")
-    val wy = Window.partitionBy("flag").orderBy("y")
-    val r = b
-      .withColumn("rx", rank().over(wx) +
-        count(lit(1)).over(wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("ry", rank().over(wy) +
-        count(lit(1)).over(wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
-    val m = r.groupBy("flag").agg(count(lit(1)).as("n"),
-      sum(expr("cast(rx as decimal(38,0))")).as("sx"),
-      sum(expr("cast(ry as decimal(38,0))")).as("sy"),
-      sum(expr("cast(rx * ry as decimal(38,0))")).as("sxy"),
-      sum(expr("cast(rx * rx as decimal(38,0))")).as("sxx"),
-      sum(expr("cast(ry * ry as decimal(38,0))")).as("syy"))
+    // DOMAIN-REDUCED ranks (no per-row sort): the oracle's per-row
+    // rank+cumcount window is mathematically 2·avgrank(v) = 2·cum(≤v) −
+    // c(v) + 1, a function of the VALUE DOMAIN only — so collapse rows
+    // to the (flag, x, y) joint domain first (ONE combinable aggregate,
+    // the only O(data) stage, full shuffle parallelism), derive each
+    // variable's doubled rank on its bounded marginal domain, and take
+    // the cross moment by joining the joint domain to the two rank
+    // tables. The naive window form sorted 600k rows in THREE tasks
+    // (one per flag — measured 2.7 s isolated, and a giant-group
+    // deployment degenerates to one task per flag); here the heavy
+    // stages are hash-partitioned aggregates/joins that scale with
+    // cores, and the only per-flag sorts are over the cents-bounded
+    // marginal domains.
+    val jd = b.groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
+    // both marginals as WINDOW columns over jd — never separate marginal
+    // tables joined back (first attempt: the three jd consumers pushed
+    // DIFFERENT isnotnull join-key filters into their scans, so
+    // ReuseExchange never fired and lineitem was read three times — the
+    // stats_cramers_v lesson verbatim). RANGE frames do both jobs in one
+    // sort per variable: unbounded..current sums ALL order peers →
+    // cum(≤v); current..current sums exactly the tie group → c(v).
+    def rank2(v: String) = {
+      val o = Window.partitionBy("flag").orderBy(v)
+      lit(2) * sum("c").over(o.rangeBetween(Window.unboundedPreceding, Window.currentRow)) -
+        sum("c").over(o.rangeBetween(Window.currentRow, Window.currentRow)) + 1
+    }
+    // per-row products stay in int64: r2 ≤ 2n and c·r2x·r2y ≤ 4n³ ≤
+    // ~10¹⁸ at sf0.1; the sums go DECIMAL(38,0) as before
+    val r = jd.withColumn("r2x", rank2("x")).withColumn("r2y", rank2("y"))
+    val m = r.groupBy("flag").agg(sum("c").as("n"),
+      sum(expr("cast(c * r2x as decimal(38,0))")).as("sx"),
+      sum(expr("cast(c * r2y as decimal(38,0))")).as("sy"),
+      sum(expr("cast(c * r2x * r2y as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(c * r2x * r2x as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(c * r2y * r2y as decimal(38,0))")).as("syy"))
     def term(q: String, a: String, b2: String) =
       s"cast(n as decimal(38,0)) * $q - $a * $b2"
     // a zero variance term means every value in the group is identical —
