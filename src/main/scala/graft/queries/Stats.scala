@@ -1459,6 +1459,93 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Mutual information between market segment and nation over customer —
+    * the information-theoretic association measure on the SAME
+    * contingency as [[statsCramersV]] (χ² asks "how far from
+    * independence in variance terms?", MI asks "how many nats does one
+    * column reveal about the other?"; together they are the standard
+    * column-dependency audit before feature selection). Per-cell
+    * ln((o·n)/(rt·ct)) floor-snaps to a ×10⁶ integer (the col_entropy
+    * ln discipline: exact int64 products cast exactly to double — all
+    * ≤ 2⁵³ — one IEEE division, one ln, one snap, identical shape both
+    * engines), so smi_e6 = Σ o·mi_e6 is an exact BIGINT and the gate
+    * never hashes a float; mi_nats is presentation. Scale: identical
+    * plan to cramers — ONE combinable aggregate to the contingency
+    * cells, marginals as windows over that table (never joins back),
+    * one output row.
+    */
+  private val statsMutualInfo = Q("stats_mutual_info",
+    s"""WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+       |    CAST(count(*) AS BIGINT) AS o FROM customer GROUP BY seg, nat),
+       |w AS (SELECT seg, nat, o,
+       |    CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS rtv,
+       |    CAST(sum(o) OVER (PARTITION BY nat) AS BIGINT) AS ctv,
+       |    CAST(sum(o) OVER () AS BIGINT) AS nv FROM cells),
+       |lp AS (SELECT *,
+       |    CAST(floor(ln(CAST(o * nv AS DOUBLE) / CAST(rtv * ctv AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_e6
+       |  FROM w)
+       |SELECT max(nv) AS n,
+       |  CAST(count(DISTINCT seg) AS BIGINT) AS n_seg,
+       |  CAST(count(DISTINCT nat) AS BIGINT) AS n_nat,
+       |  CAST(sum(o * mi_e6) AS BIGINT) AS smi_e6,
+       |  CAST(sum(o * mi_e6) AS DOUBLE) / (CAST(max(nv) AS DOUBLE) * 1000000) AS mi_nats
+       |FROM lp""".stripMargin) { (s, d) =>
+    val cells = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("o"))
+    val w = cells
+      .withColumn("rtv", sum("o").over(Window.partitionBy("seg")))
+      .withColumn("ctv", sum("o").over(Window.partitionBy("nat")))
+      .withColumn("nv", sum("o").over(Window.partitionBy()))
+    w.withColumn("mi_e6", expr(
+        "cast(floor(ln(cast(o * nv as double) / cast(rtv * ctv as double))" +
+          " * 1000000.0d + 0.5d) as bigint)"))
+      .agg(max("nv").as("n"),
+        countDistinct("seg").as("n_seg"), countDistinct("nat").as("n_nat"),
+        sum(expr("o * mi_e6")).as("smi_e6"))
+      .select(col("n"), col("n_seg"), col("n_nat"), col("smi_e6"),
+        expr("cast(smi_e6 as double) / (cast(n as double) * 1000000)").as("mi_nats"))
+  }
+
+  /** First-significant-digit (Benford) profile of l_extendedprice — the
+    * classic fabricated-/truncated-data screen a corpus audit runs over
+    * monetary and count columns. The digit is extracted from the EXACT
+    * integer cents via string head (multiplying by 100 never changes the
+    * leading significant digit), so the per-digit counts are engine-exact
+    * with no log10 anywhere near the bucketing; expected Benford mass
+    * ln(1+1/d)/ln(10) and the share deltas are presentation doubles of
+    * identical shape. Scale: ONE map-combinable aggregate onto a 9-row
+    * domain; the windowed total rides the same reduction.
+    */
+  private val statsBenford = Q("stats_benford",
+    s"""WITH b AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem WHERE l_extendedprice > 0),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM b GROUP BY digit),
+       |w AS (SELECT digit, n_d, CAST(sum(n_d) OVER () AS BIGINT) AS n FROM g)
+       |SELECT digit, n_d, n,
+       |  round(CAST(n_d AS DOUBLE) / n, 6) AS share6,
+       |  round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+       |    / ln(CAST(10 AS DOUBLE)), 6) AS benford6,
+       |  round(CAST(n_d AS DOUBLE) / n
+       |    - ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+       |      / ln(CAST(10 AS DOUBLE)), 6) AS diff6
+       |FROM w ORDER BY digit""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > 0)
+      .select(expr("cast(substring(cast(cast(floor(l_extendedprice * 100 + 0.5)" +
+        " as bigint) as string), 1, 1) as bigint)").as("digit"))
+    val g = b.groupBy("digit").agg(count(lit(1)).as("n_d"))
+    g.withColumn("n", sum("n_d").over(Window.partitionBy()))
+      .select(col("digit"), col("n_d"), col("n"),
+        expr("round(cast(n_d as double) / n, 6)").as("share6"),
+        expr("round(ln(1.0d + 1.0d / digit) / ln(10.0d), 6)").as("benford6"),
+        expr("round(cast(n_d as double) / n" +
+          " - ln(1.0d + 1.0d / digit) / ln(10.0d), 6)").as("diff6"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
@@ -1466,5 +1553,5 @@ object Stats {
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
-    statsAnova, eventsCusum)
+    statsAnova, eventsCusum, statsMutualInfo, statsBenford)
 }

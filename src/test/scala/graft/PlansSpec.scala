@@ -221,6 +221,17 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"top-100 must plan as a bounded heap, not a global sort:\n$plan")
   }
 
+  test("stats_spearman: one scan, no joins — both rank windows ride the domain table") {
+    val plan = finalPlan(SparkEntry.queries("stats_spearman")(s, d))
+    // the marginal-tables-joined-back form scanned lineitem THREE times
+    // (differing pushed join-key filters defeat ReuseExchange — the
+    // stats_cramers_v lesson); the domain-window form reads it once and
+    // joins nothing
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"spearman must scan lineitem exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"spearman must not join:\n$plan")
+  }
+
   test("token_pmi broadcasts the model sides and cuts via TakeOrdered") {
     val plan = finalPlan(SparkEntry.queries("token_pmi")(s, d))
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,

@@ -776,6 +776,58 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(checked > 0 && res.size == checked)
   }
 
+  test("stats_mutual_info: snapped cell sum matches a BigInt re-derivation; MI within entropy bounds") {
+    val rows = Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val res = SparkEntry.queries("stats_mutual_info")(s, d).collect()
+    assert(res.length == 1)
+    val row = res.head
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    // replicate the engines' exact shape: int64 products, one IEEE
+    // division, one ln, floor(x+0.5) snap — then the sum is exact
+    val smi = cells.map { case ((seg, nat), o) =>
+      o * math.floor(math.log((o * n).toDouble / (rt(seg) * ct(nat)).toDouble)
+        * 1e6 + 0.5).toLong
+    }.sum
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == rt.size && row.getLong(2) == ct.size)
+    assert(row.getLong(3) == smi, s"smi_e6 ${row.getLong(3)} vs brute $smi")
+    // rational MI (no snapping) must agree within the snapping error and
+    // respect 0 ≤ MI ≤ min(H(seg), H(nat))
+    val miBrute = cells.map { case ((seg, nat), o) =>
+      (o.toDouble / n) * math.log(o.toDouble * n / (rt(seg).toDouble * ct(nat)))
+    }.sum
+    val mi = row.getDouble(4)
+    assert(math.abs(mi - miBrute) < 1e-4, s"mi $mi vs rational $miBrute")
+    def entropy(m: Map[_, Long]) =
+      -m.values.map(c => (c.toDouble / n) * math.log(c.toDouble / n)).sum
+    assert(mi >= -1e-6 && mi <= math.min(entropy(rt), entropy(ct)) + 1e-6)
+  }
+
+  test("stats_benford: digit counts match a string-head recount; shares sum to one") {
+    val prices = Tables.lineitem(s, d).select("l_extendedprice")
+      .collect().map(_.getDouble(0)).filter(_ > 0)
+    val truth = prices
+      .map(p => math.floor(p * 100 + 0.5).toLong.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val res = SparkEntry.queries("stats_benford")(s, d).collect()
+    val n = prices.length.toLong
+    assert(res.map(_.getLong(0)).toSet == truth.keySet)
+    assert(res.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9))
+    res.foreach { r =>
+      val d0 = r.getLong(0)
+      assert(r.getLong(1) == truth(d0), s"digit $d0 count")
+      assert(r.getLong(2) == n)
+      val benford = math.log(1.0 + 1.0 / d0) / math.log(10.0)
+      assert(math.abs(r.getDouble(4) - benford) <= 5.0001e-7, s"digit $d0 benford6")
+      assert(math.abs(r.getDouble(5) - (truth(d0).toDouble / n - benford)) <= 1.0001e-6)
+    }
+    assert(math.abs(res.map(_.getDouble(3)).sum - 1.0) < 1e-4, "shares must sum to ~1")
+  }
+
   test("CorrMatrix operator: exact ±1 on constructed colinear columns, k=3 pair count, name order") {
     import s.implicits._
     // y = 2x (r exactly 1), z = 100 - 3x (r exactly -1): the operator's
