@@ -69,6 +69,44 @@ final class MGSummary(val k: Int) {
   def maxError: Long = (n - counts.valuesIterator.sum) / k
 }
 
+object MGSummary {
+
+  /** Wire format shared by the aggregate's partial buffers and the
+    * streaming monitor's keyed state: k, n, then (len, utf8, count) per
+    * counter. The summary IS (k, n, counters) — nothing else — so this
+    * round-trips the full sketch state.
+    */
+  def toBytes(buffer: MGSummary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.k)
+    out.writeLong(buffer.n)
+    out.writeInt(buffer.counts.size)
+    buffer.counts.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): MGSummary = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new MGSummary(in.readInt())
+    s.n = in.readLong()
+    var remaining = in.readInt()
+    while (remaining > 0) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      s.counts.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      remaining -= 1
+    }
+    s
+  }
+}
+
 /** `freq_items(expr, k)` — native heavy-hitters aggregate over a string
   * column, built on [[TypedImperativeAggregate]] (the extension class
   * Spark's own `percentile_approx`/`count_min_sketch` use: an opaque
@@ -129,35 +167,11 @@ case class MisraGries(
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buffer: MGSummary): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buffer.k)
-    out.writeLong(buffer.n)
-    out.writeInt(buffer.counts.size)
-    buffer.counts.foreach { case (s, c) =>
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(b.length)
-      out.write(b)
-      out.writeLong(c)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buffer: MGSummary): Array[Byte] =
+    MGSummary.toBytes(buffer)
 
-  override def deserialize(bytes: Array[Byte]): MGSummary = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val s = new MGSummary(in.readInt())
-    s.n = in.readLong()
-    var remaining = in.readInt()
-    while (remaining > 0) {
-      val b = new Array[Byte](in.readInt())
-      in.readFully(b)
-      s.counts.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
-      remaining -= 1
-    }
-    s
-  }
+  override def deserialize(bytes: Array[Byte]): MGSummary =
+    MGSummary.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
     copy(mutableAggBufferOffset = newOffset)

@@ -710,4 +710,97 @@ class StreamingSpec extends AnyFunSuite {
         case (id, (c, _)) if c == someCell => id }.toSet)
     }
   }
+
+  test("streaming heavy-hitters: MG contract over the whole history, across micro-batches") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 6
+    // g1 is wider than the sketch (decrements fire) with a hitter that
+    // only becomes heavy in batch 2; g2 is narrower than k → exact
+    val b1: Seq[(String, String)] =
+      Seq.fill(30)(("g1", "hot")) ++
+        ('a' to 'j').flatMap(c => Seq.fill(2)(("g1", c.toString))) ++
+        Seq.fill(10)(("g2", "x")) ++ Seq.fill(5)(("g2", "y")) ++ Seq(("g2", "z"))
+    val b2: Seq[(String, String)] =
+      Seq.fill(20)(("g1", "hot")) ++ Seq.fill(40)(("g1", "late")) ++
+        Seq.fill(3)(("g1", "b"))
+    val ms = MemoryStream[(String, String)]
+    val q = graft.streaming.HeavyHitters.monitor(ms.toDS(), k)
+      .toDF("group", "item", "est", "err", "n")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Update()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val all = b1 ++ b2
+    val truth = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val groupN = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // the FINAL emission per group is the rows carrying the group's full
+    // history count n (the memory sink accumulates every batch's rows)
+    val fin = s.table("hh_stream")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter { case (g, _, _, _, n) => n == groupN(g) }
+    assert(fin.map(_._1).toSet == Set("g1", "g2"))
+    fin.groupBy(_._1).foreach { case (g, rows) =>
+      val n = groupN(g)
+      val err = rows.head._4
+      assert(rows.forall(_._4 == err), s"$g: summary-level err must repeat")
+      assert(rows.length <= k - 1 && err <= n / k, s"$g bounds")
+      rows.foreach { case (_, item, est, _, _) =>
+        val t = truth.getOrElse((g, item), 0L)
+        assert(est <= t && t <= est + err, s"$g/$item est=$est true=$t err=$err")
+      }
+      val reported = rows.map(_._2).toSet
+      truth.collect { case ((`g`, item), c) if c > n.toDouble / k => item }
+        .foreach(hh => assert(reported.contains(hh), s"$g heavy hitter $hh missing"))
+    }
+    // cross-batch accumulation: "late" was absent in batch 1 yet is the
+    // second-heaviest item overall and MUST be in the final g1 sketch
+    assert(fin.exists(r => r._1 == "g1" && r._2 == "late"))
+    // narrow group: sketch is EXACT (err 0, counts equal truth)
+    val g2 = fin.filter(_._1 == "g2")
+    assert(g2.forall(_._4 == 0L))
+    assert(g2.map(r => r._2 -> r._3).toMap ==
+      Map("x" -> 10L, "y" -> 5L, "z" -> 1L))
+  }
+
+  test("streaming heavy-hitters warm start: seeded run equals cold continuation bit-exactly") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 5
+    val b1: Seq[(String, String)] =
+      Seq.fill(12)(("g", "p")) ++ ('a' to 'h').map(c => ("g", c.toString))
+    val b2: Seq[(String, String)] =
+      Seq.fill(9)(("g", "q")) ++ Seq.fill(4)(("g", "p")) ++
+        ('d' to 'i').map(c => ("g", c.toString))
+    def runStream(batches: Seq[Seq[(String, String)]], name: String,
+        seed: Option[Seq[(String, String, Long, Long, Long)]]) = {
+      val ms = MemoryStream[(String, String)]
+      val src = ms.toDS()
+      val mon = seed match {
+        case None => graft.streaming.HeavyHitters.monitor(src, k)
+        case Some(rows) => graft.streaming.HeavyHitters.monitorWarmStarted(
+          src, k, graft.streaming.HeavyHitters.stateFromRows(rows.toDS(), k))
+      }
+      val q = mon.toDF("group", "item", "est", "err", "n")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      s.table(name).collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val cold = runStream(Seq(b1, b2), "hh_cold", None)
+    val coldFinal = cold.filter(_._5 == (b1.length + b2.length).toLong).toSet
+    // seed a fresh run from the batch-1 emission (ONE emission = the
+    // full sketch state), then stream only batch 2
+    val emission1 = runStream(Seq(b1), "hh_seed_src", None).toSeq
+    assert(emission1.forall(_._5 == b1.length.toLong))
+    val warm = runStream(Seq(b2), "hh_warm", Some(emission1))
+    assert(warm.map(_._5).max == (b1.length + b2.length).toLong,
+      "warm run must carry the seeded history count forward")
+    assert(warm.filter(_._5 == (b1.length + b2.length).toLong).toSet == coldFinal,
+      s"warm=${warm.toSeq.sorted} cold=${coldFinal.toSeq.sorted}")
+  }
 }
