@@ -628,10 +628,72 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** Zipf slope of the token rank-frequency curve — the corpus-health
+    * number a pipeline tracks per ingest source (natural text sits near
+    * −1; template/boilerplate-heavy or truncated corpora drift off it;
+    * pairs with [[textBoilerplate]] and the `text_repetition` screen).
+    * Log-log OLS over the DETERMINISTIC top-500 tokens (tf DESC, token
+    * ASC tie-break — both engines cut the same set): ln(rank)/ln(tf)
+    * snap to ×10⁶ integers (the col_entropy ln discipline), the OLS
+    * numerator/denominator are exact DECIMAL(38,0) cross-products
+    * (n·Σxy − ΣxΣy overflows int64 at ~10¹⁹ — decimal from the start),
+    * slope6 is presentation. Scale: the tf aggregate is the only
+    * O(data) stage; top-500 plans as a bounded TakeOrdered heap and the
+    * rank window runs on 500 rows (bounded by construction, never a
+    * global sort of the vocabulary).
+    */
+  private val textZipf = Q("text_zipf",
+    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents),
+       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE tok <> '' GROUP BY tok),
+       |top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 500),
+       |rk AS (SELECT tf,
+       |    CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS r FROM top),
+       |sn AS (SELECT
+       |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+       |  FROM rk),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x * y AS HUGEINT)) AS sxy,
+       |    sum(CAST(x * x AS HUGEINT)) AS sxx FROM sn)
+       |SELECT n,
+       |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+       |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS den,
+       |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6) AS slope6
+       |FROM m WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("tok")).limit(500)
+    // single-partition rank window over ≤500 rows — bounded by the LIMIT,
+    // not by data size (the topk_diverse discipline)
+    val rk = top.withColumn("r",
+      row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("bigint"))
+    val sn = rk.select(
+      expr("cast(floor(ln(cast(r as double)) * 1000000 + 0.5) as bigint)").as("x"),
+      expr("cast(floor(ln(cast(tf as double)) * 1000000 + 0.5) as bigint)").as("y"))
+    val m = sn.agg(count(lit(1)).as("n"),
+      sum(expr("cast(x as decimal(38,0))")).as("sx"),
+      sum(expr("cast(y as decimal(38,0))")).as("sy"),
+      sum(expr("cast(x * y as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(x * x as decimal(38,0))")).as("sxx"))
+    m.filter(col("n") >= 2 &&
+        expr("cast(n as decimal(38,0)) * sxx - sx * sx > 0"))
+      .select(col("n"),
+        expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))").as("num"),
+        expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as decimal(38,0))").as("den"),
+        expr("round(cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)" +
+          " / cast(cast(n as decimal(38,0)) * sxx - sx * sx as double), 6)").as("slope6"))
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
-    eventsTransitions, mlFolds, mlScore, invertedIndex)
+    eventsTransitions, mlFolds, mlScore, invertedIndex, textZipf)
 }
 
 /** The ONE owner of the BM25 scoring kernel (k1 = 1.2, b = 0.75; probe

@@ -326,4 +326,33 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(plan.contains("BroadcastHashJoin"),
       s"stats join must broadcast, not shuffle events:\n$plan")
   }
+
+  test("text_zipf: OLS moments match a BigInt re-derivation over the brute top-500 cut") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "").collect().map(_.getString(0))
+    val top = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case (t, c) => (t, c) }
+      .sortBy { case (t, c) => (-c, t) }.take(500)
+    val snapped = top.zipWithIndex.map { case ((_, tf), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(tf.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val n = BigInt(snapped.length)
+    val sx = snapped.map(p => BigInt(p._1)).sum
+    val sy = snapped.map(p => BigInt(p._2)).sum
+    val num = n * snapped.map(p => BigInt(p._1) * p._2).sum - sx * sy
+    val den = n * snapped.map(p => BigInt(p._1) * p._1).sum - sx * sx
+    val res = SparkEntry.queries("text_zipf")(s, d).collect()
+    assert(res.length == 1)
+    val row = res.head
+    assert(row.getLong(0) == snapped.length)
+    assert(BigInt(row.getDecimal(1).toBigInteger) == num, "num")
+    assert(BigInt(row.getDecimal(2).toBigInteger) == den, "den")
+    val brute = num.toDouble / den.toDouble
+    assert(math.abs(row.getDouble(3) - brute) <= 5.0001e-7)
+    // rank-frequency curves slope DOWN: tf is non-increasing in rank
+    assert(row.getDouble(3) < 0, s"zipf slope must be negative, got ${row.getDouble(3)}")
+  }
 }

@@ -104,6 +104,19 @@ class FreqItemsSpec extends AnyFunSuite {
     assert(empty.head.getSeq[Row](0).isEmpty)
   }
 
+  test("plans as a two-phase aggregate: only sketches cross the shuffle") {
+    graft.functions.MisraGries.register(s)
+    import s.implicits._
+    val plan = (1 to 100).map(i => s"it_$i").toDF("item").repartition(5)
+      .agg(expr("freq_items(item, 8)"))
+      .queryExecution.executedPlan.toString
+    // partial on the map side + final after the exchange — the map-side
+    // combine is the whole point of a mergeable TypedImperativeAggregate
+    assert(plan.contains("partial_freq_items"), s"no partial phase:\n$plan")
+    assert("(?<!partial_)freq_items".r.findFirstIn(plan).isDefined,
+      s"no final phase:\n$plan")
+  }
+
   test("serialization round-trips the summary exactly; width is validated") {
     val agg = graft.functions.MisraGries(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 5)
