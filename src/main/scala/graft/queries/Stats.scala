@@ -1546,6 +1546,62 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Inter-arrival-time distribution per event type — the traffic-shape
+    * profile (bursty vs steady) that sizes streaming watermarks and
+    * sessionization gaps before they are hard-coded. Gaps are exact
+    * microsecond BIGINTs between consecutive events WITHIN a (type, day)
+    * partition — day-bounding keeps every lag partition's size capped by
+    * one day's traffic (the scale answer: a per-type-only ordering would
+    * sort a type's entire history in one task), and the day boundary
+    * discards exactly the overnight gaps a watermark never needs. The
+    * gap multiset is tie-safe (sorted-multiset gaps are invariant under
+    * equal-timestamp permutations; event_id tie-break makes the lag
+    * itself deterministic anyway, the session_stats rule). Quartiles are
+    * the agg_weighted_median idiom: cumulative/total WINDOW sums over
+    * the (type, gap) DOMAIN table, lower-quartile picked by exact
+    * integer cross-multiplication — no interpolation, no doubles
+    * anywhere in this key. */
+  private val eventsInterarrival = Q("events_interarrival",
+    s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+       |m AS (SELECT event_type, ts_us - lag(ts_us) OVER
+       |      (PARTITION BY event_type, day ORDER BY ts_us, event_id) AS gap
+       |  FROM e),
+       |gd AS (SELECT event_type, CAST(gap AS BIGINT) AS gap,
+       |    CAST(count(*) AS BIGINT) AS w FROM m WHERE gap IS NOT NULL
+       |  GROUP BY event_type, gap),
+       |c AS (SELECT event_type, gap, w,
+       |    CAST(sum(w) OVER (PARTITION BY event_type ORDER BY gap) AS BIGINT) AS cw,
+       |    CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS tw FROM gd)
+       |SELECT event_type, CAST(max(tw) AS BIGINT) AS n_gaps,
+       |  CAST(sum(gap * w) AS BIGINT) AS gap_us_sum,
+       |  CAST(min(gap) AS BIGINT) AS min_us,
+       |  CAST(min(CASE WHEN 4 * cw >= tw THEN gap END) AS BIGINT) AS q25_us,
+       |  CAST(min(CASE WHEN 2 * cw >= tw THEN gap END) AS BIGINT) AS q50_us,
+       |  CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN gap END) AS BIGINT) AS q75_us,
+       |  CAST(max(gap) AS BIGINT) AS max_us
+       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      col("ts_us"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+    val m = e.withColumn("gap", col("ts_us") -
+        lag("ts_us", 1).over(Window.partitionBy("event_type", "day")
+          .orderBy("ts_us", "event_id")))
+      .filter(col("gap").isNotNull)
+    val gd = m.groupBy("event_type", "gap").agg(count(lit(1)).as("w"))
+    val c = gd
+      .withColumn("cw", sum("w").over(Window.partitionBy("event_type").orderBy("gap")))
+      .withColumn("tw", sum("w").over(Window.partitionBy("event_type")))
+    c.groupBy("event_type").agg(
+        max("tw").as("n_gaps"),
+        sum(expr("gap * w")).as("gap_us_sum"),
+        min("gap").as("min_us"),
+        min(when(expr("4 * cw >= tw"), col("gap"))).as("q25_us"),
+        min(when(expr("2 * cw >= tw"), col("gap"))).as("q50_us"),
+        min(when(expr("4 * cw >= 3 * tw"), col("gap"))).as("q75_us"),
+        max("gap").as("max_us"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
@@ -1553,5 +1609,6 @@ object Stats {
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
-    statsAnova, eventsCusum, statsMutualInfo, statsBenford)
+    statsAnova, eventsCusum, statsMutualInfo, statsBenford,
+    eventsInterarrival)
 }

@@ -828,6 +828,39 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(math.abs(res.map(_.getDouble(3)).sum - 1.0) < 1e-4, "shares must sum to ~1")
   }
 
+  test("events_interarrival: gaps, quartiles, and totals match a brute sorted scan per (type, day)") {
+    val evs = Tables.events(s, d).select(col("event_type"), col("ts_us"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val res = SparkEntry.queries("events_interarrival")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    var checked = 0
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      // gap multiset from per-(day) SORTED timestamps — tie-break-free by
+      // construction (sorted-multiset adjacency)
+      val gaps = rows.groupBy(_._3).values.toSeq.flatMap { dayRows =>
+        val ts = dayRows.map(_._2).sorted
+        ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+      }.sorted
+      if (gaps.nonEmpty) {
+        val n = gaps.length.toLong
+        def lowerQ(num: Long, den: Long): Long =
+          gaps((((num * n + den - 1) / den) - 1).toInt) // min g: den·cum ≥ num·n
+        val (rn, rsum, rmin, rq25, rq50, rq75, rmax) = res(ty)
+        assert(rn == n, s"$ty n_gaps")
+        assert(rsum == gaps.sum, s"$ty gap sum")
+        assert(rmin == gaps.head && rmax == gaps.last, s"$ty min/max")
+        assert(rq25 == lowerQ(1, 4), s"$ty q25")
+        assert(rq50 == lowerQ(1, 2), s"$ty q50")
+        assert(rq75 == lowerQ(3, 4), s"$ty q75")
+        assert(rq25 <= rq50 && rq50 <= rq75, s"$ty quartile order")
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty with no gaps must be excluded")
+    }
+    assert(checked > 0 && res.size == checked)
+  }
+
   test("CorrMatrix operator: exact ±1 on constructed colinear columns, k=3 pair count, name order") {
     import s.implicits._
     // y = 2x (r exactly 1), z = 100 - 3x (r exactly -1): the operator's
