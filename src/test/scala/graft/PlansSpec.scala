@@ -232,6 +232,15 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(!plan.contains("Join"), s"spearman must not join:\n$plan")
   }
 
+  test("events_interarrival: the lag window partitions on (type, day), never type alone") {
+    val plan = finalPlan(SparkEntry.queries("events_interarrival")(s, d))
+    // day-bounding is the scale contract: a per-type-only ordering would
+    // sort a type's entire history in one task at 100 TB
+    assert(plan.contains("windowspecdefinition(event_type#") &&
+      plan.matches("(?s).*windowspecdefinition\\(event_type#\\d+, day#\\d+.*"),
+      s"gap lag must partition on (event_type, day):\n$plan")
+  }
+
   test("token_pmi broadcasts the model sides and cuts via TakeOrdered") {
     val plan = finalPlan(SparkEntry.queries("token_pmi")(s, d))
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
