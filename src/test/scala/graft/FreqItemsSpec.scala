@@ -117,6 +117,42 @@ class FreqItemsSpec extends AnyFunSuite {
       s"no final phase:\n$plan")
   }
 
+  test("fuzz: contract holds on 20 seeded stream shapes × random partition splits (JVM-level)") {
+    // JVM-level MG fuzz (no Spark jobs — milliseconds): random zipf-ish
+    // streams, random split into partial summaries, random merge order —
+    // exactly the partial/final path the aggregate executes
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val k = 2 + rng.nextInt(15)
+      val nItems = 1 + rng.nextInt(60)
+      val stream = Seq.fill(200 + rng.nextInt(2000)) {
+        // skewed: low ids exponentially more likely
+        s"v${math.min(nItems - 1, (-math.log(rng.nextDouble()) * nItems / 4).toInt)}"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = stream.length.toLong
+      // split into 1..8 partials, fold each, merge in shuffled order
+      val parts = rng.shuffle(stream).grouped(
+        math.max(1, stream.length / (1 + rng.nextInt(8)))).toSeq
+      val partials = parts.map { p =>
+        val s = new graft.functions.MGSummary(k); p.foreach(s.add); s
+      }
+      val merged = partials.reduce { (a, b) => a.mergeIn(b); a }
+      assert(merged.n == n, s"trial $trial n")
+      assert(merged.counts.size <= k - 1, s"trial $trial size")
+      val err = merged.maxError
+      assert(err <= n / k, s"trial $trial err bound")
+      merged.counts.foreach { case (item, est) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(est <= t && t <= est + err,
+          s"trial $trial k=$k $item est=$est true=$t err=$err")
+      }
+      truth.filter(_._2 > n.toDouble / k).keys.foreach(hh =>
+        assert(merged.counts.contains(hh),
+          s"trial $trial k=$k heavy hitter $hh (${truth(hh)} > $n/$k) missing"))
+    }
+  }
+
   test("serialization round-trips the summary exactly; width is validated") {
     val agg = graft.functions.MisraGries(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 5)
