@@ -765,6 +765,62 @@ class StreamingSpec extends AnyFunSuite {
       Map("x" -> 10L, "y" -> 5L, "z" -> 1L))
   }
 
+  test("streaming heavy-hitters: sketch state survives a checkpointed restart") {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 5
+    val b1: Seq[(String, String)] =
+      Seq.fill(15)(("g", "hot")) ++ ('a' to 'f').map(c => ("g", c.toString))
+    val b2: Seq[(String, String)] =
+      Seq.fill(7)(("g", "warm")) ++ Seq.fill(3)(("g", "hot")) ++
+        ('c' to 'h').map(c => ("g", c.toString))
+    // JVM twin: the monitor folds each batch's items sorted, so the
+    // expected post-restart state is derivable without Spark
+    def expected(batches: Seq[Seq[(String, String)]]): Map[String, Long] = {
+      val sk = new graft.functions.MGSummary(k)
+      batches.foreach(_.map(_._2).sorted.foreach(sk.add))
+      sk.counts.toMap
+    }
+    val tmpBase = java.nio.file.Paths.get("target/tmp").toAbsolutePath
+    java.nio.file.Files.createDirectories(tmpBase)
+    val ckpt = java.nio.file.Files.createTempDirectory(tmpBase, "hh_ckpt")
+    try {
+      val sink = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, Seq[(String, String, Long, Long, Long)]]()
+      val ms = MemoryStream[(String, String)]
+      def start() = graft.streaming.HeavyHitters.monitor(ms.toDS(), k)
+        .toDF("group", "item", "est", "err", "n")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          sink.put(id, df.collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))).toSeq)
+          ()
+        }.start()
+      val q1 = start()
+      ms.addData(b1)
+      q1.processAllAvailable()
+      q1.stop(); q1.awaitTermination()
+      assert(sink.get(0L).map(r => r._2 -> r._3).toMap == expected(Seq(b1)))
+      // restart from the checkpoint in a NEW query — keyed sketch state
+      // must come back from the state store, not from replaying batch 1
+      val q2 = start()
+      ms.addData(b2)
+      q2.processAllAvailable()
+      q2.stop(); q2.awaitTermination()
+      val finalBatch = sink.keySet().stream().mapToLong(_.longValue).max.getAsLong
+      val got = sink.get(finalBatch)
+      assert(got.map(r => r._2 -> r._3).toMap == expected(Seq(b1, b2)),
+        s"post-restart sketch diverged: $got")
+      assert(got.forall(_._5 == (b1.length + b2.length).toLong),
+        "history count must include the pre-restart batch")
+    } finally {
+      java.nio.file.Files.walk(ckpt)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming heavy-hitters warm start: seeded run equals cold continuation bit-exactly") {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
