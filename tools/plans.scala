@@ -209,12 +209,18 @@ executed plans):
   the lineitem-orders join ran three times). `stats_mannwhitney` and
   `events_autocorr` are the same domain-table shape (one combinable
   aggregate, then windows/lag over ONE exchange on the type key; 2 and
-  2 exchanges, 2 and 1 scans). `stats_spearman` is the family's one
-  deliberate per-row sort: ranks need positions, so both doubled-rank
-  windows (rank + RANGE cumcount share partition AND order) hang off a
-  SINGLE hashpartitioning(flag) exchange -- 1 scan, 1 exchange; a
-  giant-group deployment swaps the window for the ExactQuantiles
-  range-partitioned rank with identical outputs.
+  2 exchanges, 2 and 1 scans). `stats_spearman` (rewritten late r14)
+  obeys the domain rule too: rows collapse once to the (flag, x, y)
+  joint domain and both doubled ranks are RANGE-framed window sums over
+  it (unbounded..current = cum(<=v), current..current = tie group) --
+  1 scan, 0 joins, PlansSpec-pinned; the joined-back marginals form
+  scanned lineitem 3x (differing pushed join-key filters defeat
+  ReuseExchange, the cramers lesson). `events_interarrival` lags inside
+  (type, day) partitions -- one day's traffic bounds every sort
+  (PlansSpec-pinned) -- then exact quartiles ride the weighted-median
+  window idiom on the (type, gap) domain. `text_zipf` never sorts the
+  vocabulary: top-500 is a TakeOrdered heap, the OLS runs on <=500
+  snapped rows.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
