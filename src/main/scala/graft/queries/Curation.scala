@@ -104,6 +104,43 @@ object Curation {
     mergedCoverage(Tables.events(s, d), sessUs = 300000000L).orderBy("user_id")
   }
 
+  /** Sweep-line concurrency over the same 5-minute activity windows as
+    * [[intervalCoverage]] — coverage answers "how much time was covered",
+    * this answers "how HOT did it get": the top-20 busiest change-point
+    * minutes by simultaneously-open windows (capacity planning for the
+    * ingest path; concurrency only moves at window starts/ends, so every
+    * peak — including THE peak — is attained at a reported minute). The sweep is the classic +1/−1 event trick, all exact
+    * integers: every window contributes +1 at its start minute and −1
+    * one past its end minute, deltas collapse through ONE combinable
+    * aggregate onto the minute DOMAIN (bounded by wall-clock time,
+    * never by row count), and concurrency is the running sum over that
+    * domain. The single-partition running-sum window is over the
+    * bounded minute domain — the histogram_equidepth-style domain
+    * argument, not a row sort; the final top-20 is a TakeOrdered heap.
+    * Ties break to the earliest minute on both engines.
+    */
+  private val intervalConcurrency = Q("interval_concurrency",
+    s"""WITH e AS (SELECT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS m0 FROM events),
+       |ev AS (SELECT m0 AS minute, 1 AS delta FROM e
+       |  UNION ALL SELECT m0 + 5, -1 FROM e),
+       |daily AS (SELECT minute, CAST(sum(delta) AS BIGINT) AS d FROM ev
+       |  GROUP BY minute),
+       |c AS (SELECT minute,
+       |    CAST(sum(d) OVER (ORDER BY minute) AS BIGINT) AS conc FROM daily)
+       |SELECT minute, conc FROM c
+       |ORDER BY conc DESC, minute LIMIT 20""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(expr("cast(ts_us div 60000000 as bigint)").as("m0"))
+    val ev = e.select(col("m0").as("minute"), lit(1).as("delta"))
+      .unionAll(e.select((col("m0") + 5).as("minute"), lit(-1).as("delta")))
+    val daily = ev.groupBy("minute").agg(sum("delta").as("d"))
+    daily
+      .withColumn("conc", sum("d").over(Window.orderBy("minute")))
+      .select(col("minute"), col("conc"))
+      .orderBy(col("conc").desc, col("minute"))
+      .limit(20)
+  }
+
   /** Corpus vocabulary: term frequency + document frequency per
     * (lang, token), global top-100 by tf. explode → groupBy is fully
     * map-side combinable (partial HashAggregate before the shuffle), and
@@ -693,7 +730,8 @@ object Curation {
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
-    eventsTransitions, mlFolds, mlScore, invertedIndex, textZipf)
+    eventsTransitions, mlFolds, mlScore, invertedIndex, textZipf,
+    intervalConcurrency)
 }
 
 /** The ONE owner of the BM25 scoring kernel (k1 = 1.2, b = 0.75; probe

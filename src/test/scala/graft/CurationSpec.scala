@@ -327,6 +327,24 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"stats join must broadcast, not shuffle events:\n$plan")
   }
 
+  test("interval_concurrency: top-20 matches a brute per-minute open-window count") {
+    import org.apache.spark.sql.functions._
+    val minutes = Tables.events(s, d)
+      .select(expr("cast(ts_us div 60000000 as bigint)").as("m0"))
+      .collect().map(_.getLong(0))
+    // brute: at every CHANGE-POINT minute (the key's reporting domain —
+    // concurrency only moves at window starts/ends), literally count the
+    // windows [m0, m0+5) containing it — no sweep, no prefix sums
+    val cands = (minutes ++ minutes.map(_ + 5)).distinct
+    val conc = cands.map(c => c -> minutes.count(m => m <= c && c < m + 5).toLong)
+    val expected = conc.sortBy { case (m, n) => (-n, m) }.take(20).toSeq
+    val got = SparkEntry.queries("interval_concurrency")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // every reported concurrency is positive and bounded by total events
+    assert(got.forall { case (_, n) => n > 0 && n <= minutes.length })
+  }
+
   test("text_zipf: OLS moments match a BigInt re-derivation over the brute top-500 cut") {
     import org.apache.spark.sql.functions._
     val toks = Tables.documents(s, d)
