@@ -35,7 +35,7 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine",
   "stats_spearman", "events_autocorr", "stats_mannwhitney",
   "stats_anova", "events_cusum", "stats_mutual_info", "stats_benford",
-  "text_zipf", "events_interarrival")
+  "text_zipf", "events_interarrival", "interval_concurrency")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
