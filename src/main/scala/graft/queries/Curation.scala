@@ -727,11 +727,81 @@ object Curation {
           " / cast(cast(n as decimal(38,0)) * sxx - sx * sx as double), 6)").as("slope6"))
   }
 
+  /** Data-quality expectation audit — the rule table a pipeline publishes
+    * before promoting a batch: one row per rule with exact violation and
+    * population counts (range rules on lineitem, referential-integrity
+    * anti-checks orders→customer and customer→nation, primary-key
+    * duplication on orders). Each base table is scanned ONCE: same-table
+    * range rules ride a single conditional aggregate and unstack via
+    * `stack` (never one pass per rule); the FK checks aggregate THROUGH a
+    * row-preserving left join (PK side unique), so orphan count, row
+    * count, and distinct-PK count share the scan. The discount range rule
+    * compares floor-scaled integer cents — never raw doubles. A rule with
+    * zero violations still reports (a DQ audit's "pass" rows are the
+    * point); totals make every violation count a rate. At 100 TB each
+    * rule family stays one combinable aggregate over its fact table; the
+    * FK joins shuffle on the key or broadcast the 25-row nation side. */
+  private val dqAudit = Q("dq_audit",
+    s"""WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+       |    CAST(sum(CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+       |      NOT BETWEEN 0 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+       |    CAST(sum(CASE WHEN l_extendedprice <= 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+       |  FROM lineitem),
+       |ord AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS v_orphan,
+       |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup
+       |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+       |cu AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS v_orphan
+       |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
+       |SELECT rule, violations, total FROM (
+       |  SELECT 'lineitem_qty_range' AS rule, v_qty AS violations,
+       |    n AS total FROM li
+       |  UNION ALL SELECT 'lineitem_disc_range', v_disc, n FROM li
+       |  UNION ALL SELECT 'lineitem_price_pos', v_price, n FROM li
+       |  UNION ALL SELECT 'orders_orphan_cust', v_orphan, n FROM ord
+       |  UNION ALL SELECT 'orders_dup_pk', v_dup, n FROM ord
+       |  UNION ALL SELECT 'customer_orphan_nation', v_orphan, n FROM cu)
+       |ORDER BY rule""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr("l_quantity < 1 or l_quantity > 50"), 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(expr("cast(floor(l_discount * 100 + 0.5) as bigint)" +
+          " not between 0 and 10"), 1L).otherwise(0L)).as("v_disc"),
+        sum(when(expr("l_extendedprice <= 0"), 1L).otherwise(0L))
+          .as("v_price"))
+      .selectExpr("stack(3, 'lineitem_qty_range', v_qty," +
+        " 'lineitem_disc_range', v_disc, 'lineitem_price_pos', v_price)" +
+        " as (rule, violations)", "n as total")
+    val ord = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_orphan"),
+        (count(lit(1)) - countDistinct("o_orderkey")).as("v_dup"))
+      .selectExpr("stack(2, 'orders_orphan_cust', v_orphan," +
+        " 'orders_dup_pk', v_dup) as (rule, violations)", "n as total")
+    val cu = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_nationkey").isNull, 1L).otherwise(0L)).as("v_orphan"))
+      .selectExpr("stack(1, 'customer_orphan_nation', v_orphan)" +
+        " as (rule, violations)", "n as total")
+    li.unionAll(ord).unionAll(cu).orderBy("rule")
+  }
+
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
     eventsTransitions, mlFolds, mlScore, invertedIndex, textZipf,
-    intervalConcurrency)
+    intervalConcurrency, dqAudit)
 }
 
 /** The ONE owner of the BM25 scoring kernel (k1 = 1.2, b = 0.75; probe

@@ -1602,6 +1602,117 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast backtest — the zero-parameter baseline every
+    * traffic forecast must beat: predict a (type, day)'s event count with
+    * the count seven days earlier, score with exact-integer MAE over the
+    * days where both sides exist. The fact table collapses FIRST through
+    * one combinable count onto the bounded (type, day) domain; the lag-7
+    * pairing is then an equi-self-join of that tiny aggregate on
+    * (event_type, day = day + 7) — exact calendar alignment, which a
+    * lag(7) window over OBSERVED days would get wrong whenever a day is
+    * silent, and AQE broadcasts it for free. Everything on the hash
+    * surface is a BIGINT (counts, |err| sums, maxima); the MAE double is
+    * presentation-rounded with identical shape on both engines. At
+    * 100 TB the domain stays |types| × |days| regardless of row count —
+    * the one scan is the only data-bound term. */
+  private val forecastSeasonalNaive = Q("forecast_seasonal_naive",
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+       |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY event_type, day)
+       |SELECT a.event_type,
+       |  CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(a.n) AS BIGINT) AS actual_sum,
+       |  CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err_sum,
+       |  CAST(max(abs(a.n - b.n)) AS BIGINT) AS max_abs_err,
+       |  round(CAST(sum(abs(a.n - b.n)) AS DOUBLE) / count(*), 6) AS mae6
+       |FROM c a JOIN c b
+       |  ON a.event_type = b.event_type AND a.day = b.day + 7
+       |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val a = c.as("a")
+    val b = c.select(col("event_type").as("bt"), col("day").as("bday"),
+      col("n").as("bn"))
+    a.join(b, col("a.event_type") === col("bt") &&
+        col("a.day") === col("bday") + lit(7L))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a.n")).as("actual_sum"),
+        sum(abs(col("a.n") - col("bn"))).as("abs_err_sum"),
+        max(abs(col("a.n") - col("bn"))).as("max_abs_err"),
+        expr("round(cast(sum(abs(a.n - bn)) as double) / count(1), 6)")
+          .as("mae6"))
+      .orderBy("event_type")
+  }
+
+  /** Kendall's tau-b between per-nation order volume and revenue — the
+    * rank-correlation complement to stats_spearman that is defined purely
+    * by concordant/discordant PAIR counts, so every term on the hash
+    * surface is an exact integer: the fact tables collapse through one
+    * combinable aggregate onto the 25-nation domain (count + cents sum in
+    * DECIMAL(38,0)), and the O(|domain|²) pair enumeration is a
+    * self-join of that 25-row frame on nationkey < nationkey — 300
+    * pairs whatever the fact-row count, the same bounded-domain argument
+    * as stats_cramers_v's contingency table. Pairwise tie counts equal
+    * the Σ t(t−1)/2 group form identically, so tau-b's denominator
+    * (n0−tx)(n0−ty) is exact integer arithmetic; the final tau is the
+    * only double, presentation-rounded from the same integers on both
+    * engines. */
+  private val statsKendallTau = Q("stats_kendall_tau",
+    s"""WITH g AS (SELECT c_nationkey AS nk,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))
+       |      AS BIGINT) AS y
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_nationkey),
+       |p AS (SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS yb
+       |  FROM g a JOIN g b ON a.nk < b.nk)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_groups,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN (ax < bx AND ay < yb) OR (ax > bx AND ay > yb)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |  CAST(sum(CASE WHEN (ax < bx AND ay > yb) OR (ax > bx AND ay < yb)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       |  CAST(sum(CASE WHEN ax = bx THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+       |  CAST(sum(CASE WHEN ay = yb THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+       |  round((sum(CASE WHEN (ax < bx AND ay < yb) OR (ax > bx AND ay > yb)
+       |      THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN (ax < bx AND ay > yb) OR (ax > bx AND ay < yb)
+       |      THEN 1 ELSE 0 END))
+       |    / sqrt(CAST((count(*) - sum(CASE WHEN ax = bx THEN 1 ELSE 0 END))
+       |        * (count(*) - sum(CASE WHEN ay = yb THEN 1 ELSE 0 END))
+       |      AS DOUBLE)), 6) AS tau_b6
+       |FROM p""".stripMargin) { (s, d) =>
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0))"))
+          .cast("bigint").as("y"))
+    val p = g.as("a").join(
+      g.select(col("nk").as("bnk"), col("x").as("bx"), col("y").as("yb")),
+      col("a.nk") < col("bnk"))
+      .select(col("a.x").as("ax"), col("a.y").as("ay"),
+        col("bx"), col("yb"))
+    val conc = expr("(ax < bx and ay < yb) or (ax > bx and ay > yb)")
+    val disc = expr("(ax < bx and ay > yb) or (ax > bx and ay < yb)")
+    p.agg(count(lit(1)).as("n_pairs"),
+        sum(when(conc, 1L).otherwise(0L)).as("nc"),
+        sum(when(disc, 1L).otherwise(0L)).as("nd"),
+        sum(when(expr("ax = bx"), 1L).otherwise(0L)).as("tie_x"),
+        sum(when(expr("ay = yb"), 1L).otherwise(0L)).as("tie_y"))
+      .crossJoin(g.agg(count(lit(1)).as("n_groups")))
+      .select(col("n_groups"), col("n_pairs"), col("nc"), col("nd"),
+        col("tie_x"), col("tie_y"),
+        expr("round((nc - nd) / sqrt(cast((n_pairs - tie_x)" +
+          " * (n_pairs - tie_y) as double)), 6)").as("tau_b6"))
+  }
+
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,
     klDivergence, classRebalance, bpePairCounts, scaleWinsorize,
     eventsAnomalyDays, textKeywordExtract, aggApproxPercentile,
@@ -1610,5 +1721,5 @@ object Stats {
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
     statsAnova, eventsCusum, statsMutualInfo, statsBenford,
-    eventsInterarrival)
+    eventsInterarrival, forecastSeasonalNaive, statsKendallTau)
 }

@@ -373,4 +373,38 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // rank-frequency curves slope DOWN: tf is non-increasing in rank
     assert(row.getDouble(3) < 0, s"zipf slope must be negative, got ${row.getDouble(3)}")
   }
+
+  test("dq_audit: every rule's violation/total counts match a brute recount") {
+    import org.apache.spark.sql.functions.col
+    val res = run("dq_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res.size == 6, "six rules, one row each")
+    val li = Tables.lineitem(s, d)
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+    val nLi = li.length.toLong
+    assert(res("lineitem_qty_range") ==
+      ((li.count(r => r.getDouble(0) < 1 || r.getDouble(0) > 50).toLong, nLi)))
+    assert(res("lineitem_disc_range") ==
+      ((li.count { r =>
+        val c = math.floor(r.getDouble(1) * 100 + 0.5).toLong
+        c < 0 || c > 10
+      }.toLong, nLi)))
+    assert(res("lineitem_price_pos") ==
+      ((li.count(_.getDouble(2) <= 0).toLong, nLi)))
+    val custKeys = Tables.customer(s, d).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey").collect()
+    assert(res("orders_orphan_cust") ==
+      ((ord.count(r => !custKeys.contains(r.getLong(1))).toLong,
+        ord.length.toLong)))
+    assert(res("orders_dup_pk") ==
+      ((ord.length.toLong - ord.map(_.getLong(0)).distinct.length,
+        ord.length.toLong)))
+    val nationKeys = Tables.nation(s, d).select("n_nationkey").collect()
+      .map(_.getInt(0)).toSet
+    val cu = Tables.customer(s, d).select(col("c_nationkey")).collect()
+    assert(res("customer_orphan_nation") ==
+      ((cu.count(r => !nationKeys.contains(r.getInt(0))).toLong,
+        cu.length.toLong)))
+  }
 }

@@ -880,6 +880,67 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(BigInt(byPair(("x", "y")).getDecimal(3).toBigInteger) == cov)
   }
 
+  test("forecast_seasonal_naive: MAE terms match a brute day-7-aligned recount") {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val res = SparkEntry.queries("forecast_seasonal_naive")(s, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val types = counts.keys.map(_._1).toSeq.distinct
+    var checked = 0
+    types.foreach { ty =>
+      val days = counts.keys.filter(_._1 == ty).map(_._2)
+      // pairs where BOTH day d and d-7 were observed — exact calendar
+      // alignment, not observed-row lag
+      val pairs = days.toSeq.filter(dd => counts.contains((ty, dd - 7)))
+        .map(dd => (counts((ty, dd)), counts((ty, dd - 7))))
+      if (pairs.nonEmpty) {
+        val r = res(ty)
+        assert(r.getLong(1) == pairs.length.toLong, s"$ty n_days")
+        assert(r.getLong(2) == pairs.map(_._1).sum, s"$ty actual_sum")
+        val absErrs = pairs.map { case (a, b) => math.abs(a - b) }
+        assert(r.getLong(3) == absErrs.sum, s"$ty abs_err_sum")
+        assert(r.getLong(4) == absErrs.max, s"$ty max_abs_err")
+        assert(math.abs(r.getDouble(5) -
+          absErrs.sum.toDouble / pairs.length) <= 5.0001e-7, s"$ty mae6")
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty without aligned days must be absent")
+    }
+    assert(checked > 0 && res.size == checked)
+  }
+
+  test("stats_kendall_tau: pair counts and tau-b match a brute O(n^2) loop") {
+    val custNation = Tables.customer(s, d)
+      .selectExpr("c_custkey", "cast(c_nationkey as bigint)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perNation = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      .collect().map(r => (custNation(r.getLong(0)), cents(r.getDouble(1))))
+      .groupBy(_._1).view
+      .mapValues(rows => (rows.length.toLong, rows.map(v => BigInt(v._2)).sum))
+      .toMap
+    val g = perNation.toSeq.sortBy(_._1).map { case (_, (x, y)) => (x, y) }
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- g.indices; j <- (i + 1) until g.length) {
+      val ((ax, ay), (bx, yb)) = (g(i), g(j)); np += 1
+      if ((ax < bx && ay < yb) || (ax > bx && ay > yb)) nc += 1
+      else if ((ax < bx && ay > yb) || (ax > bx && ay < yb)) nd += 1
+      if (ax == bx) tx += 1
+      if (ay == yb) ty += 1
+    }
+    val r = SparkEntry.queries("stats_kendall_tau")(s, d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == g.length.toLong, "n_groups")
+    assert(r(0).getLong(1) == np, "n_pairs")
+    assert(r(0).getLong(2) == nc, "nc")
+    assert(r(0).getLong(3) == nd, "nd")
+    assert(r(0).getLong(4) == tx, "tie_x")
+    assert(r(0).getLong(5) == ty, "tie_y")
+    val tau = (nc - nd).toDouble / math.sqrt(((np - tx) * (np - ty)).toDouble)
+    assert(math.abs(r(0).getDouble(6) - tau) <= 5.0001e-7, "tau_b6")
+    assert(math.abs(tau) <= 1.0)
+  }
+
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
     val brute = Tables.documents(s, d).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" "))
