@@ -860,8 +860,88 @@ object Features {
       .orderBy("cust_a", "cust_b")
   }
 
+  /** ABC inventory classification of parts by lineitem revenue — the
+    * cumulative-share Pareto partition (A: first 80% of revenue, B: next
+    * 15%, C: tail) behind every stocking-policy report. Facts collapse
+    * through ONE combinable cents aggregate onto the part domain; the
+    * running share is a window over that DOMAIN table under the TOTAL
+    * order (revenue desc, partkey) — partkey uniqueness makes RANGE ≡
+    * ROWS, so both engines' default frames agree — and the class test is
+    * exact DECIMAL cross-multiplication (5·cum ≤ 4·T, 20·cum ≤ 19·T):
+    * no share double ever crosses a comparison. The global window runs
+    * on the part DIMENSION (1/30th of fact rows; swap for the
+    * range-partitioned prefix-sum shape of ExactQuantiles at extreme
+    * part counts); shares are presentation-rounded. */
+  private val partsAbc = Q("parts_abc",
+    s"""WITH pr AS (SELECT l_partkey AS pk,
+       |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+       |      AS DECIMAL(38,0)) AS r
+       |  FROM lineitem GROUP BY l_partkey),
+       |w AS (SELECT pk, r,
+       |    sum(r) OVER (ORDER BY r DESC, pk) AS cum,
+       |    sum(r) OVER () AS t FROM pr),
+       |c AS (SELECT r, t,
+       |    CASE WHEN 5 * cum <= 4 * t THEN 'A'
+       |         WHEN 20 * cum <= 19 * t THEN 'B' ELSE 'C' END AS cls
+       |  FROM w)
+       |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       |  CAST(sum(r) AS BIGINT) AS revenue_cents,
+       |  round(CAST(sum(r) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6) AS share6
+       |FROM c GROUP BY cls ORDER BY cls""".stripMargin) { (s, d) =>
+    val pr = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .cast("decimal(38,0)").as("r"))
+    val w = pr
+      .withColumn("cum", sum("r").over(Window.orderBy(col("r").desc, col("pk"))))
+      .withColumn("t", sum("r").over(Window.partitionBy()))
+    w.select(col("r"), col("t"),
+        expr("case when 5 * cum <= 4 * t then 'A'" +
+          " when 20 * cum <= 19 * t then 'B' else 'C' end").as("cls"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("r").cast("bigint").as("revenue_cents"),
+        expr("round(cast(sum(r) as double) / cast(max(t) as double), 6)")
+          .as("share6"))
+      .orderBy("cls")
+  }
+
+  /** Day-of-week seasonal profile per event type — the weekly-shape
+    * index (observed share vs the flat 1/7 baseline) that separates
+    * weekday-driven types from flat ones before a forecast or an
+    * anomaly threshold assumes either. The dow derives from the exact
+    * epoch-day BIGINT — (day + 3) mod 7, 0 = Monday — identical integer
+    * arithmetic on both engines, never an engine dayofweek() (their
+    * numbering conventions differ, the SURVEY §7.3 ban). Counts and
+    * totals are the exact hash surface; the 7n/total index is
+    * presentation. ONE combinable count onto the bounded
+    * (type, dow ≤ 7) domain; the per-type total rides a window on that
+    * domain table. */
+  private val eventsSeasonality = Q("events_seasonality",
+    s"""WITH e AS (SELECT event_type,
+       |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow
+       |  FROM events),
+       |g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY event_type, dow),
+       |w AS (SELECT event_type, dow, n,
+       |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+       |  FROM g)
+       |SELECT event_type, dow, n, total,
+       |  round(CAST(7 AS DOUBLE) * n / total, 6) AS idx6
+       |FROM w ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast((ts_us div 86400000000 + 3) % 7 as bigint)").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    g.withColumn("total", sum("n").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("dow"), col("n"), col("total"),
+        expr("round(cast(7 as double) * n / total, 6)").as("idx6"))
+      .orderBy("event_type", "dow")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
     featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau,
-    eventsOhlc, graphPagerank, resampleFfill, embeddingProject, simSparseCosine)
+    eventsOhlc, graphPagerank, resampleFfill, embeddingProject, simSparseCosine,
+    partsAbc, eventsSeasonality)
 }

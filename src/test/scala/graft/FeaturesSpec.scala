@@ -461,4 +461,51 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(seen == brute.keySet, // completeness: nothing the gate admits is dropped
       s"missing=${(brute.keySet -- seen).take(5)} extra=${(seen -- brute.keySet).take(5)}")
   }
+
+  test("parts_abc: class counts/revenue match a brute cumulative-share sweep") {
+    val perPart = Tables.lineitem(s, d).select("l_partkey", "l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(v => BigInt(v._2)).sum).toSeq
+      .sortBy { case (pk, r) => (-r, pk) } // revenue desc, partkey asc
+    val total = perPart.map(_._2).sum
+    var cum = BigInt(0)
+    val classed = perPart.map { case (_, r) =>
+      cum += r
+      val cls = if (5 * cum <= 4 * total) "A"
+        else if (20 * cum <= 19 * total) "B" else "C"
+      (cls, r)
+    }
+    val brute = classed.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val res = SparkEntry.queries("parts_abc")(s, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(res.keySet == brute.keySet)
+    brute.foreach { case (cls, (n, rev)) =>
+      assert(res(cls).getLong(1) == n, s"$cls n_parts")
+      assert(BigInt(res(cls).getLong(2)) == rev, s"$cls revenue_cents")
+      assert(math.abs(res(cls).getDouble(3) -
+        (rev.toDouble / total.toDouble)) <= 5.0001e-7, s"$cls share6")
+    }
+    // class shares telescope to 1
+    assert(math.abs(res.values.map(_.getDouble(3)).sum - 1.0) <= 2e-6)
+  }
+
+  test("events_seasonality: dow counts match a brute epoch-day recount") {
+    val evs = Tables.events(s, d)
+      .select(col("event_type"), expr("ts_us div 86400000000"))
+      .collect().map(r => (r.getString(0), ((r.getLong(1) + 3) % 7)))
+    val brute = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = evs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val res = SparkEntry.queries("events_seasonality")(s, d).collect()
+    assert(res.length == brute.size)
+    res.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 6, "dow range")
+      assert(r.getLong(2) == brute(key), s"$key n")
+      assert(r.getLong(3) == totals(key._1), s"$key total")
+      assert(math.abs(r.getDouble(4) -
+        7.0 * brute(key) / totals(key._1)) <= 5.0001e-7, s"$key idx6")
+    }
+  }
 }
