@@ -939,9 +939,70 @@ object Features {
       .orderBy("event_type", "dow")
   }
 
+  /** Exact 7-day trailing median of daily event counts per type — the
+    * robust smoother a spike-tolerant anomaly baseline uses where
+    * `events_rolling`'s mean is skew-fragile. The fact stream collapses
+    * FIRST onto the (type, day) count domain; the trailing window is
+    * then built with NO join at all: each domain row explodes its 7
+    * forward offsets (day+0..6, k = 0 flagging the anchor's own row)
+    * and anchors that were never observed are dropped whole via a
+    * max-flag window — constant ×7 fanout of the DOMAIN, never the
+    * facts, one scan (a BETWEEN theta-join would plan a join-filtered
+    * SMJ and re-scan the aggregate on both sides). The median is the agg_weighted_median
+    * cross-multiplied idiom over the ≤7-row per-anchor groups — lower
+    * median by exact integer rank comparison, no interpolation, no
+    * doubles anywhere in the key. */
+  private val eventsRollingMedian = Q("events_rolling_median",
+    s"""WITH c AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY event_type, day),
+       |j AS (SELECT a.event_type, a.day, b.n AS bn
+       |  FROM c a JOIN c b ON a.event_type = b.event_type
+       |    AND b.day BETWEEN a.day - 6 AND a.day),
+       |r AS (SELECT event_type, day, bn,
+       |    row_number() OVER (PARTITION BY event_type, day
+       |      ORDER BY bn) AS rk,
+       |    count(*) OVER (PARTITION BY event_type, day) AS w FROM j)
+       |SELECT event_type, day, CAST(max(w) AS BIGINT) AS n_days,
+       |  CAST(min(CASE WHEN 2 * rk >= w THEN bn END) AS BIGINT) AS med_lo,
+       |  CAST(sum(bn) AS BIGINT) AS sum_n
+       |FROM r GROUP BY event_type, day
+       |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    // offset explosion: each observed day contributes its count to the
+    // 7 anchors day..day+6 (k = 0 marks the anchor's own contribution);
+    // groups whose anchor day was never observed carry no k = 0 row and
+    // are dropped WHOLE after the windows — per-group ranks are computed
+    // before the filter, so surviving groups' ranks are untouched. This
+    // replaces the equi-join back to the anchor set: ONE scan, zero
+    // joins, constant ×7 fanout of the DOMAIN only.
+    val contrib = c
+      .withColumn("k", explode(expr("sequence(0, 6)")))
+      .select(col("event_type"), (col("day") + col("k")).as("day"),
+        col("n").as("bn"),
+        when(col("k") === 0, 1).otherwise(0).as("anchor"))
+    val r = contrib
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type", "day").orderBy("bn")))
+      .withColumn("w", count(lit(1)).over(
+        Window.partitionBy("event_type", "day")))
+      .withColumn("has_anchor", max("anchor").over(
+        Window.partitionBy("event_type", "day")))
+      .filter(col("has_anchor") === 1)
+    r.groupBy("event_type", "day")
+      .agg(max("w").as("n_days"),
+        min(when(expr("2 * rk >= w"), col("bn"))).as("med_lo"),
+        sum("bn").as("sum_n"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(eventsRolling, embeddingCentroid, textBigramLogprob,
     dedupNameVariants, triangleCount, scaleMinmax, eventsHourlyProfile,
     featureCdf, eventsTwa, basketPairs, revenueGini, basketLift, eventsDauWau,
     eventsOhlc, graphPagerank, resampleFfill, embeddingProject, simSparseCosine,
-    partsAbc, eventsSeasonality)
+    partsAbc, eventsSeasonality, eventsRollingMedian)
 }

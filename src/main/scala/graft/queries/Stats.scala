@@ -1610,11 +1610,18 @@ object Stats {
     * pairing is then an equi-self-join of that tiny aggregate on
     * (event_type, day = day + 7) — exact calendar alignment, which a
     * lag(7) window over OBSERVED days would get wrong whenever a day is
-    * silent, and AQE broadcasts it for free. Everything on the hash
-    * surface is a BIGINT (counts, |err| sums, maxima); the MAE double is
-    * presentation-rounded with identical shape on both engines. At
-    * 100 TB the domain stays |types| × |days| regardless of row count —
-    * the one scan is the only data-bound term. */
+    * silent. The Spark side does the pairing WITHOUT a self-join (a
+    * self-join of the aggregate re-plans the whole scan+agg on both
+    * sides — ReuseExchange does not fire across the +7 projection):
+    * each (type, day, n) row explodes into an ACTUAL contribution at
+    * day and a PREDICTION contribution at day+7, one more combinable
+    * aggregate folds them back per (type, day), and rows holding both
+    * sides are exactly the equi-join's matches — ONE scan, zero joins.
+    * Everything on the hash surface is a BIGINT (counts, |err| sums,
+    * maxima); the MAE double is presentation-rounded with identical
+    * shape on both engines. At 100 TB the domain stays |types| × |days|
+    * regardless of row count — the one scan is the only data-bound
+    * term. */
   private val forecastSeasonalNaive = Q("forecast_seasonal_naive",
     s"""WITH e AS (SELECT event_type,
        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
@@ -1633,17 +1640,23 @@ object Stats {
       .select(col("event_type"),
         expr("cast(ts_us div 86400000000 as bigint)").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-    val a = c.as("a")
-    val b = c.select(col("event_type").as("bt"), col("day").as("bday"),
-      col("n").as("bn"))
-    a.join(b, col("a.event_type") === col("bt") &&
-        col("a.day") === col("bday") + lit(7L))
-      .groupBy(col("a.event_type").as("event_type"))
+    val paired = c
+      .select(col("event_type"), explode(expr(
+        "array(named_struct('aday', day, 'act', n," +
+          " 'pred', cast(null as bigint))," +
+          " named_struct('aday', day + 7L, 'act', cast(null as bigint)," +
+          " 'pred', n))")).as("cb"))
+      .select(col("event_type"), col("cb.aday"), col("cb.act"),
+        col("cb.pred"))
+      .groupBy("event_type", "aday")
+      .agg(max("act").as("n_act"), max("pred").as("n_pred"))
+      .filter(col("n_act").isNotNull && col("n_pred").isNotNull)
+    paired.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
-        sum(col("a.n")).as("actual_sum"),
-        sum(abs(col("a.n") - col("bn"))).as("abs_err_sum"),
-        max(abs(col("a.n") - col("bn"))).as("max_abs_err"),
-        expr("round(cast(sum(abs(a.n - bn)) as double) / count(1), 6)")
+        sum(col("n_act")).as("actual_sum"),
+        sum(abs(col("n_act") - col("n_pred"))).as("abs_err_sum"),
+        max(abs(col("n_act") - col("n_pred"))).as("max_abs_err"),
+        expr("round(cast(sum(abs(n_act - n_pred)) as double) / count(1), 6)")
           .as("mae6"))
       .orderBy("event_type")
   }
@@ -1656,7 +1669,11 @@ object Stats {
     * DECIMAL(38,0)), and the O(|domain|²) pair enumeration is a
     * self-join of that 25-row frame on nationkey < nationkey — 300
     * pairs whatever the fact-row count, the same bounded-domain argument
-    * as stats_cramers_v's contingency table. Pairwise tie counts equal
+    * as stats_cramers_v's contingency table. The domain is pinned once
+    * (Caching.pinOnce), so the pair join's two sides and the n_groups
+    * count all read the 25-row cache and the fact join+agg executes a
+    * single time; the bounded CartesianProduct runs on the CACHED frame
+    * (the dedup_embedding bounded-BNLJ precedent). Pairwise tie counts equal
     * the Σ t(t−1)/2 group form identically, so tau-b's denominator
     * (n0−tx)(n0−ty) is exact integer arithmetic; the final tau is the
     * only double, presentation-rounded from the same integers on both
@@ -1687,13 +1704,17 @@ object Stats {
        |        * (count(*) - sum(CASE WHEN ay = yb THEN 1 ELSE 0 END))
        |      AS DOUBLE)), 6) AS tau_b6
        |FROM p""".stripMargin) { (s, d) =>
-    val g = Tables.orders(s, d)
+    // pin the 25-row domain ONCE: the pair join reads both sides (and
+    // the n_groups count a third) from the cache, so the fact join+agg
+    // runs a single time — without the pin each consumer re-plans the
+    // whole orders⋈customer scan (three scans in the executed plan)
+    val g = graft.Caching.pinOnce(Tables.orders(s, d)
       .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"))
       .agg(count(lit(1)).as("x"),
         sum(expr("cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0))"))
-          .cast("bigint").as("y"))
+          .cast("bigint").as("y")))
     val p = g.as("a").join(
       g.select(col("nk").as("bnk"), col("x").as("bx"), col("y").as("yb")),
       col("a.nk") < col("bnk"))

@@ -491,6 +491,26 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(math.abs(res.values.map(_.getDouble(3)).sum - 1.0) <= 2e-6)
   }
 
+  test("events_rolling_median: trailing-7d medians match a brute window scan") {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), expr("ts_us div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val res = SparkEntry.queries("events_rolling_median")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // every observed (type, day) is an anchor; its window is the OBSERVED
+    // days in [day-6, day]
+    assert(res.keySet == counts.keySet, "anchor set = observed days")
+    counts.keys.foreach { case (ty, day) =>
+      val win = (day - 6 to day).flatMap(dd => counts.get((ty, dd))).sorted
+      val w = win.length
+      val medLo = win((w + 1) / 2 - 1) // min v with 2·rank ≥ w (lower median)
+      assert(res((ty, day)) == ((w.toLong, medLo, win.sum)),
+        s"($ty, $day): got ${res((ty, day))}, want ($w, $medLo, ${win.sum})")
+    }
+  }
+
   test("events_seasonality: dow counts match a brute epoch-day recount") {
     val evs = Tables.events(s, d)
       .select(col("event_type"), expr("ts_us div 86400000000"))

@@ -35,7 +35,9 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine",
   "stats_spearman", "events_autocorr", "stats_mannwhitney",
   "stats_anova", "events_cusum", "stats_mutual_info", "stats_benford",
-  "text_zipf", "events_interarrival", "interval_concurrency")
+  "text_zipf", "events_interarrival", "interval_concurrency",
+  "forecast_seasonal_naive", "stats_kendall_tau", "dq_audit",
+  "parts_abc", "events_seasonality", "events_rolling_median")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
