@@ -223,6 +223,43 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // §2.2 NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the join
+    // key a marginal-vs-marginal comparison actually has — a nullable
+    // group (here the honest nullif-derived bucket, NULL ≈ 10% of rows)
+    // that a plain equi-join silently DROPS. Spark keeps EqualNullSafe a
+    // hash-joinable equi key (coalesce-struct rewrite), so the plan is
+    // still a hash join, not an NLJ. One scan: the (bucket, type) counts
+    // pin once (Caching.pinOnce) and both type slices read the cache.
+    // Null ORDERING is engine-divergent (Spark ASC = NULLS FIRST,
+    // DuckDB = NULLS LAST) — pinned explicitly on both engines.
+    Q("join_null_safe",
+      s"""WITH g AS (SELECT
+         |    nullif(CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |      // 10, 0) AS bucket,
+         |    event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY bucket, event_type)
+         |SELECT a.bucket, a.n AS clicks, b.n AS views,
+         |  round(CAST(a.n AS DOUBLE) / b.n, 6) AS ratio6
+         |FROM (SELECT bucket, n FROM g WHERE event_type = 'click') a
+         |JOIN (SELECT bucket, n FROM g WHERE event_type = 'view') b
+         |  ON a.bucket IS NOT DISTINCT FROM b.bucket
+         |ORDER BY a.bucket NULLS FIRST""".stripMargin) { (s, d) =>
+      val g = graft.Caching.pinOnce(Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("nullif(cast(get_json_object(props, '$.k') as bigint)" +
+          " div 10, 0)").as("bucket"), col("event_type"))
+        .groupBy("bucket", "event_type").agg(count(lit(1)).as("n")))
+      val a = g.filter(col("event_type") === "click")
+        .select(col("bucket"), col("n").as("clicks"))
+      val b = g.filter(col("event_type") === "view")
+        .select(col("bucket").as("vbucket"), col("n").as("views"))
+      a.join(b, col("bucket") <=> col("vbucket"))
+        .select(col("bucket"), col("clicks"), col("views"),
+          expr("round(cast(clicks as double) / views, 6)").as("ratio6"))
+        .orderBy(col("bucket").asc_nulls_first)
+    },
+
     Q("join_cross",
       s"""SELECT r_name, n_name FROM region CROSS JOIN nation
          |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>

@@ -39,6 +39,32 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(run("join_cross").count() == 125L)
   }
 
+  test("join_null_safe: NULL bucket row survives the join; counts match a brute recount") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val evs = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("nullif(cast(get_json_object(props, '$.k') as bigint)" +
+        " div 10, 0)").as("bucket"), col("event_type"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1)))
+    val clicks = evs.filter(_._2 == "click").groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val views = evs.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val res = SparkEntry.queries("join_null_safe")(s, d).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // a PLAIN equi-join would drop exactly the None key — the null-safe
+    // variant must keep it
+    assert(res.contains(None), "NULL bucket must survive the null-safe join")
+    assert(res.keySet == clicks.keySet.intersect(views.keySet))
+    res.foreach { case (k, (c, v, ratio)) =>
+      assert(c == clicks(k) && v == views(k), s"bucket $k counts")
+      assert(math.abs(ratio - c.toDouble / v) <= 5.0001e-7, s"bucket $k ratio6")
+    }
+  }
+
   test("generators: sequence 12 rows, grid 231 rows each summing to 100") {
     assert(run("gen_sequence").count() == 12L)
     val grid = run("gen_grid").collect()
