@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * moment is then an exact sum — per-row products in int64, accumulated
   * as DECIMAL(38,0) — so `cov_n2` (= n²·covariance, the cross-multiplied
   * integer that needs no division) is engine-exact and order-independent.
-  * `r6` is presentation only: huge-integer→double casts and sqrts with a
-  * fixed expression shape; inputs carry ≤ 2⁻⁴⁰ relative conversion error
-  * against the round(,6) bucket (the ln-family ulp-margin argument).
+  * The normalized correlation is exposed as `r2_e6` ≈ floor(1e6·r²) plus
+  * `r_sign`, both exact integers built by [[graft.functions.ExactRatio]]
+  * — no double is ever emitted (r14 forensics: a round(double) ratio
+  * column is a cross-engine hash coin flip near bucket boundaries).
+  * Degenerate pairs (either variance term zero — a constant column) are
+  * EXCLUDED by exact integer comparison: r is undefined there and
+  * NaN/Infinity renderings are not hash-stable cross-engine.
   *
   * Scale shape: ONE map-side-combinable aggregate over the fact table to
   * a single (1 + k + k(k+1)/2)-number row; the k(k−1)/2-row pair matrix
@@ -25,11 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object CorrMatrix {
 
-  /** Pair rows (col_x, col_y, n, cov_n2, r6) for every unordered column
-    * pair of `cols` (named pairs follow `cols` order, col_x before
-    * col_y), ordered by (col_x, col_y). `cols` must be integer-valued
-    * (anything castable to BIGINT without loss — see the exactness
-    * contract above).
+  /** Pair rows (col_x, col_y, n, cov_n2, r2_e6, r_sign) for every
+    * unordered column pair of `cols` with both variance terms non-zero
+    * (named pairs follow `cols` order, col_x before col_y), ordered by
+    * (col_x, col_y). `cols` must be integer-valued (anything castable to
+    * BIGINT without loss — see the exactness contract above).
     */
   def of(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
@@ -49,10 +53,15 @@ object CorrMatrix {
       lit(cols(i - 1)).as("col_x"), lit(cols(j - 1)).as("col_y"),
       col("n").as("n"),
       expr(s"cast(${term(i, j)} as decimal(38,0))").as("cov_n2"),
-      expr(s"round(cast(${term(i, j)} as double)" +
-        s" / (sqrt(cast(${term(i, i)} as double))" +
-        s" * sqrt(cast(${term(j, j)} as double))), 6)").as("r6"))
-    m.select(explode(array(pairs: _*)).as("p")).select("p.*")
+      expr(s"cast(${term(i, i)} as decimal(38,0))").as("vxx"),
+      expr(s"cast(${term(j, j)} as decimal(38,0))").as("vyy"))
+    import graft.functions.ExactRatio
+    val exploded = m.select(explode(array(pairs: _*)).as("p")).select("p.*")
+      .filter(col("vxx") > 0 && col("vyy") > 0)
+    ExactRatio.applySpark(exploded,
+        ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "r2_e6"))
+      .withColumn("r_sign", expr(ExactRatio.signInt("cov_n2")))
+      .select("col_x", "col_y", "n", "cov_n2", "r2_e6", "r_sign")
       .orderBy("col_x", "col_y")
   }
 }

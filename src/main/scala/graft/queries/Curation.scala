@@ -674,7 +674,10 @@ object Curation {
     * snap to ×10⁶ integers (the col_entropy ln discipline), the OLS
     * numerator/denominator are exact DECIMAL(38,0) cross-products
     * (n·Σxy − ΣxΣy overflows int64 at ~10¹⁹ — decimal from the start),
-    * slope6 is presentation. Scale: the tf aggregate is the only
+    * and the slope ships as slope_e6 = sign(num)·floor(1e6·|num|/den)
+    * via ExactRatio — exact integers only on the hash surface (the r14
+    * lesson: a hashed round(double) ratio flipped per oracle build).
+    * Scale: the tf aggregate is the only
     * O(data) stage; top-500 plans as a bounded TakeOrdered heap and the
     * rank window runs on 500 rows (bounded by construction, never a
     * global sort of the vocabulary).
@@ -695,12 +698,16 @@ object Curation {
        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
        |    sum(CAST(x * y AS HUGEINT)) AS sxy,
        |    sum(CAST(x * x AS HUGEINT)) AS sxx FROM sn)
-       |SELECT n,
-       |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS num,
-       |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS den,
-       |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-       |    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6) AS slope6
-       |FROM m WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0""".stripMargin) { (s, d) =>
+       |SELECT n, num, den,
+       |  CAST(${graft.functions.ExactRatio.signInt("num")} * sl_e6 AS BIGINT) AS slope_e6
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT n,
+          |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+          |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS den,
+          |  abs(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS HUGEINT)) AS sl_a
+          |FROM m WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0""".stripMargin,
+        graft.functions.ExactRatio.ratE6Stages(
+          graft.functions.ExactRatio.DuckF, "sl_a", "den", "sl_e6"))} q""".stripMargin) { (s, d) =>
     val tf = Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -718,13 +725,17 @@ object Curation {
       sum(expr("cast(y as decimal(38,0))")).as("sy"),
       sum(expr("cast(x * y as decimal(38,0))")).as("sxy"),
       sum(expr("cast(x * x as decimal(38,0))")).as("sxx"))
-    m.filter(col("n") >= 2 &&
+    import graft.functions.ExactRatio
+    val base = m.filter(col("n") >= 2 &&
         expr("cast(n as decimal(38,0)) * sxx - sx * sx > 0"))
       .select(col("n"),
         expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))").as("num"),
         expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as decimal(38,0))").as("den"),
-        expr("round(cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)" +
-          " / cast(cast(n as decimal(38,0)) * sxx - sx * sx as double), 6)").as("slope6"))
+        expr("abs(cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0)))").as("sl_a"))
+    ExactRatio.applySpark(base,
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "sl_a", "den", "sl_e6"))
+      .select(col("n"), col("num"), col("den"),
+        expr(s"cast(${ExactRatio.signInt("num")} * sl_e6 as bigint)").as("slope_e6"))
   }
 
   /** Data-quality expectation audit — the rule table a pipeline publishes

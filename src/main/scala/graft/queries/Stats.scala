@@ -1062,11 +1062,12 @@ object Stats {
     * per-row products stay in int64 (≤ ~10¹⁴), and the sums are
     * DECIMAL(38,0) on the Spark side / native 128-bit on the oracle —
     * so n·Sxy − Sx·Sy is exact on both engines and `cov_n2` (= n² ×
-    * covariance) is hash-comparable as a DECIMAL(38,0). r6 is
-    * presentation: the same huge-integer→double casts and sqrt shapes
-    * on both sides; inputs are ~10²⁰ with conversion error ≤ 2⁻⁴⁰
-    * relative, 7 orders under the round(,6) bucket — the ln-family
-    * ulp-margin argument. Scale: ONE combinable aggregate over the
+    * covariance) is hash-comparable as a DECIMAL(38,0). The normalized
+    * correlation ships as r2_e6 + r_sign — ExactRatio's shift-guarded
+    * integer rational; no double is hashed (the r14 driver forensics:
+    * a round(,6) ratio over sqrt terms flipped per oracle build).
+    * Degenerate pairs are excluded by exact integer comparison on both
+    * engines. Scale: ONE combinable aggregate over the
     * fact table to a single 15-number row; the 6-row pair matrix is a
     * driver-free explode of that row. k columns → k(k−1)/2 output
     * rows, one pass, no shuffle beyond the final 1-row exchange.
@@ -1084,14 +1085,18 @@ object Stats {
     val branches = (for (i <- 1 to 4; j <- (i + 1) to 4) yield
       s"""SELECT '${names(i - 1)}' AS col_x, '${names(j - 1)}' AS col_y, n,
          |  CAST(CAST(n AS HUGEINT) * q$i$j - s$i * s$j AS DECIMAL(38,0)) AS cov_n2,
-         |  round(CAST(CAST(n AS HUGEINT) * q$i$j - s$i * s$j AS DOUBLE)
-         |    / (sqrt(CAST(CAST(n AS HUGEINT) * q$i$i - s$i * s$i AS DOUBLE))
-         |     * sqrt(CAST(CAST(n AS HUGEINT) * q$j$j - s$j * s$j AS DOUBLE))), 6) AS r6
+         |  CAST(CAST(n AS HUGEINT) * q$i$i - s$i * s$i AS DECIMAL(38,0)) AS vxx,
+         |  CAST(CAST(n AS HUGEINT) * q$j$j - s$j * s$j AS DECIMAL(38,0)) AS vyy
          |  FROM m""".stripMargin).mkString("\nUNION ALL ")
+    import graft.functions.ExactRatio
+    val inner = s"SELECT * FROM ($branches) u WHERE vxx > 0 AND vyy > 0"
+    val laddered = ExactRatio.applyDuck(inner,
+      ExactRatio.r2e6Stages(ExactRatio.DuckF, "cov_n2", "vxx", "vyy", "r2_e6"))
     s"""WITH b AS (SELECT ${cols.zipWithIndex.map { case (c, i) => s"$c AS x${i + 1}" }.mkString(", ")}
        |  FROM lineitem),
        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $prods FROM b)
-       |SELECT * FROM ($branches) u ORDER BY col_x, col_y""".stripMargin
+       |SELECT col_x, col_y, n, cov_n2, r2_e6, ${ExactRatio.signInt("cov_n2")} AS r_sign
+       |FROM $laddered q ORDER BY col_x, col_y""".stripMargin
   }) { (s, d) =>
     // snap to integer units (quantity, cents, percent points) then hand
     // off to the generic one-pass operator — the query pins the UNITS,
@@ -1113,8 +1118,9 @@ object Stats {
     * value v, 2·avgrank = rank(v) + cumcount(≤ v) exactly (min position
     * plus max position of the tie run), so rx/ry are BIGINTs and the
     * Pearson-over-ranks moments reuse the CorrMatrix exactness contract —
-    * per-row products ≤ (2n)² in int64, DECIMAL(38,0) sums, cov_n2
-    * hash-exact, rho6 presentation-only. Scale: rows collapse FIRST to
+    * DECIMAL(38,0) product chains and sums, cov_n2 hash-exact, and the
+    * normalized rho shipped as rho2_e6 + rho_sign (ExactRatio's exact
+    * integer rational — no hashed double). Scale: rows collapse FIRST to
     * the (flag, x, y) joint DOMAIN through one combinable aggregate (the
     * only O(data) stage — at 100 TB the cents domain is bounded, so the
     * domain table stops growing with the corpus); both doubled ranks are
@@ -1145,14 +1151,17 @@ object Stats {
        |    sum(CAST(rx * rx AS HUGEINT)) AS sxx,
        |    sum(CAST(ry * ry AS HUGEINT)) AS syy
        |  FROM r GROUP BY flag)
-       |SELECT flag, n,
-       |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
-       |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-       |    / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
-       |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))), 6) AS rho6
-       |FROM m
-       |WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
-       |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+       |SELECT flag, n, cov_n2, rho2_e6, ${graft.functions.ExactRatio.signInt("cov_n2")} AS rho_sign
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT flag, n,
+          |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
+          |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS vxx,
+          |  CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DECIMAL(38,0)) AS vyy
+          |FROM m
+          |WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+          |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0""".stripMargin,
+        graft.functions.ExactRatio.r2e6Stages(
+          graft.functions.ExactRatio.DuckF, "cov_n2", "vxx", "vyy", "rho2_e6"))} q
        |ORDER BY flag""".stripMargin) { (s, d) =>
     val b = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
       expr("cast(l_quantity as bigint)").as("x"),
@@ -1183,27 +1192,32 @@ object Stats {
       lit(2) * sum("c").over(o.rangeBetween(Window.unboundedPreceding, Window.currentRow)) -
         sum("c").over(o.rangeBetween(Window.currentRow, Window.currentRow)) + 1
     }
-    // per-row products stay in int64: r2 ≤ 2n and c·r2x·r2y ≤ 4n³ ≤
-    // ~10¹⁸ at sf0.1; the sums go DECIMAL(38,0) as before
+    // the leading decimal cast keeps the whole product chain in
+    // DECIMAL(38,0): c·r2x·r2y reaches 4n³, which exceeds int64 near
+    // ~1.3M rows per flag — exact at any group size this way (ADVICE r14)
     val r = jd.withColumn("r2x", rank2("x")).withColumn("r2y", rank2("y"))
     val m = r.groupBy("flag").agg(sum("c").as("n"),
-      sum(expr("cast(c * r2x as decimal(38,0))")).as("sx"),
-      sum(expr("cast(c * r2y as decimal(38,0))")).as("sy"),
-      sum(expr("cast(c * r2x * r2y as decimal(38,0))")).as("sxy"),
-      sum(expr("cast(c * r2x * r2x as decimal(38,0))")).as("sxx"),
-      sum(expr("cast(c * r2y * r2y as decimal(38,0))")).as("syy"))
+      sum(expr("cast(c as decimal(38,0)) * r2x")).as("sx"),
+      sum(expr("cast(c as decimal(38,0)) * r2y")).as("sy"),
+      sum(expr("cast(c as decimal(38,0)) * r2x * r2y")).as("sxy"),
+      sum(expr("cast(c as decimal(38,0)) * r2x * r2x")).as("sxx"),
+      sum(expr("cast(c as decimal(38,0)) * r2y * r2y")).as("syy"))
     def term(q: String, a: String, b2: String) =
       s"cast(n as decimal(38,0)) * $q - $a * $b2"
     // a zero variance term means every value in the group is identical —
     // rho is undefined there, and inf/NaN renderings are not hash-stable
     // cross-engine, so degenerate groups are excluded on BOTH sides
-    m.filter(expr(s"${term("sxx", "sx", "sx")} > 0") &&
+    val filtered = m.filter(expr(s"${term("sxx", "sx", "sx")} > 0") &&
         expr(s"${term("syy", "sy", "sy")} > 0"))
       .select(col("flag"), col("n"),
-      expr(s"cast(${term("sxy", "sx", "sy")} as decimal(38,0))").as("cov_n2"),
-      expr(s"round(cast(${term("sxy", "sx", "sy")} as double)" +
-        s" / (sqrt(cast(${term("sxx", "sx", "sx")} as double))" +
-        s" * sqrt(cast(${term("syy", "sy", "sy")} as double))), 6)").as("rho6"))
+        expr(s"cast(${term("sxy", "sx", "sy")} as decimal(38,0))").as("cov_n2"),
+        expr(s"cast(${term("sxx", "sx", "sx")} as decimal(38,0))").as("vxx"),
+        expr(s"cast(${term("syy", "sy", "sy")} as decimal(38,0))").as("vyy"))
+    import graft.functions.ExactRatio
+    ExactRatio.applySpark(filtered,
+        ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "rho2_e6"))
+      .withColumn("rho_sign", expr(ExactRatio.signInt("cov_n2")))
+      .select("flag", "n", "cov_n2", "rho2_e6", "rho_sign")
       .orderBy("flag")
   }
 
@@ -1213,7 +1227,8 @@ object Stats {
     * it). Pairs are ADJACENT observed days (day, day+1 both present);
     * counts are integers, so the Pearson moments over (c_t, c_{t−1})
     * reuse the exact-integer discipline: products in int64, DECIMAL(38,0)
-    * sums, cov_n2 hash-exact, ac1_6 presentation. Scale: the daily table
+    * sums, cov_n2 hash-exact, and the normalized AC1 shipped as
+    * ac12_e6 + ac1_sign (ExactRatio). Scale: the daily table
     * is |types|×|days| rows (tiny at any SF) — the heavy lifting is the
     * ONE map-combinable count aggregate over events; the lag window and
     * moment aggregate run on the reduced domain.
@@ -1233,14 +1248,17 @@ object Stats {
        |    sum(CAST(c * c AS HUGEINT)) AS sxx,
        |    sum(CAST(pc * pc AS HUGEINT)) AS syy
        |  FROM p WHERE pday = day - 1 GROUP BY event_type)
-       |SELECT event_type, n,
-       |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
-       |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-       |    / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
-       |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))), 6) AS ac1_6
-       |FROM m
-       |WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
-       |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+       |SELECT event_type, n, cov_n2, ac12_e6, ${graft.functions.ExactRatio.signInt("cov_n2")} AS ac1_sign
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT event_type, n,
+          |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
+          |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS vxx,
+          |  CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DECIMAL(38,0)) AS vyy
+          |FROM m
+          |WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
+          |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0""".stripMargin,
+        graft.functions.ExactRatio.r2e6Stages(
+          graft.functions.ExactRatio.DuckF, "cov_n2", "vxx", "vyy", "ac12_e6"))} q
        |ORDER BY event_type""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
@@ -1260,14 +1278,18 @@ object Stats {
       s"cast(n as decimal(38,0)) * $q - $a * $b2"
     // same degenerate-variance exclusion as stats_spearman: a type whose
     // daily counts never vary has no defined AC1 on either engine
-    m.filter(col("n") >= 2 &&
+    val filtered = m.filter(col("n") >= 2 &&
         expr(s"${term("sxx", "sx", "sx")} > 0") &&
         expr(s"${term("syy", "sy", "sy")} > 0"))
       .select(col("event_type"), col("n"),
-      expr(s"cast(${term("sxy", "sx", "sy")} as decimal(38,0))").as("cov_n2"),
-      expr(s"round(cast(${term("sxy", "sx", "sy")} as double)" +
-        s" / (sqrt(cast(${term("sxx", "sx", "sx")} as double))" +
-        s" * sqrt(cast(${term("syy", "sy", "sy")} as double))), 6)").as("ac1_6"))
+        expr(s"cast(${term("sxy", "sx", "sy")} as decimal(38,0))").as("cov_n2"),
+        expr(s"cast(${term("sxx", "sx", "sx")} as decimal(38,0))").as("vxx"),
+        expr(s"cast(${term("syy", "sy", "sy")} as decimal(38,0))").as("vyy"))
+    import graft.functions.ExactRatio
+    ExactRatio.applySpark(filtered,
+        ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "ac12_e6"))
+      .withColumn("ac1_sign", expr(ExactRatio.signInt("cov_n2")))
+      .select("event_type", "n", "cov_n2", "ac12_e6", "ac1_sign")
       .orderBy("event_type")
   }
 
@@ -1342,7 +1364,8 @@ object Stats {
     * with ONE double division and floor(x+0.5)-snapped — both engines
     * do the identical IEEE operation, and the integer SUM of snapped
     * terms is order-free (the stats_cramers_v discipline; never sum raw
-    * doubles across groups). f6/eta2_6 are presentation. Degenerate
+    * doubles across groups). f_e6/eta2_e6 are ExactRatio integer
+    * rationals over the exact SS terms — no hashed double. Degenerate
     * guards are exact-integer: SST>0 via sst_n, SSW>0 via
     * max_g(n_g·ss_g − s_g²)>0 — no double comparison decides inclusion.
     * Scale: ONE combinable aggregate over events (the only O(data)
@@ -1366,12 +1389,20 @@ object Stats {
        |        / (CAST(gm.ng AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
        |      + 0.5) AS BIGINT)) AS BIGINT) AS ssb_c2
        |  FROM gm CROSS JOIN t GROUP BY t.k, t.n, t.maxa, t.s, t.ss)
-       |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, sst_n, ssb_c2,
-       |  round((CAST(ssb_c2 AS DOUBLE) / (k - 1))
-       |    / ((CAST(sst_n AS DOUBLE) / CAST(n AS DOUBLE) - ssb_c2) / (CAST(n AS BIGINT) - k)), 6) AS f6,
-       |  round(CAST(ssb_c2 AS DOUBLE) / (CAST(sst_n AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS eta2_6
-       |FROM e
-       |WHERE k >= 2 AND CAST(n AS BIGINT) > k AND sst_n > 0 AND maxa > 0""".stripMargin) { (s, d) =>
+       |SELECT k, n, sst_n, ssb_c2, f_e6, eta2_e6
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT CAST(e.k AS BIGINT) AS k, CAST(e.n AS BIGINT) AS n, sst_n, ssb_c2,
+          |  CAST(ssb_c2 AS HUGEINT) * (e.n - e.k) AS fa,
+          |  greatest(greatest(CAST(sst_n AS HUGEINT) - e.n * ssb_c2, 0) // e.n, 1)
+          |    * (e.k - 1) AS fb,
+          |  CAST(ssb_c2 AS HUGEINT) AS ea,
+          |  greatest(CAST(sst_n AS HUGEINT) // e.n, 1) AS eb
+          |FROM e
+          |WHERE e.k >= 2 AND CAST(e.n AS BIGINT) > e.k AND sst_n > 0 AND maxa > 0""".stripMargin,
+        graft.functions.ExactRatio.ratE6Stages(
+          graft.functions.ExactRatio.DuckF, "fa", "fb", "f_e6") ++
+        graft.functions.ExactRatio.ratE6Stages(
+          graft.functions.ExactRatio.DuckF, "ea", "eb", "eta2_e6"))} q""".stripMargin) { (s, d) =>
     val b = Tables.events(s, d).select(col("event_type").as("g"),
       expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
     val gm = b.groupBy("g").agg(count(lit(1)).as("ng"),
@@ -1396,10 +1427,22 @@ object Stats {
         col("ssb_c2"), col("maxa"))
       .filter(col("k") >= 2 && expr("n > k") && col("sst_n") > 0 && col("maxa") > 0)
       .select(col("k"), col("n"), col("sst_n"), col("ssb_c2"),
-        expr("round((cast(ssb_c2 as double) / (k - 1))" +
-          " / ((cast(sst_n as double) / cast(n as double) - ssb_c2) / (n - k)), 6)").as("f6"),
-        expr("round(cast(ssb_c2 as double)" +
-          " / (cast(sst_n as double) / cast(n as double)), 6)").as("eta2_6"))
+        // SS terms return to cents² via exact truncating division by n
+        // (identical on both engines: all operands non-negative) BEFORE
+        // the rational, so no operand ever nears the 1e38 exactness cap
+        expr("cast(ssb_c2 as decimal(38,0)) * (n - k)").as("fa"),
+        expr("cast(greatest(greatest(cast(sst_n as decimal(38,0))" +
+          " - cast(n as decimal(38,0)) * ssb_c2, cast(0 as decimal(38,0)))" +
+          " div cast(n as decimal(38,0)), 1) as decimal(38,0)) * (k - 1)").as("fb"),
+        col("ssb_c2").as("ea"),
+        expr("greatest(cast(sst_n as decimal(38,0)) div cast(n as decimal(38,0)), 1)").as("eb"))
+      .transform { base =>
+        import graft.functions.ExactRatio
+        ExactRatio.applySpark(base,
+          ExactRatio.ratE6Stages(ExactRatio.SparkF, "fa", "fb", "f_e6") ++
+          ExactRatio.ratE6Stages(ExactRatio.SparkF, "ea", "eb", "eta2_e6"))
+      }
+      .select("k", "n", "sst_n", "ssb_c2", "f_e6", "eta2_e6")
   }
 
   /** CUSUM changepoint per event type over the daily count series — the

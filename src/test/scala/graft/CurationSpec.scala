@@ -368,10 +368,14 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(row.getLong(0) == snapped.length)
     assert(BigInt(row.getDecimal(1).toBigInteger) == num, "num")
     assert(BigInt(row.getDecimal(2).toBigInteger) == den, "den")
+    // integer surface: slope_e6 = sign(num)·floor(1e6·|num|/den) — the
+    // exact BigInt twin (den < 1e30 here, so no shift applies)
+    val sE6 = (num.signum * ((BigInt(1000000) * num.abs) / den)).toLong
+    assert(row.getLong(3) == sE6, s"slope_e6 ${row.getLong(3)} vs brute $sE6")
     val brute = num.toDouble / den.toDouble
-    assert(math.abs(row.getDouble(3) - brute) <= 5.0001e-7)
+    assert(math.abs(row.getLong(3) / 1e6 - brute) <= 2e-6)
     // rank-frequency curves slope DOWN: tf is non-increasing in rank
-    assert(row.getDouble(3) < 0, s"zipf slope must be negative, got ${row.getDouble(3)}")
+    assert(row.getLong(3) < 0, s"zipf slope must be negative, got ${row.getLong(3)}")
   }
 
   test("dq_audit: every rule's violation/total counts match a brute recount") {

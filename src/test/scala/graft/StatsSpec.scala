@@ -581,7 +581,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(checked > 0 && res.size == checked, "every oracled type re-derived")
   }
 
-  test("stats_corr_matrix: cov_n2 matches a BigInt moment re-derivation exactly; r6 in [-1,1]") {
+  test("stats_corr_matrix: cov_n2 matches a BigInt moment re-derivation exactly; r2_e6/r_sign track brute r") {
     val rows = Tables.lineitem(s, d)
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
       .map(r => Array(r.getDouble(0).toLong, cents(r.getDouble(1)),
@@ -601,10 +601,13 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(BigInt(r.getDecimal(3).toBigInteger) == cov, s"($cx,$cy) cov_n2")
       val dx = n * qSum(i, i) - sSum(i) * sSum(i)
       val dy = n * qSum(j, j) - sSum(j) * sSum(j)
-      val rBrute = cov.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
-      val r6 = r.getDouble(4)
-      assert(math.abs(r6 - rBrute) <= 5.0001e-7, s"($cx,$cy): r6 $r6 vs brute $rBrute")
-      assert(r6 >= -1.0 && r6 <= 1.0)
+      // integer surface: r2_e6 ≈ floor(1e6·r²) (shift truncation ≤ 1e-10
+      // relative, so a 2e-6 absolute window is generous), sign exact
+      val r2Brute = cov.toDouble * cov.toDouble / (dx.toDouble * dy.toDouble)
+      val r2e6 = r.getLong(4)
+      assert(math.abs(r2e6 / 1e6 - r2Brute) <= 2e-6, s"($cx,$cy): r2_e6 $r2e6 vs brute $r2Brute")
+      assert(r2e6 >= 0L && r2e6 <= 1000000L)
+      assert(r.getInt(5) == cov.signum, s"($cx,$cy) r_sign")
     }
   }
 
@@ -613,7 +616,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getDouble(1).toLong, cents(r.getDouble(2))))
     val res = SparkEntry.queries("stats_spearman")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getDouble(3)))).toMap
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getInt(4)))).toMap
     val byFlag = rows.groupBy(_._1)
     // fixture flags all have varying quantity AND price, so none is
     // excluded by the degenerate-variance guard
@@ -633,14 +636,15 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(ry.map(BigInt(_)).sum == n * (n + 1), s"$flag ry sum")
       val sxy = rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum
       val cov = n * sxy - rx.map(BigInt(_)).sum * ry.map(BigInt(_)).sum
-      val (rn, rcov, rho6) = res(flag)
+      val (rn, rcov, rho2e6, rsign) = res(flag)
       assert(rn == grp.length, s"$flag n")
       assert(rcov == cov, s"$flag cov_n2 $rcov vs brute $cov")
       val dx = n * rx.map(a => BigInt(a) * a).sum - rx.map(BigInt(_)).sum.pow(2)
       val dy = n * ry.map(a => BigInt(a) * a).sum - ry.map(BigInt(_)).sum.pow(2)
-      val rhoBrute = cov.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
-      assert(math.abs(rho6 - rhoBrute) <= 5.0001e-7, s"$flag rho6 $rho6 vs $rhoBrute")
-      assert(rho6 >= -1.0 && rho6 <= 1.0)
+      val rho2Brute = cov.toDouble * cov.toDouble / (dx.toDouble * dy.toDouble)
+      assert(math.abs(rho2e6 / 1e6 - rho2Brute) <= 2e-6, s"$flag rho2_e6 $rho2e6 vs $rho2Brute")
+      assert(rho2e6 >= 0L && rho2e6 <= 1000000L)
+      assert(rsign == cov.signum, s"$flag rho_sign")
     }
   }
 
@@ -650,7 +654,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val res = SparkEntry.queries("events_autocorr")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getDouble(3)))).toMap
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getInt(4)))).toMap
     var checked = 0
     evs.groupBy(_._1).foreach { case (ty, rows) =>
       val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
@@ -663,11 +667,13 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       val dy = n * pairs.map(p => BigInt(p._2) * p._2).sum - sy * sy
       if (pairs.length >= 2 && dx > 0 && dy > 0) {
         val cov = n * pairs.map(p => BigInt(p._1) * p._2).sum - sx * sy
-        val (rn, rcov, ac) = res(ty)
+        val (rn, rcov, ac2e6, acSign) = res(ty)
         assert(rn == pairs.length, s"$ty n")
         assert(rcov == cov, s"$ty cov $rcov vs $cov")
-        val acBrute = cov.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
-        assert(math.abs(ac - acBrute) <= 5.0001e-7, s"$ty ac1 $ac vs $acBrute")
+        val ac2Brute = cov.toDouble * cov.toDouble / (dx.toDouble * dy.toDouble)
+        assert(math.abs(ac2e6 / 1e6 - ac2Brute) <= 2e-6, s"$ty ac12_e6 $ac2e6 vs $ac2Brute")
+        assert(ac2e6 >= 0L && ac2e6 <= 1000000L)
+        assert(acSign == cov.signum, s"$ty ac1_sign")
         checked += 1
       } else assert(!res.contains(ty), s"$ty degenerate (pairs/variance) must be excluded")
     }
@@ -727,18 +733,32 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
     assert(BigInt(row.getDecimal(2).toBigInteger) == sstN, "sst_n")
     assert(row.getLong(3) == ssb, s"ssb_c2 ${row.getLong(3)} vs brute $ssb")
-    // rational-value cross-check: SSB/SST from exact BigInts (no snapping)
-    // must sit within the snapping error of the reported eta²
+    // integer-surface cross-check: replicate ExactRatio.ratE6 (shift to
+    // ≤30 digits, floor-div, greatest guards) in BigInt — must be EXACT
+    def ratE6(a: BigInt, b: BigInt): Long = {
+      var u = 0
+      while (a / BigInt(10).pow(u) >= BigInt(10).pow(30)) u += 1
+      val ap = a / BigInt(10).pow(u)
+      val bp = (b / BigInt(10).pow(u)).max(1)
+      ((BigInt(1000000) * ap) / bp).toLong
+    }
+    val ssbB = BigInt(ssb)
+    val sswC2 = ((sstN - n * ssbB).max(0) / n).max(1)
+    val fE6 = ratE6(ssbB * (n - k), sswC2 * (k - 1))
+    val etaE6 = ratE6(ssbB, (sstN / n).max(1))
+    assert(row.getLong(4) == fE6, s"f_e6 ${row.getLong(4)} vs brute $fE6")
+    assert(row.getLong(5) == etaE6, s"eta2_e6 ${row.getLong(5)} vs brute $etaE6")
+    // and the rational values they encode agree with the exact-double F/eta²
     val ssbExact = groups.values.map { vs =>
       val ng = BigInt(vs.length)
       val sg = vs.map(BigInt(_)).sum
       (sg * n - sAll * ng).pow(2).toDouble / (ng.toDouble * n.toDouble * n.toDouble)
     }.sum
     val sst = sstN.toDouble / n.toDouble
-    assert(math.abs(row.getDouble(5) - ssbExact / sst) < 1e-4, "eta2 vs rational")
+    assert(math.abs(etaE6 / 1e6 - ssbExact / sst) < 1e-4, "eta2_e6 vs rational")
     val fExact = (ssbExact / (k.toDouble - 1)) / ((sst - ssbExact) / (n.toDouble - k.toDouble))
-    assert(row.getDouble(4) > 0 && math.abs(row.getDouble(4) - fExact) / fExact < 1e-3, "F vs rational")
-    assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+    assert(fE6 > 0 && math.abs(fE6 / 1e6 - fExact) / fExact < 1e-3, "f_e6 vs rational")
+    assert(etaE6 >= 0L && etaE6 <= 1000000L)
   }
 
   test("events_cusum: peak, arg-day, and totals match a brute prefix-sum scan; last prefix is zero") {
@@ -870,9 +890,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.length == 3)
     val byPair = res.map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(byPair.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
-    assert(byPair(("x", "y")).getDouble(4) == 1.0)
-    assert(byPair(("x", "z")).getDouble(4) == -1.0)
-    assert(byPair(("y", "z")).getDouble(4) == -1.0)
+    assert(byPair(("x", "y")).getLong(4) == 1000000L && byPair(("x", "y")).getInt(5) == 1)
+    assert(byPair(("x", "z")).getLong(4) == 1000000L && byPair(("x", "z")).getInt(5) == -1)
+    assert(byPair(("y", "z")).getLong(4) == 1000000L && byPair(("y", "z")).getInt(5) == -1)
     res.foreach(r => assert(r.getLong(2) == 200L))
     // cov_n2 against a BigInt brute on one pair: n·Sxy − Sx·Sy
     val xs = (1L to 200L).map(BigInt(_))
