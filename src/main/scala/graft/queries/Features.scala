@@ -815,13 +815,15 @@ object Features {
        |pr AS (SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS nsh,
        |    CAST(sum(a.w * b.w) AS BIGINT) AS num
        |  FROM w a JOIN w b ON b.p = a.p AND a.c < b.c GROUP BY ca, cb)
-       |SELECT pr.ca AS cust_a, pr.cb AS cust_b, nsh AS n_shared,
-       |  num AS dot_e10, na.n2 AS norm2_a, nb.n2 AS norm2_b,
-       |  round(CAST(num AS DOUBLE)
-       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos6
-       |FROM pr JOIN nrm na ON na.c = pr.ca JOIN nrm nb ON nb.c = pr.cb
-       |WHERE nsh >= 2
-       |  AND 4 * (CAST(num AS DECIMAL(38,0)) * num) >= CAST(na.n2 AS DECIMAL(38,0)) * nb.n2
+       |SELECT cust_a, cust_b, n_shared, dot_e10, norm2_a, norm2_b, cos2_e6
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT pr.ca AS cust_a, pr.cb AS cust_b, nsh AS n_shared,
+          |  num AS dot_e10, na.n2 AS norm2_a, nb.n2 AS norm2_b
+          |FROM pr JOIN nrm na ON na.c = pr.ca JOIN nrm nb ON nb.c = pr.cb
+          |WHERE nsh >= 2 AND na.n2 > 0 AND nb.n2 > 0
+          |  AND 4 * (CAST(num AS DECIMAL(38,0)) * num) >= CAST(na.n2 AS DECIMAL(38,0)) * nb.n2""".stripMargin,
+        graft.functions.ExactRatio.r2e6Stages(graft.functions.ExactRatio.DuckF,
+          "dot_e10", "norm2_a", "norm2_b", "cos2_e6"))} q
        |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
     // pin the (c, p, tf) purchase table FIRST: dfs, nc and the weight
     // projection all derive from it, and unpinned each would re-run the
@@ -848,15 +850,21 @@ object Features {
       .join(w.toDF("cb", "pb", "wb"), expr("pb = pa AND ca < cb"))
       .groupBy("ca", "cb")
       .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"))
-    pr.join(nrm.toDF("ca2", "na"), expr("ca = ca2"))
+    import graft.functions.ExactRatio
+    val base = pr.join(nrm.toDF("ca2", "na"), expr("ca = ca2"))
       .join(nrm.toDF("cb2", "nb"), expr("cb = cb2"))
-      .filter(expr("nsh >= 2" +
+      .filter(expr("nsh >= 2 AND na > 0 AND nb > 0" +
         " AND 4 * (cast(num as decimal(38,0)) * num) >= cast(na as decimal(38,0)) * nb"))
       .select(col("ca").as("cust_a"), col("cb").as("cust_b"),
         col("nsh").as("n_shared"), col("num").as("dot_e10"),
-        col("na").as("norm2_a"), col("nb").as("norm2_b"),
-        expr("round(cast(num as double)" +
-          " / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)").as("cos6"))
+        col("na").as("norm2_a"), col("nb").as("norm2_b"))
+    // cos² as ExactRatio's integer rational (dot_e10 carries the sign);
+    // zero-norm guard added for the ladder — vacuous on real data, where
+    // a surviving pair always has positive idf-weight norms
+    ExactRatio.applySpark(base, ExactRatio.r2e6Stages(ExactRatio.SparkF,
+        "dot_e10", "norm2_a", "norm2_b", "cos2_e6"))
+      .select("cust_a", "cust_b", "n_shared", "dot_e10",
+        "norm2_a", "norm2_b", "cos2_e6")
       .orderBy("cust_a", "cust_b")
   }
 
@@ -868,10 +876,14 @@ object Features {
     * order (revenue desc, partkey) — partkey uniqueness makes RANGE ≡
     * ROWS, so both engines' default frames agree — and the class test is
     * exact DECIMAL cross-multiplication (5·cum ≤ 4·T, 20·cum ≤ 19·T):
-    * no share double ever crosses a comparison. The global window runs
-    * on the part DIMENSION (1/30th of fact rows; swap for the
-    * range-partitioned prefix-sum shape of ExactQuantiles at extreme
-    * part counts); shares are presentation-rounded. */
+    * no share double ever crosses a comparison, and the class share
+    * ships as share_e6 = floor(1e6·classRev/total) — exact integers
+    * only. The running sum is the RANGE-PARTITIONED two-pass prefix sum
+    * ([[graft.operators.RangePrefixSum]]), never a partition-less
+    * window: that shape single-tasks the whole part dimension (the r14
+    * bench pathology — 47 s under contention) and dies at 100× part
+    * cardinality; here every stage is parallel and the only driver
+    * state is one exact BigDecimal per partition. */
   private val partsAbc = Q("parts_abc",
     s"""WITH pr AS (SELECT l_partkey AS pk,
        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
@@ -886,23 +898,24 @@ object Features {
        |  FROM w)
        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
        |  CAST(sum(r) AS BIGINT) AS revenue_cents,
-       |  round(CAST(sum(r) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6) AS share6
+       |  CAST((CAST('1000000' AS HUGEINT) * CAST(sum(r) AS HUGEINT))
+       |    // CAST(max(t) AS HUGEINT) AS BIGINT) AS share_e6
        |FROM c GROUP BY cls ORDER BY cls""".stripMargin) { (s, d) =>
     val pr = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
         .cast("decimal(38,0)").as("r"))
-    val w = pr
-      .withColumn("cum", sum("r").over(Window.orderBy(col("r").desc, col("pk"))))
-      .withColumn("t", sum("r").over(Window.partitionBy()))
-    w.select(col("r"), col("t"),
-        expr("case when 5 * cum <= 4 * t then 'A'" +
-          " when 20 * cum <= 19 * t then 'B' else 'C' end").as("cls"))
+    val (w, total) = graft.operators.RangePrefixSum.withRunningSum(
+      pr, Seq(col("r").desc, col("pk")), "r", "cum")
+    val t = s"cast('${total.toPlainString}' as decimal(38,0))"
+    w.select(col("r"),
+        expr(s"case when 5 * cum <= 4 * $t then 'A'" +
+          s" when 20 * cum <= 19 * $t then 'B' else 'C' end").as("cls"))
       .groupBy("cls")
       .agg(count(lit(1)).as("n_parts"),
         sum("r").cast("bigint").as("revenue_cents"),
-        expr("round(cast(sum(r) as double) / cast(max(t) as double), 6)")
-          .as("share6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * sum(r))" +
+          s" div $t as bigint)").as("share_e6"))
       .orderBy("cls")
   }
 
@@ -913,8 +926,9 @@ object Features {
     * epoch-day BIGINT — (day + 3) mod 7, 0 = Monday — identical integer
     * arithmetic on both engines, never an engine dayofweek() (their
     * numbering conventions differ, the SURVEY §7.3 ban). Counts and
-    * totals are the exact hash surface; the 7n/total index is
-    * presentation. ONE combinable count onto the bounded
+    * totals are the exact hash surface; the weekly index ships as
+    * idx_e6 = floor(7e6·n/total) — exact integer division on both
+    * engines, no hashed double. ONE combinable count onto the bounded
     * (type, dow ≤ 7) domain; the per-type total rides a window on that
     * domain table. */
   private val eventsSeasonality = Q("events_seasonality",
@@ -927,7 +941,7 @@ object Features {
        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
        |  FROM g)
        |SELECT event_type, dow, n, total,
-       |  round(CAST(7 AS DOUBLE) * n / total, 6) AS idx6
+       |  CAST((CAST('7000000' AS HUGEINT) * n) // total AS BIGINT) AS idx_e6
        |FROM w ORDER BY event_type, dow""".stripMargin) { (s, d) =>
     val g = Tables.events(s, d)
       .select(col("event_type"),
@@ -935,7 +949,8 @@ object Features {
       .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
     g.withColumn("total", sum("n").over(Window.partitionBy("event_type")))
       .select(col("event_type"), col("dow"), col("n"), col("total"),
-        expr("round(cast(7 as double) * n / total, 6)").as("idx6"))
+        expr("cast((cast('7000000' as decimal(38,0)) * n) div total as bigint)")
+          .as("idx_e6"))
       .orderBy("event_type", "dow")
   }
 

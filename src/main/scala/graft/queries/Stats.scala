@@ -969,8 +969,9 @@ object Stats {
        |    JOIN ct x ON x.nat = c.nat CROSS JOIN tot t),
        |chi AS (SELECT CAST(sum($si) AS BIGINT) AS chi2_9 FROM j)
        |SELECT t.nv AS n, t.nseg AS n_seg, t.nnat AS n_nat, chi.chi2_9,
-       |  round(sqrt(CAST(chi.chi2_9 AS DOUBLE) / 1000000000
-       |    / (t.nv * (least(t.nseg, t.nnat) - 1))), 6) AS v6
+       |  CAST((CAST('1000000' AS HUGEINT) * chi.chi2_9)
+       |    // (CAST('1000000000' AS HUGEINT) * t.nv
+       |      * greatest(least(t.nseg, t.nnat) - 1, 1)) AS BIGINT) AS v2_e6
        |FROM chi CROSS JOIN tot t""".stripMargin
   }) { (s, d) =>
     val e = "CAST(rtv AS DOUBLE) * ctv / nv"
@@ -987,8 +988,9 @@ object Stats {
         countDistinct("seg").as("n_seg"), countDistinct("nat").as("n_nat"),
         sum(expr(si)).as("chi2_9"))
       .select(col("n"), col("n_seg"), col("n_nat"), col("chi2_9"),
-        expr("round(sqrt(CAST(chi2_9 AS DOUBLE) / 1000000000" +
-          " / (n * (least(n_seg, n_nat) - 1))), 6)").as("v6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * chi2_9)" +
+          " div (cast('1000000000' as decimal(38,0)) * n" +
+          " * greatest(least(n_seg, n_nat) - 1, 1)) as bigint)").as("v2_e6"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the event stream's
@@ -997,7 +999,7 @@ object Stats {
     * bin; KS is the sup-norm CDF distance at full value resolution.
     * D's numerator is the EXACT integer max over the value domain of
     * |F1·n2 − F2·n1| (cross-multiplied — no division near the max), so
-    * the statistic is engine-exact; d6 is presentation. Scale: the
+    * the statistic is engine-exact; d_e6 = floor(1e6·d_num/(n1·n2)) keeps the hash surface integer-only. Scale: the
     * stream collapses FIRST into ONE combinable (type, cent-value,
     * half) count — the cumulative windows and the max run on the
     * value-DOMAIN table (cents-bounded forever, the feature_cdf
@@ -1025,7 +1027,8 @@ object Stats {
        |    CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
        |  FROM c JOIN t ON t.event_type = c.event_type GROUP BY c.event_type)
        |SELECT d.event_type, t.n1, t.n2, d_num,
-       |  round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d6
+       |  CAST((CAST('1000000' AS HUGEINT) * d_num)
+       |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_e6
        |FROM d JOIN t ON t.event_type = d.event_type
        |ORDER BY d.event_type""".stripMargin) { (s, d) =>
     val b = Tables.events(s, d).select(col("event_type"),
@@ -1051,7 +1054,8 @@ object Stats {
       .agg(max(expr("abs(f1 * n2 - f2 * n1)")).as("d_num"),
         max("n1").as("n1"), max("n2").as("n2"))
       .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
-        expr("round(cast(d_num as double) / (cast(n1 as double) * n2), 6)").as("d6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * d_num)" +
+          " div (cast(n1 as decimal(38,0)) * n2) as bigint)").as("d_e6"))
       .orderBy("event_type")
   }
 
@@ -1300,8 +1304,8 @@ object Stats {
     * (type, cent) contingency domain, never per-row ranks: DOUBLED
     * U2 = Σ_v c1(v)·(2·cum2(<v) + c2(v)) counts each cross-half pair
     * twice (wins ×2, ties ×1), staying in exact BIGINT arithmetic;
-    * auc6 = U2 / (2·n1·n2) is the common-language effect size
-    * (presentation round only). Scale: identical to the KS plan — one
+    * auc_e6 = floor(1e6·U2/(2·n1·n2)) is the common-language effect size
+    * as an exact integer (no hashed double). Scale: identical to the KS plan — one
     * combinable aggregate to the cent domain, window sums over ONE
     * exchange on event_type, no joins.
     */
@@ -1324,7 +1328,8 @@ object Stats {
        |    CAST(sum(c1 * (2 * cum2 + c2)) AS BIGINT) AS u2
        |  FROM c GROUP BY event_type HAVING max(n1) > 0 AND max(n2) > 0)
        |SELECT event_type, n1, n2, u2,
-       |  round(CAST(u2 AS DOUBLE) / (2.0 * n1 * n2), 6) AS auc6
+       |  CAST((CAST('1000000' AS HUGEINT) * u2)
+       |    // (CAST(2 AS HUGEINT) * n1 * n2) AS BIGINT) AS auc_e6
        |FROM u ORDER BY event_type""".stripMargin) { (s, d) =>
     val b = Tables.events(s, d).select(col("event_type"),
       expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"),
@@ -1349,7 +1354,8 @@ object Stats {
         sum(expr("c1 * (2 * cum2 + c2)")).as("u2"))
       .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("event_type"), col("n1"), col("n2"), col("u2"),
-        expr("round(cast(u2 as double) / (2.0 * n1 * n2), 6)").as("auc6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * u2)" +
+          " div (cast(2 as decimal(38,0)) * n1 * n2) as bigint)").as("auc_e6"))
       .orderBy("event_type")
   }
 
@@ -1452,8 +1458,8 @@ object Stats {
     * sequence (row i of n days, F cumulative count, T total) is an EXACT
     * BIGINT — no mean division anywhere — so the peak score and its
     * arg-day are engine-exact; ties break to the EARLIEST day via an
-    * exact filter + min, never a sort-order dependence. frac6 ∈ [0,1]
-    * (score/(n·T)) is presentation. Scale: the only O(data) stage is the
+    * exact filter + min, never a sort-order dependence. frac_e6 =
+    * floor(1e6·score/(n·T)) is an exact integer. Scale: the only O(data) stage is the
     * combinable daily count; windows and the argmax run on the
     * |types|×|days| domain table over ONE exchange on type. Int64:
     * n·F ≤ days·rows ≈ 10⁴·10¹² at 100 TB — within int64.
@@ -1473,7 +1479,8 @@ object Stats {
        |  FROM r WHERE n >= 2)
        |SELECT event_type, max(n) AS n_days, max(t) AS total,
        |  min(day) AS cp_day, max(amax) AS cus_num,
-       |  round(CAST(max(amax) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * max(t)), 6) AS frac6
+       |  CAST((CAST('1000000' AS HUGEINT) * max(amax))
+       |    // (CAST(max(n) AS HUGEINT) * max(t)) AS BIGINT) AS frac_e6
        |FROM cus WHERE a = amax GROUP BY event_type
        |ORDER BY event_type""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
@@ -1498,7 +1505,8 @@ object Stats {
         min("day").as("cp_day"), max("amax").as("cus_num"))
       .select(col("event_type"), col("n_days"), col("total"), col("cp_day"),
         col("cus_num"),
-        expr("round(cast(cus_num as double) / (cast(n_days as double) * total), 6)").as("frac6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * cus_num)" +
+          " div (cast(n_days as decimal(38,0)) * total) as bigint)").as("frac_e6"))
       .orderBy("event_type")
   }
 
@@ -1557,8 +1565,9 @@ object Stats {
     * integer cents via string head (multiplying by 100 never changes the
     * leading significant digit), so the per-digit counts are engine-exact
     * with no log10 anywhere near the bucketing; expected Benford mass
-    * ln(1+1/d)/ln(10) and the share deltas are presentation doubles of
-    * identical shape. Scale: ONE map-combinable aggregate onto a 9-row
+    * snaps to benford_e6 = floor(1e6·ln(1+1/d)/ln(10)+0.5) (nine fixed
+    * data-independent values, identical expression shape) and the share
+    * and delta ship as exact integers — no hashed double. Scale: ONE map-combinable aggregate onto a 9-row
     * domain; the windowed total rides the same reduction.
     */
   private val statsBenford = Q("stats_benford",
@@ -1568,12 +1577,12 @@ object Stats {
        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM b GROUP BY digit),
        |w AS (SELECT digit, n_d, CAST(sum(n_d) OVER () AS BIGINT) AS n FROM g)
        |SELECT digit, n_d, n,
-       |  round(CAST(n_d AS DOUBLE) / n, 6) AS share6,
-       |  round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
-       |    / ln(CAST(10 AS DOUBLE)), 6) AS benford6,
-       |  round(CAST(n_d AS DOUBLE) / n
-       |    - ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
-       |      / ln(CAST(10 AS DOUBLE)), 6) AS diff6
+       |  CAST((CAST('1000000' AS HUGEINT) * n_d) // n AS BIGINT) AS share_e6,
+       |  CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+       |    / ln(CAST(10 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS benford_e6,
+       |  CAST((CAST('1000000' AS HUGEINT) * n_d) // n AS BIGINT)
+       |    - CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+       |      / ln(CAST(10 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS diff_e6
        |FROM w ORDER BY digit""".stripMargin) { (s, d) =>
     val b = Tables.lineitem(s, d)
       .filter(col("l_extendedprice") > 0)
@@ -1581,11 +1590,13 @@ object Stats {
         " as bigint) as string), 1, 1) as bigint)").as("digit"))
     val g = b.groupBy("digit").agg(count(lit(1)).as("n_d"))
     g.withColumn("n", sum("n_d").over(Window.partitionBy()))
-      .select(col("digit"), col("n_d"), col("n"),
-        expr("round(cast(n_d as double) / n, 6)").as("share6"),
-        expr("round(ln(1.0d + 1.0d / digit) / ln(10.0d), 6)").as("benford6"),
-        expr("round(cast(n_d as double) / n" +
-          " - ln(1.0d + 1.0d / digit) / ln(10.0d), 6)").as("diff6"))
+      .withColumn("share_e6",
+        expr("cast((cast('1000000' as decimal(38,0)) * n_d) div n as bigint)"))
+      .withColumn("benford_e6",
+        expr("cast(floor(ln(1.0d + 1.0d / digit) / ln(10.0d) * 1000000 + 0.5) as bigint)"))
+      .select(col("digit"), col("n_d"), col("n"), col("share_e6"),
+        col("benford_e6"),
+        expr("share_e6 - benford_e6").as("diff_e6"))
       .orderBy("digit")
   }
 
@@ -1661,7 +1672,7 @@ object Stats {
     * aggregate folds them back per (type, day), and rows holding both
     * sides are exactly the equi-join's matches — ONE scan, zero joins.
     * Everything on the hash surface is a BIGINT (counts, |err| sums,
-    * maxima); the MAE double is presentation-rounded with identical
+    * maxima); MAE ships as mae_e6 = floor(1e6·Σ|err|/n) — exact integers with identical
     * shape on both engines. At 100 TB the domain stays |types| × |days|
     * regardless of row count — the one scan is the only data-bound
     * term. */
@@ -1675,7 +1686,8 @@ object Stats {
        |  CAST(sum(a.n) AS BIGINT) AS actual_sum,
        |  CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err_sum,
        |  CAST(max(abs(a.n - b.n)) AS BIGINT) AS max_abs_err,
-       |  round(CAST(sum(abs(a.n - b.n)) AS DOUBLE) / count(*), 6) AS mae6
+       |  CAST((CAST('1000000' AS HUGEINT) * sum(abs(a.n - b.n)))
+       |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS mae_e6
        |FROM c a JOIN c b
        |  ON a.event_type = b.event_type AND a.day = b.day + 7
        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin) { (s, d) =>
@@ -1699,8 +1711,8 @@ object Stats {
         sum(col("n_act")).as("actual_sum"),
         sum(abs(col("n_act") - col("n_pred"))).as("abs_err_sum"),
         max(abs(col("n_act") - col("n_pred"))).as("max_abs_err"),
-        expr("round(cast(sum(abs(n_act - n_pred)) as double) / count(1), 6)")
-          .as("mae6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * sum(abs(n_act - n_pred)))" +
+          " div cast(count(1) as decimal(38,0)) as bigint)").as("mae_e6"))
       .orderBy("event_type")
   }
 
@@ -1718,9 +1730,9 @@ object Stats {
     * single time; the bounded CartesianProduct runs on the CACHED frame
     * (the dedup_embedding bounded-BNLJ precedent). Pairwise tie counts equal
     * the Σ t(t−1)/2 group form identically, so tau-b's denominator
-    * (n0−tx)(n0−ty) is exact integer arithmetic; the final tau is the
-    * only double, presentation-rounded from the same integers on both
-    * engines. */
+    * (n0−tx)(n0−ty) is exact integer arithmetic; tau-b ships as tau2_e6 + tau_sign —
+    * ExactRatio's exact integer rational over those integers, so no
+    * double is hashed on either engine. */
   private val statsKendallTau = Q("stats_kendall_tau",
     s"""WITH g AS (SELECT c_nationkey AS nk,
        |    CAST(count(*) AS BIGINT) AS x,
@@ -1730,23 +1742,24 @@ object Stats {
        |  GROUP BY c_nationkey),
        |p AS (SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS yb
        |  FROM g a JOIN g b ON a.nk < b.nk)
-       |SELECT
-       |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_groups,
-       |  CAST(count(*) AS BIGINT) AS n_pairs,
-       |  CAST(sum(CASE WHEN (ax < bx AND ay < yb) OR (ax > bx AND ay > yb)
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS nc,
-       |  CAST(sum(CASE WHEN (ax < bx AND ay > yb) OR (ax > bx AND ay < yb)
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS nd,
-       |  CAST(sum(CASE WHEN ax = bx THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
-       |  CAST(sum(CASE WHEN ay = yb THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
-       |  round((sum(CASE WHEN (ax < bx AND ay < yb) OR (ax > bx AND ay > yb)
-       |      THEN 1 ELSE 0 END)
-       |    - sum(CASE WHEN (ax < bx AND ay > yb) OR (ax > bx AND ay < yb)
-       |      THEN 1 ELSE 0 END))
-       |    / sqrt(CAST((count(*) - sum(CASE WHEN ax = bx THEN 1 ELSE 0 END))
-       |        * (count(*) - sum(CASE WHEN ay = yb THEN 1 ELSE 0 END))
-       |      AS DOUBLE)), 6) AS tau_b6
-       |FROM p""".stripMargin) { (s, d) =>
+       |SELECT n_groups, n_pairs, nc, nd, tie_x, tie_y, tau2_e6,
+       |  ${graft.functions.ExactRatio.signInt("nc - nd")} AS tau_sign
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT a0.*, nc - nd AS tnum,
+          |  greatest(n_pairs - tie_x, 1) AS dxp,
+          |  greatest(n_pairs - tie_y, 1) AS dyp
+          |FROM (SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_groups,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(sum(CASE WHEN (ax < bx AND ay < yb) OR (ax > bx AND ay > yb)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          |  CAST(sum(CASE WHEN (ax < bx AND ay > yb) OR (ax > bx AND ay < yb)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+          |  CAST(sum(CASE WHEN ax = bx THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+          |  CAST(sum(CASE WHEN ay = yb THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+          |  FROM p) a0""".stripMargin,
+        graft.functions.ExactRatio.r2e6Stages(
+          graft.functions.ExactRatio.DuckF, "tnum", "dxp", "dyp", "tau2_e6"))} q""".stripMargin) { (s, d) =>
     // pin the 25-row domain ONCE: the pair join reads both sides (and
     // the n_groups count a third) from the cache, so the fact join+agg
     // runs a single time — without the pin each consumer re-plans the
@@ -1771,10 +1784,20 @@ object Stats {
         sum(when(expr("ax = bx"), 1L).otherwise(0L)).as("tie_x"),
         sum(when(expr("ay = yb"), 1L).otherwise(0L)).as("tie_y"))
       .crossJoin(g.agg(count(lit(1)).as("n_groups")))
+      .withColumn("tnum", expr("nc - nd"))
+      // all-tied degenerate guard (vacuous on the 25-nation domain):
+      // greatest(...,1) keeps the ladder's denominator positive with the
+      // identical deterministic value on both engines
+      .withColumn("dxp", expr("greatest(n_pairs - tie_x, 1)"))
+      .withColumn("dyp", expr("greatest(n_pairs - tie_y, 1)"))
+      .transform { base =>
+        import graft.functions.ExactRatio
+        ExactRatio.applySpark(base,
+          ExactRatio.r2e6Stages(ExactRatio.SparkF, "tnum", "dxp", "dyp", "tau2_e6"))
+      }
       .select(col("n_groups"), col("n_pairs"), col("nc"), col("nd"),
-        col("tie_x"), col("tie_y"),
-        expr("round((nc - nd) / sqrt(cast((n_pairs - tie_x)" +
-          " * (n_pairs - tie_y) as double)), 6)").as("tau_b6"))
+        col("tie_x"), col("tie_y"), col("tau2_e6"),
+        expr(graft.functions.ExactRatio.signInt("nc - nd")).as("tau_sign"))
   }
 
   val all: Seq[Q] = Seq(histogramEquidepth, outlierMad, colEntropy,

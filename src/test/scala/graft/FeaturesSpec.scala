@@ -453,9 +453,9 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(r.getLong(2) == nsh, s"$key n_shared")
       assert(r.getLong(3) == num, s"$key dot")
       assert(r.getLong(4) == na && r.getLong(5) == nb, s"$key norms")
-      val cosB = num.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
-      assert(math.abs(r.getDouble(6) - cosB) <= 5.0001e-7, s"$key cos6")
-      assert(r.getDouble(6) >= 0.5 - 5.0001e-7, s"$key below the cos gate")
+      val cos2B = num.toDouble * num / (na.toDouble * nb.toDouble)
+      assert(math.abs(r.getLong(6) / 1e6 - cos2B) <= 2e-6, s"$key cos2_e6")
+      assert(r.getLong(6) >= 249998L, s"$key below the cos gate (cos2 >= 0.25)")
       key
     }.toSet
     assert(seen == brute.keySet, // completeness: nothing the gate admits is dropped
@@ -484,11 +484,12 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     brute.foreach { case (cls, (n, rev)) =>
       assert(res(cls).getLong(1) == n, s"$cls n_parts")
       assert(BigInt(res(cls).getLong(2)) == rev, s"$cls revenue_cents")
-      assert(math.abs(res(cls).getDouble(3) -
-        (rev.toDouble / total.toDouble)) <= 5.0001e-7, s"$cls share6")
+      val shareE6 = ((BigInt(1000000) * rev) / total).toLong
+      assert(res(cls).getLong(3) == shareE6, s"$cls share_e6")
     }
-    // class shares telescope to 1
-    assert(math.abs(res.values.map(_.getDouble(3)).sum - 1.0) <= 2e-6)
+    // class shares telescope to 1 (floor loses < 1e-6 per class)
+    val shareSum = res.values.map(_.getLong(3)).sum
+    assert(shareSum > 1000000L - 3 && shareSum <= 1000000L)
   }
 
   test("events_rolling_median: trailing-7d medians match a brute window scan") {
@@ -524,8 +525,8 @@ class FeaturesSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(r.getLong(1) >= 0 && r.getLong(1) <= 6, "dow range")
       assert(r.getLong(2) == brute(key), s"$key n")
       assert(r.getLong(3) == totals(key._1), s"$key total")
-      assert(math.abs(r.getDouble(4) -
-        7.0 * brute(key) / totals(key._1)) <= 5.0001e-7, s"$key idx6")
+      val idxE6 = ((BigInt(7000000) * brute(key)) / totals(key._1)).toLong
+      assert(r.getLong(4) == idxE6, s"$key idx_e6")
     }
   }
 }

@@ -232,6 +232,38 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(!plan.contains("Join"), s"spearman must not join:\n$plan")
   }
 
+  test("parts_abc: no partition-less window anywhere — the running sum is range-partitioned") {
+    // the r14 pathology: sum() OVER (ORDER BY …) with no PARTITION BY
+    // single-tasks the whole part dimension (Spark's own WindowExec
+    // warning; 47 s under driver contention). The RangePrefixSum shape
+    // must leave NO window node in the executed plan at all.
+    val df = SparkEntry.queries("parts_abc")(s, d)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Window"), s"parts_abc must not plan a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"parts_abc must not force a single-partition exchange for ordering:\n$plan")
+  }
+
+  test("RangePrefixSum: exact running sums across partitions, ties, and empty partitions") {
+    import s.implicits._
+    // adversarial: heavy ties in the value (the order includes the
+    // tie-breaking key), values large enough to matter, tiny partitions
+    val rows = (1L to 1000L).map(i => (i, (i % 7) * 1000000007L))
+    val df = rows.toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(38,0)").as("v"))
+      .repartition(13)
+    val (out, total) = operators.RangePrefixSum.withRunningSum(
+      df, Seq(col("v").desc, col("k")), "v", "cum")
+    val got = out.collect()
+      .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger)))
+    val sorted = rows.sortBy { case (k, v) => (-v, k) }
+    var run = BigInt(0)
+    val want = sorted.map { case (k, v) => run += v; (k, BigInt(v), run) }
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == want, "running sums diverge")
+    assert(BigInt(total.toBigInteger) == rows.map(r => BigInt(r._2)).sum, "grand total")
+  }
+
   test("events_interarrival: the lag window partitions on (type, day), never type alone") {
     val plan = finalPlan(SparkEntry.queries("events_interarrival")(s, d))
     // day-bounding is the scale contract: a per-type-only ordering would

@@ -543,10 +543,10 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(row.getLong(0) == n)
     assert(row.getLong(1) == rt.size && row.getLong(2) == ct.size)
     assert(row.getLong(3) == chi2_9, s"chi2_9 ${row.getLong(3)} vs brute $chi2_9")
-    val v = row.getDouble(4)
-    val vBrute = math.sqrt(chi2_9.toDouble / 1e9 / (n * (math.min(rt.size, ct.size) - 1)))
-    assert(math.abs(v - vBrute) <= 5.0001e-7, s"v6 $v vs brute $vBrute")
-    assert(v >= 0.0 && v <= 1.0)
+    val v2E6 = ((BigInt(1000000) * chi2_9) /
+      (BigInt(1000000000) * n * math.max(math.min(rt.size, ct.size) - 1, 1))).toLong
+    assert(row.getLong(4) == v2E6, s"v2_e6 ${row.getLong(4)} vs brute $v2E6")
+    assert(row.getLong(4) >= 0L && row.getLong(4) <= 1000000L)
   }
 
   test("stats_ks_test: D matches a brute sorted-CDF re-derivation per type") {
@@ -558,7 +558,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val m = (days.min + days.max + 1) / 2
     val res = SparkEntry.queries("stats_ks_test")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val byType = evs.groupBy(_._1)
     var checked = 0
     byType.foreach { case (ty, rows) =>
@@ -570,11 +570,12 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         // numerator re-derived by direct counting, no windows anywhere
         val dnum = (h1 ++ h2).distinct.map(x =>
           math.abs(h1.count(_ <= x) * n2 - h2.count(_ <= x) * n1)).max
-        val (rn1, rn2, rd, d6) = res(ty)
+        val (rn1, rn2, rd, dE6) = res(ty)
         assert(rn1 == n1 && rn2 == n2, s"$ty half sizes")
         assert(rd == dnum, s"$ty: d_num $rd vs brute $dnum")
-        assert(math.abs(d6 - dnum.toDouble / (n1.toDouble * n2)) <= 5.0001e-7)
-        assert(d6 >= 0.0 && d6 <= 1.0)
+        val dE6B = ((BigInt(1000000) * dnum) / (BigInt(n1) * n2)).toLong
+        assert(dE6 == dE6B, s"$ty d_e6 $dE6 vs brute $dE6B")
+        assert(dE6 >= 0L && dE6 <= 1000000L)
         checked += 1
       } else assert(!res.contains(ty), s"$ty with an empty half must be excluded")
     }
@@ -688,7 +689,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val m = (evs.map(_._3).min + evs.map(_._3).max + 1) / 2
     val res = SparkEntry.queries("stats_mannwhitney")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     var checked = 0
     evs.groupBy(_._1).foreach { case (ty, rows) =>
       val h1 = rows.filter(_._3 < m).map(_._2)
@@ -697,12 +698,13 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         // doubled U by literal pairwise comparison: 2 per win, 1 per tie
         val u2 = (for (a <- h1; b <- h2) yield
           (if (a > b) 2L else if (a == b) 1L else 0L)).sum
-        val (rn1, rn2, ru2, auc) = res(ty)
+        val (rn1, rn2, ru2, aucE6) = res(ty)
         assert(rn1 == h1.length && rn2 == h2.length, s"$ty half sizes")
         assert(ru2 == u2, s"$ty u2 $ru2 vs brute $u2")
-        val aucBrute = u2.toDouble / (2.0 * h1.length * h2.length)
-        assert(math.abs(auc - aucBrute) <= 5.0001e-7, s"$ty auc $auc vs $aucBrute")
-        assert(auc >= 0.0 && auc <= 1.0)
+        val aucE6B = ((BigInt(1000000) * u2) /
+          (BigInt(2) * h1.length * h2.length)).toLong
+        assert(aucE6 == aucE6B, s"$ty auc_e6 $aucE6 vs $aucE6B")
+        assert(aucE6 >= 0L && aucE6 <= 1000000L)
         checked += 1
       } else assert(!res.contains(ty), s"$ty with an empty half must be excluded")
     }
@@ -767,7 +769,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val res = SparkEntry.queries("events_cusum")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     var checked = 0
     evs.groupBy(_._1).foreach { case (ty, rows) =>
       val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
@@ -784,12 +786,13 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         assert(cus.last._2 == 0L, s"$ty terminal cusum")
         val amax = cus.map(_._2).max
         val cpDay = cus.filter(_._2 == amax).map(_._1).min
-        val (rn, rt, rday, rcus, frac) = res(ty)
+        val (rn, rt, rday, rcus, fracE6) = res(ty)
         assert(rn == n && rt == t, s"$ty totals")
         assert(rcus == amax, s"$ty peak $rcus vs brute $amax")
         assert(rday == cpDay, s"$ty cp_day $rday vs brute $cpDay")
-        assert(math.abs(frac - amax.toDouble / (n.toDouble * t)) <= 5.0001e-7)
-        assert(frac >= 0.0 && frac <= 1.0)
+        val fracE6B = ((BigInt(1000000) * amax) / (BigInt(n) * t)).toLong
+        assert(fracE6 == fracE6B, s"$ty frac_e6 $fracE6 vs $fracE6B")
+        assert(fracE6 >= 0L && fracE6 <= 1000000L)
         checked += 1
       } else assert(!res.contains(ty), s"$ty single-day series must be excluded")
     }
@@ -841,11 +844,14 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       val d0 = r.getLong(0)
       assert(r.getLong(1) == truth(d0), s"digit $d0 count")
       assert(r.getLong(2) == n)
-      val benford = math.log(1.0 + 1.0 / d0) / math.log(10.0)
-      assert(math.abs(r.getDouble(4) - benford) <= 5.0001e-7, s"digit $d0 benford6")
-      assert(math.abs(r.getDouble(5) - (truth(d0).toDouble / n - benford)) <= 1.0001e-6)
+      val benfordE6 = math.floor(math.log(1.0 + 1.0 / d0) / math.log(10.0) * 1e6 + 0.5).toLong
+      assert(r.getLong(4) == benfordE6, s"digit $d0 benford_e6")
+      val shareE6 = ((BigInt(1000000) * truth(d0)) / n).toLong
+      assert(r.getLong(3) == shareE6, s"digit $d0 share_e6")
+      assert(r.getLong(5) == shareE6 - benfordE6, s"digit $d0 diff_e6")
     }
-    assert(math.abs(res.map(_.getDouble(3)).sum - 1.0) < 1e-4, "shares must sum to ~1")
+    val shareSum = res.map(_.getLong(3)).sum
+    assert(shareSum > 1000000L - 10 && shareSum <= 1000000L, "shares must sum to ~1")
   }
 
   test("events_interarrival: gaps, quartiles, and totals match a brute sorted scan per (type, day)") {
@@ -922,8 +928,8 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         val absErrs = pairs.map { case (a, b) => math.abs(a - b) }
         assert(r.getLong(3) == absErrs.sum, s"$ty abs_err_sum")
         assert(r.getLong(4) == absErrs.max, s"$ty max_abs_err")
-        assert(math.abs(r.getDouble(5) -
-          absErrs.sum.toDouble / pairs.length) <= 5.0001e-7, s"$ty mae6")
+        val maeE6 = ((BigInt(1000000) * absErrs.sum) / pairs.length).toLong
+        assert(r.getLong(5) == maeE6, s"$ty mae_e6 ${r.getLong(5)} vs $maeE6")
         checked += 1
       } else assert(!res.contains(ty), s"$ty without aligned days must be absent")
     }
@@ -956,9 +962,10 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(r(0).getLong(3) == nd, "nd")
     assert(r(0).getLong(4) == tx, "tie_x")
     assert(r(0).getLong(5) == ty, "tie_y")
-    val tau = (nc - nd).toDouble / math.sqrt(((np - tx) * (np - ty)).toDouble)
-    assert(math.abs(r(0).getDouble(6) - tau) <= 5.0001e-7, "tau_b6")
-    assert(math.abs(tau) <= 1.0)
+    val tau2 = ((nc - nd).toDouble * (nc - nd)) / ((np - tx).toDouble * (np - ty))
+    assert(math.abs(r(0).getLong(6) / 1e6 - tau2) <= 2e-6, "tau2_e6")
+    assert(r(0).getLong(6) >= 0L && r(0).getLong(6) <= 1000000L)
+    assert(r(0).getInt(7) == (nc - nd).signum, "tau_sign")
   }
 
   test("bpe_pair_counts is the true top-50 of a brute-force pair recount") {
