@@ -76,17 +76,17 @@ object LlmOps {
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
          |  CAST(length(text) AS INT) AS n_char,
-         |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-         |        / len(string_split(text, ' ')), 6) AS avg_wlen,
-         |  round(CAST(len(list_filter(string_split(lower(text), ' '),
-         |        t -> t IN ('the', 'fast', 'slow'))) AS DOUBLE)
-         |        / len(string_split(text, ' ')), 6) AS stop_ratio
+         |  CAST((1000000 * (length(text) - (len(string_split(text, ' ')) - 1)))
+         |        // len(string_split(text, ' ')) AS BIGINT) AS avg_wlen_e6,
+         |  CAST((1000000 * len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('the', 'fast', 'slow'))))
+         |        // len(string_split(text, ' ')) AS BIGINT) AS stop_e6
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         expr("size(split(text, ' '))").as("n_tok"),
         length(col("text")).as("n_char"),
-        expr("round(cast(length(text) - (size(split(text, ' ')) - 1) as double) / size(split(text, ' ')), 6)").as("avg_wlen"),
-        expr("round(cast(size(filter(split(lower(text), ' '), t -> t IN ('the', 'fast', 'slow'))) as double) / size(split(text, ' ')), 6)").as("stop_ratio"),
+        expr("cast((1000000 * cast(length(text) - (size(split(text, ' ')) - 1) as bigint)) div size(split(text, ' ')) as bigint)").as("avg_wlen_e6"),
+        expr("cast((1000000 * cast(size(filter(split(lower(text), ' '), t -> t IN ('the', 'fast', 'slow'))) as bigint)) div size(split(text, ' ')) as bigint)").as("stop_e6"),
       ).orderBy("doc_id")
     },
 
@@ -119,9 +119,9 @@ object LlmOps {
     // fractions. Pure per-row expression pipeline — higher-order
     // functions only, zero shuffles besides the output sort, so at
     // 100 TB this is a map-only pass that fuses into whatever scan
-    // feeds it. Ratio arithmetic is written with the IDENTICAL
-    // shape/order on both engines (IEEE double ops are deterministic
-    // when parenthesised identically, §7.3).
+    // feeds it. The duplicate fractions ship as exact e6 integers
+    // (floor of 1e6*(n-distinct)/n) - per-doc grain means millions of
+    // rows of boundary exposure, the class the r14 forensics killed.
     Q("text_repetition",
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |g AS (SELECT doc_id, t, CASE WHEN len(t) >= 2 THEN
@@ -129,9 +129,11 @@ object LlmOps {
          |  ELSE [] END AS bg FROM toks)
          |SELECT doc_id,
          |  CAST(len(t) AS INT) AS n_tok,
-         |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_word_ratio,
-         |  round(CASE WHEN len(bg) = 0 THEN 0.0
-         |        ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 6) AS dup_bigram_ratio
+         |  CAST((1000000 * (len(t) - len(list_distinct(t)))) // len(t)
+         |    AS BIGINT) AS dup_word_e6,
+         |  CAST(CASE WHEN len(bg) = 0 THEN 0
+         |        ELSE (1000000 * (len(bg) - len(list_distinct(bg)))) // len(bg) END
+         |    AS BIGINT) AS dup_bigram_e6
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -141,12 +143,12 @@ object LlmOps {
             |else cast(array() as array<string>) end""".stripMargin))
         .select(col("doc_id"),
           expr("size(t)").as("n_tok"),
-          expr("round(1.0 - cast(size(array_distinct(t)) as double) / size(t), 6)")
-            .as("dup_word_ratio"),
+          expr("cast((1000000 * cast(size(t) - size(array_distinct(t)) as bigint)) div size(t) as bigint)")
+            .as("dup_word_e6"),
           expr(
-            """round(case when size(bg) = 0 then 0.0
-              |  else 1.0 - cast(size(array_distinct(bg)) as double) / size(bg) end, 6)""".stripMargin)
-            .as("dup_bigram_ratio"))
+            """cast(case when size(bg) = 0 then 0
+              |  else (1000000 * cast(size(bg) - size(array_distinct(bg)) as bigint)) div size(bg) end as bigint)""".stripMargin)
+            .as("dup_bigram_e6"))
         .orderBy("doc_id")
     },
 

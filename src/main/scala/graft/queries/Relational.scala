@@ -240,7 +240,7 @@ object Relational {
          |  FROM events WHERE event_type IN ('click', 'view')
          |  GROUP BY bucket, event_type)
          |SELECT a.bucket, a.n AS clicks, b.n AS views,
-         |  round(CAST(a.n AS DOUBLE) / b.n, 6) AS ratio6
+         |  CAST((1000000 * a.n) // b.n AS BIGINT) AS ratio_e6
          |FROM (SELECT bucket, n FROM g WHERE event_type = 'click') a
          |JOIN (SELECT bucket, n FROM g WHERE event_type = 'view') b
          |  ON a.bucket IS NOT DISTINCT FROM b.bucket
@@ -256,7 +256,7 @@ object Relational {
         .select(col("bucket").as("vbucket"), col("n").as("views"))
       a.join(b, col("bucket") <=> col("vbucket"))
         .select(col("bucket"), col("clicks"), col("views"),
-          expr("round(cast(clicks as double) / views, 6)").as("ratio6"))
+          expr("cast((1000000 * clicks) div views as bigint)").as("ratio_e6"))
         .orderBy(col("bucket").asc_nulls_first)
     },
 

@@ -171,7 +171,7 @@ object TextSim {
   private def minhashMixSql(i: Int, gh: String): String = intMixSql(i + 1, gh)
 
   /** DuckDB CTE twin of [[minhashNearDupPairs]] over `documents`, ending in
-    * the same (doc_a, doc_b, dist3) projection — generated from the same
+    * the same (doc_a, doc_b, dist_e3) projection — generated from the same
     * MinhashK/band constants and [[minhashMixSql]] so the twins cannot
     * drift. Oracle-checkable since r12: every hash in the pipeline is
     * plain integer arithmetic (the r7-r11 form minhashed xxhash64 gram
@@ -213,9 +213,10 @@ object TextSim {
        |    JOIN grams gb ON gb.doc_id = g.db AND gb.gh = ga.gh
        |  GROUP BY g.da, g.db)
        |SELECT g.da AS doc_a, g.db AS doc_b,
-       |  round(CAST(1 AS DOUBLE) - CAST(c.c AS DOUBLE) / (g.na + g.nb - c.c), 3) AS dist3
+       |  CAST((1000 * (g.na + g.nb - 2 * c.c)) // (g.na + g.nb - c.c)
+       |    AS BIGINT) AS dist_e3
        |FROM guarded g JOIN common c ON c.da = g.da AND c.db = g.db
-       |WHERE CAST(1 AS DOUBLE) - CAST(c.c AS DOUBLE) / (g.na + g.nb - c.c) <= 0.3
+       |WHERE 7 * (g.na + g.nb - c.c) <= 10 * c.c
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -451,8 +452,8 @@ object TextSim {
     // equi-join as dedup_fuzzy (never all-pairs), sketch comparison is a
     // broadcast-size join back to the wide signature table, and the exact
     // intersection touches candidate grams only. All-integer sketches →
-    // hash-exact oracled; est/exact doubles follow §7.3 (identical
-    // expression shape both engines, round(,3) presentation).
+    // hash-exact oracled; est/exact/err ship as e3 integers (exact
+    // floor division on both engines — no hashed double).
     // The wide sig table is consumed THREE times (band explode + both
     // sides of the sketch comparison), so it is pinned — computed once
     // off the cached gram table instead of re-aggregated per consumer;
@@ -483,10 +484,10 @@ object TextSim {
         .withColumn("n_common", expr("cast(coalesce(cc, 0) as bigint)"))
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("n_common"), col("est_match"),
-          expr(s"round(cast(est_match as double) / $MinhashK, 3)").as("est3"),
-          expr("round(cast(n_common as double) / (na + nb - n_common), 3)").as("j3"),
-          expr(s"round(cast(est_match as double) / $MinhashK" +
-            " - cast(n_common as double) / (na + nb - n_common), 3)").as("err3"))
+          expr(s"cast((1000 * est_match) div $MinhashK as bigint)").as("est_e3"),
+          expr("cast((1000 * n_common) div (na + nb - n_common) as bigint)").as("j_e3"),
+          expr(s"cast((1000 * est_match) div $MinhashK as bigint)" +
+            " - cast((1000 * n_common) div (na + nb - n_common) as bigint)").as("err_e3"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -505,8 +506,7 @@ object TextSim {
         .join(grams.toDF("db3", "gh2"), expr("db = db3 AND gh = gh2"))
         .groupBy("da", "db").agg(count(lit(1)).as("c"))
       val dups = cand.join(common, Seq("da", "db"))
-        .withColumn("dist", expr("1.0d - cast(c as double) / (na + nb - c)"))
-        .filter(col("dist") <= 0.3)
+        .filter(expr("7 * (na + nb - c) <= 10 * c"))
         .groupBy("da").agg(min("db").as("dup_of"), count(lit(1)).as("n_dups"))
       newb.select(col("da"), col("na")).distinct()
         .join(dups, Seq("da"), "left_outer")
@@ -622,8 +622,8 @@ object TextSim {
   /** DuckDB twin of `dedup_calibration`: the [[minhashCtes]] prefix, the
     * strict (da < db) guarded band candidates, the wide-signature
     * agreement count, and the exact-intersection left join — the same
-    * round(,3) presentation expressions as the Spark side, generated from
-    * MinhashK so the agreement sum cannot drift. */
+    * e3 integer surfaces as the Spark side, generated from MinhashK so
+    * the agreement sum cannot drift. */
   def calibrationOracleSql: String = {
     val agree = (0 until MinhashK)
       .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -642,12 +642,12 @@ object TextSim {
        |SELECT e.da AS doc_a, e.db AS doc_b,
        |  CAST(coalesce(cm.cc, 0) AS BIGINT) AS n_common,
        |  e.est_match,
-       |  round(CAST(e.est_match AS DOUBLE) / $MinhashK, 3) AS est3,
-       |  round(CAST(coalesce(cm.cc, 0) AS DOUBLE)
-       |    / (e.na + e.nb - coalesce(cm.cc, 0)), 3) AS j3,
-       |  round(CAST(e.est_match AS DOUBLE) / $MinhashK
-       |    - CAST(coalesce(cm.cc, 0) AS DOUBLE)
-       |    / (e.na + e.nb - coalesce(cm.cc, 0)), 3) AS err3
+       |  CAST((1000 * e.est_match) // $MinhashK AS BIGINT) AS est_e3,
+       |  CAST((1000 * coalesce(cm.cc, 0))
+       |    // (e.na + e.nb - coalesce(cm.cc, 0)) AS BIGINT) AS j_e3,
+       |  CAST((1000 * e.est_match) // $MinhashK AS BIGINT)
+       |    - CAST((1000 * coalesce(cm.cc, 0))
+       |      // (e.na + e.nb - coalesce(cm.cc, 0)) AS BIGINT) AS err_e3
        |FROM est e LEFT JOIN common cm ON cm.da = e.da AND cm.db = e.db
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -666,7 +666,7 @@ object TextSim {
        |dups AS (SELECT cand.da, CAST(min(cand.db) AS BIGINT) AS dup_of,
        |    CAST(count(*) AS BIGINT) AS n_dups
        |  FROM cand JOIN common ON common.da = cand.da AND common.db = cand.db
-       |  WHERE CAST(1 AS DOUBLE) - CAST(common.c AS DOUBLE) / (cand.na + cand.nb - common.c) <= 0.3
+       |  WHERE 7 * (cand.na + cand.nb - common.c) <= 10 * common.c
        |  GROUP BY cand.da),
        |newdocs AS (SELECT doc_id, n FROM sig WHERE doc_id % 5 = 0)
        |SELECT nd.doc_id, nd.n AS n_shingles, d.dup_of,
@@ -763,11 +763,14 @@ object TextSim {
       .join(grams.toDF("da3", "gh"), expr("da = da3"))
       .join(grams.toDF("db3", "gh2"), expr("db = db3 AND gh = gh2"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    // dist <= 0.3 as EXACT integer cross-multiplication (dist = 1 - c/u
+    // with u = na+nb-c, so dist <= 3/10 iff 7u <= 10c), and the distance
+    // ships as dist_e3 = floor(1000*(u-c)/u) - no double anywhere
     guarded.join(common, Seq("da", "db"))
-      .withColumn("dist", expr("1.0d - cast(c as double) / (na + nb - c)"))
-      .filter(col("dist") <= 0.3)
+      .filter(expr("7 * (na + nb - c) <= 10 * c"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(col("dist"), 3).as("dist3"))
+        expr("cast((1000 * (na + nb - 2 * c)) div (na + nb - c) as bigint)")
+          .as("dist_e3"))
       .orderBy("doc_a", "doc_b")
   }
 }

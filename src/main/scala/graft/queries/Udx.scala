@@ -55,12 +55,13 @@ object Udx {
 
     Q("udaf_typed",
       s"""SELECT l_returnflag,
-         |  round(exp(CAST(SUM(CAST(ln(l_extendedprice) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)), 6) AS geo_mean
+         |  CAST(floor(exp(CAST(SUM(CAST(ln(l_extendedprice) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) AS BIGINT) AS geo_cents
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       s.udf.register("geo_mean", org.apache.spark.sql.functions.udaf(GeoMean))
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(round(expr("geo_mean(l_extendedprice)"), 6).as("geo_mean"))
+        .agg(expr("cast(floor(geo_mean(l_extendedprice) * 100 + 0.5) as bigint)")
+          .as("geo_cents"))
         .orderBy("l_returnflag")
     },
 

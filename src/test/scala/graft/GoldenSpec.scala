@@ -54,14 +54,14 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .mapValues(_.length.toLong).toMap
     val res = SparkEntry.queries("join_null_safe")(s, d).collect()
       .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
-        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     // a PLAIN equi-join would drop exactly the None key — the null-safe
     // variant must keep it
     assert(res.contains(None), "NULL bucket must survive the null-safe join")
     assert(res.keySet == clicks.keySet.intersect(views.keySet))
-    res.foreach { case (k, (c, v, ratio)) =>
+    res.foreach { case (k, (c, v, ratioE6)) =>
       assert(c == clicks(k) && v == views(k), s"bucket $k counts")
-      assert(math.abs(ratio - c.toDouble / v) <= 5.0001e-7, s"bucket $k ratio6")
+      assert(ratioE6 == (BigInt(1000000) * c / v).toLong, s"bucket $k ratio_e6")
     }
   }
 
@@ -113,7 +113,7 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val rows = run("dedup_fuzzy").collect()
     val identity = rows.filter(r => r.getLong(0) == r.getLong(1))
     assert(identity.length == 500, s"got ${identity.length} identity pairs")
-    assert(identity.forall(_.getDouble(2) == 0.0), "identity pairs must have dist 0")
+    assert(identity.forall(_.getLong(2) == 0L), "identity pairs must have dist 0")
     val organic = rows.length - identity.length
     assert(organic >= 15 && organic <= 60,
       s"organic near-dup pair count $organic outside the plausible band [15, 60]")
@@ -136,18 +136,16 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       val (da, db) = (r.getLong(0), r.getLong(1))
       assert(da < db, s"calibration pairs must be strict: ($da,$db)")
       val (nc, est) = (r.getLong(2), r.getLong(3))
-      val (est3, j3, err3) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val (estE3, jE3, errE3) = (r.getLong(4), r.getLong(5), r.getLong(6))
       val (sa, sb) = (shingles(da), shingles(db))
       val c = (sa & sb).size.toLong
       assert(nc == c, s"($da,$db): n_common=$nc but string-shingle intersection=$c")
-      val jex = c.toDouble / (sa.size + sb.size - c)
-      // round(,3) deviates from the unrounded value by at most 5e-4
-      assert(math.abs(j3 - jex) <= 5.0001e-4, s"($da,$db): j3=$j3 vs brute $jex")
+      // exact integer twins of the e3 surfaces (floor division)
+      val jE3B = (BigInt(1000) * c / (sa.size + sb.size - c)).toLong
+      assert(jE3 == jE3B, s"($da,$db): j_e3=$jE3 vs brute $jE3B")
       assert(est >= 0 && est <= queries.TextSim.MinhashK, s"est_match=$est out of range")
-      assert(math.abs(est3 - est.toDouble / queries.TextSim.MinhashK) <= 5.0001e-4)
-      // err3 is the rounded SIGNED error of the same two unrounded terms
-      val err = est.toDouble / queries.TextSim.MinhashK - jex
-      assert(math.abs(err3 - err) <= 5.0001e-4, s"($da,$db): err3=$err3 vs brute $err")
+      assert(estE3 == 1000L * est / queries.TextSim.MinhashK, s"($da,$db) est_e3")
+      assert(errE3 == estE3 - jE3B, s"($da,$db) err_e3")
     }
     // the candidate set must cover every organic confirmed near-dup pair:
     // dedup_fuzzy's da<db rows came through the SAME guarded band join
@@ -254,20 +252,19 @@ class GoldenSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rows == Seq((1, "view", 15L), (2, "click", 6L), (3, "purchase", 3L)))
   }
 
-  test("text_repetition: ratios in [0,1]; the ~40-word vocab makes word repetition pervasive") {
+  test("text_repetition: e6 ratios in [0,1e6]; the ~40-word vocab makes word repetition pervasive") {
     val rows = run("text_repetition").collect()
     assert(rows.length == 500)
     assert(rows.forall { r =>
-      val (w, b) = (r.getDouble(2), r.getDouble(3))
-      w >= 0.0 && w <= 1.0 && b >= 0.0 && b <= 1.0
+      val (w, b) = (r.getLong(2), r.getLong(3))
+      w >= 0L && w <= 1000000L && b >= 0L && b <= 1000000L
     })
     // non-vacuous both ways: most docs repeat words, bigram repetition
-    // exists but is rare. 430, not 431: doc 472's raw ratio is
-    // 0.30000000000000004 (> 0.3) but the QUERY rounds to 6 decimals, so
-    // its output value is exactly 0.3 — both engines agree on 430 over the
-    // rounded column (DuckDB verified)
-    assert(rows.count(_.getDouble(2) > 0.3) == 430)
-    assert(rows.exists(_.getDouble(3) > 0.0))
+    // exists but is rare. 430, not 431: doc 472's exact duplicate-word
+    // rational is EXACTLY 3/10 (floor(1e6*3/10) = 300000, not > 300000) —
+    // the integer surface makes the old double-rounding footnote moot
+    assert(rows.count(_.getLong(2) > 300000L) == 430)
+    assert(rows.exists(_.getLong(3) > 0L))
   }
 
   test("decontaminate: 7 flagged train docs incl. one strong near-dup of the benchmark") {

@@ -99,7 +99,7 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // (dist <= 0.2 i.e. J >= 0.8, self-pairs excluded) — bit-exact
     // reproduction would be vacuous if the sketch stopped discriminating
     val strong = SparkEntry.queries("dedup_fuzzy")(s, d).collect()
-      .collect { case r if r.getLong(0) != r.getLong(1) && r.getDouble(2) <= 0.2 =>
+      .collect { case r if r.getLong(0) != r.getLong(1) && r.getLong(2) <= 200L =>
         (r.getLong(0), r.getLong(1)) }.toSet
     val sh = SparkEntry.queries("dedup_simhash")(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

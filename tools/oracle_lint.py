@@ -1,15 +1,61 @@
 #!/usr/bin/env python3
-"""Standing lint for oracle output-type skew (round-9 lesson: DuckDB
-sum(BIGINT) silently widens to HUGEINT -> arrow DECIMAL(38,0), which the
-driver's type-sensitive hash rejects against a Spark BIGINT even when all
-values match). Compares ONLY the arrow schema of each Spark verify output
-vs its oracle (oracle wrapped in LIMIT 0 so no data is computed) -- run it
-in the gate loop after graft.Verify; zero findings required.
+"""Standing lints over the oracle contract -- run in the gate loop after
+graft.Verify; zero findings required.
+
+1. Output-type skew (round-9 lesson): DuckDB sum(BIGINT) silently widens
+   to HUGEINT -> arrow DECIMAL(38,0), which the driver's type-sensitive
+   hash rejects against a Spark BIGINT even when all values match.
+   Compares ONLY the arrow schema of each Spark verify output vs its
+   oracle (oracle wrapped in LIMIT 0 so no data is computed).
+
+2. Fragile-double hash surfaces (round-14 forensics): a DOUBLE output
+   column built by round() over a division or sqrt chain is a cross-
+   engine coin flip near a rounding-bucket boundary -- five keys failed
+   the driver's hash this way while bit-exact against the local oracle.
+   Flags any oracled DOUBLE column whose defining round(...) expression
+   contains '/' or sqrt; such columns must migrate to exact scaled-
+   integer rationals (graft.functions.ExactRatio). ROUND_RATIO_ALLOW
+   lists the audited exceptions.
 
 Usage: python3 tools/oracle_lint.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, os
+import json, re, sys, glob, os
 import duckdb
+
+# audited exceptions to lint rule 2 (key, column):
+#   fn_math.sq = round(sqrt(o_totalprice), 6) -- sqrt is IEEE-754
+#   correctly-rounded (unlike ln/exp/pow), so identical double inputs
+#   give bit-identical results on both engines before the round.
+ROUND_RATIO_ALLOW = {("fn_math", "sq")}
+
+
+def _balanced_end(s, i):
+    """index just past the ')' matching the '(' at s[i]."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def round_ratio_columns(sql):
+    """Column aliases defined by round(<expr with / or sqrt>) in sql."""
+    low = sql.lower()
+    cols = set()
+    for m in re.finditer(r"round\s*\(", low):
+        j = _balanced_end(low, m.end() - 1)
+        if j < 0:
+            continue
+        inner = low[m.end():j]
+        if "/" in inner or "sqrt" in inner:
+            am = re.match(r"\s*as\s+(\w+)", low[j + 1:])
+            if am:
+                cols.add(am.group(1))
+    return cols
 
 # one source of truth for table list + type canonicalization: a drifted
 # copy here would let this lint disagree with the value gate
@@ -54,6 +100,14 @@ def main():
                 print(f"LINT {key}: col {c}: spark={stypes[c]}"
                       f" oracle={otypes[c]}"
                       " -- add an explicit CAST so both engines agree")
+                findings += 1
+        fragile = round_ratio_columns(sql)
+        for c in sorted(stypes):
+            if ("double" in stypes[c] or "float" in stypes[c]) \
+                    and c in fragile and (key, c) not in ROUND_RATIO_ALLOW:
+                print(f"LINT {key}: col {c} is a DOUBLE from round() over"
+                      " a division/sqrt chain -- hash-fragile across oracle"
+                      " builds; migrate to an ExactRatio integer surface")
                 findings += 1
     print(f"== oracle_lint: {findings} finding(s) over {len(oracles)} oracles ==")
     sys.exit(1 if findings else 0)
