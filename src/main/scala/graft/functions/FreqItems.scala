@@ -7,6 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -139,6 +140,15 @@ case class MisraGries(
     copy(child = newChildren.head)
 
   override def nullable: Boolean = false
+
+  // fail at ANALYSIS, not execution: without this a non-string child
+  // passes resolution and dies executor-side in update()'s UTF8String
+  // cast (r14 ADVICE) — the standard checkInputDataTypes contract
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_items requires a STRING value column, got ${child.dataType.sql}")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("est", LongType, nullable = false),
@@ -192,7 +202,11 @@ object MisraGries {
       case e if e.foldable &&
           (e.dataType == IntegerType || e.dataType == LongType ||
             e.dataType == ShortType || e.dataType == ByteType) =>
-        e.eval().toString.toInt
+        val v = e.eval() // a foldable NULL (e.g. CAST(NULL AS INT)) folds to null
+        if (v == null)
+          throw new IllegalArgumentException(
+            "freq_items width must be a non-NULL integer literal")
+        v.toString.toInt
       case other =>
         throw new IllegalArgumentException(
           s"freq_items width must be an integer literal, got: ${other.sql}")

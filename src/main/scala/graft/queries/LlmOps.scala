@@ -1433,6 +1433,18 @@ object LlmOps {
     (stats, grams)
   }
 
+  /** Bench-side warm entry for the rare-shingle pair kernel — the twin of
+    * [[graft.queries.TextSim.warmMinhashKernel]]: pin the df-capped gram
+    * table so a timed jaccard/containment-family key finds it warm (the
+    * kernel is the family's shared persisted artifact; see the r15
+    * verdict's untimed-kernel instruction). Caller retires the pin.
+    */
+  def warmPairKernel(s: SparkSession, d: String): Unit = {
+    val (_, grams) = pairStats(s, d)
+    graft.Caching.pinOnce(grams)
+    ()
+  }
+
   private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val (stats, grams) = pairStats(s, d)
     val jp = stats

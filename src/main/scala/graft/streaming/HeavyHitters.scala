@@ -72,20 +72,28 @@ object HeavyHitters {
         initialState = initial)(fold(k))
   }
 
-  /** Rebuild per-group initial state from persisted monitor rows —
-    * pass ONE emission (the final batch's rows): counters can shrink
-    * across batches (MG decrements on misses), so earlier emissions are
-    * stale, not subsets. Duplicate item rows (e.g. an accidental union)
-    * degrade softly to the max est rather than corrupting n. Group row
-    * count is ≤ k−1, so the per-group rebuild is O(k), never O(data). */
+  /** Rebuild per-group initial state from persisted monitor rows.
+    * Counters can SHRINK across batches (MG decrements on misses), so
+    * earlier emissions are stale, not subsets — and a max-over-batches
+    * merge could exceed the final counter, silently breaking est ≤ true
+    * and the error bound after warm start (r14 ADVICE). So only the
+    * rows carrying each group's MAXIMUM n — exactly the group's latest
+    * emission — are folded in; any stale rows from an accumulating sink
+    * (e.g. a memory sink in Update mode, or an accidental union of
+    * emissions) are dropped, never merged. Duplicate items WITHIN the
+    * kept emission (which a correct sink never produces) still degrade
+    * softly to the max est. Group row count is ≤ k−1 per emission, so
+    * the per-group rebuild is O(rows), never O(data). */
   def stateFromRows(rows: Dataset[(String, String, Long, Long, Long)], k: Int)
       : KeyValueGroupedDataset[String, Array[Byte]] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_._1)
-      .mapGroups { (g, rs) =>
+      .mapGroups { (g, rs0) =>
+        val rs = rs0.toSeq
+        val nMax = rs.iterator.map(_._5).max
         val s = new MGSummary(k)
-        rs.foreach { case (_, item, est, _, n) =>
-          s.n = math.max(s.n, n)
+        s.n = nMax
+        rs.iterator.filter(_._5 == nMax).foreach { case (_, item, est, _, _) =>
           s.counts.update(item, math.max(s.counts.getOrElse(item, 0L), est))
         }
         (g, MGSummary.toBytes(s))

@@ -170,4 +170,20 @@ class FreqItemsSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("misuse fails at analysis, not executor-side: non-string column, NULL width") {
+    graft.functions.MisraGries.register(s)
+    // a BIGINT value column used to pass analysis and die in update()'s
+    // UTF8String cast on an executor (r14 ADVICE) — checkInputDataTypes
+    // must reject it during analysis with a readable message
+    val e1 = intercept[Exception] {
+      s.sql("SELECT freq_items(v, 5) FROM (SELECT 7 AS v)").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("string"), e1.getMessage)
+    // a foldable NULL width folded to null and NPE'd in the builder
+    val e2 = intercept[Exception] {
+      s.sql("SELECT freq_items(v, CAST(NULL AS INT)) FROM (SELECT 'x' AS v)").collect()
+    }
+    assert(e2.getMessage.contains("non-NULL"), e2.getMessage)
+  }
 }

@@ -858,5 +858,25 @@ class StreamingSpec extends AnyFunSuite {
       "warm run must carry the seeded history count forward")
     assert(warm.filter(_._5 == (b1.length + b2.length).toLong).toSet == coldFinal,
       s"warm=${warm.toSeq.sorted} cold=${coldFinal.toSeq.sorted}")
+    // accumulating-sink robustness (r14 ADVICE): feeding stateFromRows
+    // ALL emissions (an Update-mode memory sink keeps every batch's
+    // rows) must rebuild from the LATEST emission only — a max-over-
+    // batches merge could exceed the final counter and break est <= true
+    val allEmissions = runStream(Seq(b1, b2), "hh_all_src", None).toSeq
+    assert(allEmissions.map(_._5).distinct.size > 1,
+      "fixture must contain more than one emission for this gate")
+    val warmAll = runStream(Seq(), "hh_warm_all", Some(allEmissions))
+    val latest = allEmissions.filter(_._5 == (b1.length + b2.length).toLong).toSet
+    // no batches streamed: re-emitting nothing — verify by seeding a
+    // third run with a probe batch and checking est <= true continuation
+    val probe: Seq[(String, String)] = Seq(("g", "p"))
+    val cont = runStream(Seq(probe), "hh_cont",
+      Some(allEmissions)).filter(_._5 == (b1.length + b2.length + 1).toLong)
+    val contP = cont.find(_._2 == "p").map(_._3).getOrElse(0L)
+    val latestP = latest.find(_._2 == "p").map(_._3).getOrElse(0L)
+    assert(contP == latestP + 1,
+      s"state must rebuild from the latest emission only: got $contP, " +
+        s"latest counter $latestP (a stale-emission merge would inflate it)")
+    assert(warmAll.isEmpty, "no input batches -> no emissions")
   }
 }
