@@ -156,10 +156,10 @@ object LlmOps {
     // (pair generator + skew guard factored into jaccardPairs below)
     Q("dedup_ngram_jaccard",
       s"""WITH $jaccardCte
-         |SELECT da, db, round(jac, 3) AS jac FROM jpairs
+         |SELECT da, db, CAST(floor(jac * 1000 + 0.5) AS BIGINT) AS jac_e3 FROM jpairs
          |ORDER BY da, db""".stripMargin) { (s, d) =>
       jaccardPairs(s, d)
-        .select(col("da"), col("db"), round(col("jac"), 3).as("jac"))
+        .select(col("da"), col("db"), expr("cast(floor(jac * 1000 + 0.5) as bigint)").as("jac_e3"))
         .orderBy("da", "db")
     },
 
@@ -208,10 +208,10 @@ object LlmOps {
     // on every fixture pair, so the edge SET matches by construction.
     Q("dedup_embedding",
       s"""WITH ${TextSim.cosineEdgesCte(TextSim.DedupCosineBound, TextSim.DedupCosineThrSql)}
-         |SELECT a_id, b_id, round(sim, 3) AS sim3
+         |SELECT a_id, b_id, CAST(floor(sim * 1000 + 0.5) AS BIGINT) AS sim_e3
          |FROM ep ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       TextSim.cosineEdges(s, d, TextSim.DedupCosineBound, TextSim.DedupCosineThr)
-        .select(col("a_id"), col("b_id"), round(col("sim"), 3).as("sim3"))
+        .select(col("a_id"), col("b_id"), expr("cast(floor(sim * 1000 + 0.5) as bigint)").as("sim_e3"))
         .orderBy("a_id", "b_id")
     },
 
@@ -322,14 +322,14 @@ object LlmOps {
          |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rnk
          |  FROM sims)
          |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk,
-         |  round(sim, 3) AS sim3
+         |  CAST(floor(sim * 1000 + 0.5) AS BIGINT) AS sim_e3
          |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
       lshCandidates(s, d, probeLimit = 50)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-          col("rnk"), round(col("sim"), 3).as("sim3"))
+          col("rnk"), expr("cast(floor(sim * 1000 + 0.5) as bigint)").as("sim_e3"))
         .orderBy("vec_id", "rnk")
     },
 
@@ -443,7 +443,7 @@ object LlmOps {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-          col("rnk"), round(col("sim"), 3).as("sim3"))
+          col("rnk"), expr("cast(floor(sim * 1000 + 0.5) as bigint)").as("sim_e3"))
         .orderBy("vec_id", "rnk")
     },
 
@@ -1336,7 +1336,7 @@ object LlmOps {
        |r AS (SELECT a_id, b_id, sim,
        |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rnk FROM sims)
        |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk,
-       |  round(sim, 3) AS sim3
+       |  CAST(floor(sim * 1000 + 0.5) AS BIGINT) AS sim_e3
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
   }
 

@@ -618,12 +618,12 @@ object Relational {
     // exact interpolated percentile (sort-based, deterministic — unlike
     // approx_percentile sketches); Spark percentile() == DuckDB quantile_cont
     Q("agg_percentile",
-      s"""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+      s"""SELECT l_returnflag, CAST(floor(quantile_cont(l_quantity, 0.5) * 10 + 0.5) AS BIGINT) AS p50_x10,
+         |  CAST(floor(quantile_cont(l_quantity, 0.9) * 10 + 0.5) AS BIGINT) AS p90_x10
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        round(expr("percentile(l_quantity, 0.5d)"), 6).as("p50"),
-        round(expr("percentile(l_quantity, 0.9d)"), 6).as("p90"),
+        expr("cast(floor(percentile(l_quantity, 0.5d) * 10 + 0.5) as bigint)").as("p50_x10"),
+        expr("cast(floor(percentile(l_quantity, 0.9d) * 10 + 0.5) as bigint)").as("p90_x10"),
       ).orderBy("l_returnflag")
     },
 

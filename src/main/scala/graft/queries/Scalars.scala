@@ -69,10 +69,10 @@ object Scalars {
 
     Q("fn_math",
       s"""SELECT o_orderkey,
-         |  round(ln(o_totalprice), 6) AS l_n,
-         |  round(log10(o_totalprice), 6) AS lg,
-         |  round(pow(o_totalprice, 0.5), 6) AS pw,
-         |  round(sqrt(o_totalprice), 6) AS sq,
+         |  CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS ln_e6,
+         |  CAST(floor(log10(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS lg_e6,
+         |  CAST(floor(pow(o_totalprice, 0.5) * 1000000 + 0.5) AS BIGINT) AS pw_e6,
+         |  CAST(floor(sqrt(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS sq_e6,
          |  CAST(ceil(o_totalprice) AS DOUBLE) AS ce,
          |  CAST(floor(o_totalprice) AS DOUBLE) AS fl,
          |  abs(o_totalprice - 100000) AS ab,
@@ -81,10 +81,10 @@ object Scalars {
          |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
-        round(log(col("o_totalprice")), 6).as("l_n"),
-        round(log10(col("o_totalprice")), 6).as("lg"),
-        round(pow(col("o_totalprice"), 0.5), 6).as("pw"),
-        round(sqrt(col("o_totalprice")), 6).as("sq"),
+        expr("cast(floor(ln(o_totalprice) * 1000000 + 0.5) as bigint)").as("ln_e6"),
+        expr("cast(floor(log10(o_totalprice) * 1000000 + 0.5) as bigint)").as("lg_e6"),
+        expr("cast(floor(pow(o_totalprice, 0.5) * 1000000 + 0.5) as bigint)").as("pw_e6"),
+        expr("cast(floor(sqrt(o_totalprice) * 1000000 + 0.5) as bigint)").as("sq_e6"),
         ceil(col("o_totalprice")).cast("double").as("ce"),
         floor(col("o_totalprice")).cast("double").as("fl"),
         abs(col("o_totalprice") - 100000).as("ab"),

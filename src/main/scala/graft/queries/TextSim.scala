@@ -249,7 +249,7 @@ object TextSim {
     // — the builtin list_cosine_similarity is 1 ulp off on ~1/3 of pairs,
     // enough to swap two near-tied neighbors' ranks cross-engine
     Q("sim_cosine_topk",
-      s"""SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(sim, 3) AS sim3
+      s"""SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, CAST(floor(sim * 1000 + 0.5) AS BIGINT) AS sim_e3
          |FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    ${cosineSql("a", "b")} AS sim,
@@ -264,7 +264,7 @@ object TextSim {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-          col("rnk"), round(col("sim"), 3).as("sim3"))
+          col("rnk"), expr("cast(floor(sim * 1000 + 0.5) as bigint)").as("sim_e3"))
         .orderBy("vec_id", "rnk")
     },
 

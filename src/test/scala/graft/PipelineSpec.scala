@@ -66,7 +66,7 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     s.catalog.clearCache()
     val jac = SparkEntry.queries("dedup_ngram_jaccard")(s, d)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2) / 1000.0)).toMap
     // containment's denominator min(|A|,|B|) <= Jaccard's |A∪B|, so every
     // jac >= 0.5 pair must reappear with containment >= its jaccard — the
     // two ops ran through different aggregation paths, so this is a real
@@ -74,7 +74,8 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val joined = jac.keySet.intersect(cont.keySet)
     assert(joined.nonEmpty, "no overlap between jaccard and containment pair sets")
     joined.foreach { k =>
-      assert(cont(k) >= jac(k) - 1e-12, s"containment < jaccard for $k")
+      // jac carries the e3 snap (±5e-4); containment is the exact ratio
+      assert(cont(k) >= jac(k) - 5.0001e-4, s"containment < jaccard for $k")
     }
     // every high-jaccard pair is by definition containment >= jaccard >= 0.8
     jac.filter(_._2 >= 0.8).keys.foreach { k =>
