@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary-margin audit for every floor-snapped presentation surface the
+  * r15 integer-surface migration introduced (VERDICT r14 item 6): a snap
+  * `floor(f(x)·1eK + 0.5)` is engine-portable only while the floor
+  * argument stays far from an integer boundary — a not-correctly-rounded
+  * libm term (ln/exp/log10/pow) can differ by a few ulps between engine
+  * builds, so each argument must sit > 1000 ulps from the nearest
+  * boundary for a future engine-version drift to be unable to flip a
+  * digit silently. Fully-correctly-rounded chains (+,−,×,÷,sqrt, casts)
+  * cannot drift, but their snaps are audited too: the margin also proves
+  * no fixture value sits ON a tie, where nothing protects against a
+  * different SNAP expression creeping in during a refactor.
+  *
+  * The established per-family gates (col_entropy, kl_divergence, tfidf,
+  * uni/bigram logprob) live in their suites; this spec covers the
+  * surfaces added in r15.
+  */
+class MarginSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
+
+  /** ulps from the floor argument to its nearest integer boundary. */
+  private def marginUlps(x: Double): Double =
+    math.min(x - math.floor(x), math.ceil(x) - x) /
+      math.ulp(math.max(math.abs(x), 1.0))
+
+  private def assertMargin(x: Double, what: => String, floor: Double = 1000.0): Unit =
+    assert(marginUlps(x) > floor,
+      s"$what: floor argument $x is ${marginUlps(x)} ulps from a boundary")
+
+  test("fn_math e6 snaps: ln/log10/pow/sqrt arguments clear every boundary") {
+    val prices = Tables.orders(s, d).select("o_totalprice")
+      .collect().map(_.getDouble(0))
+    assert(prices.nonEmpty)
+    // 100-ulp floor here, not 1000: a 6-digit price snapped at e6 puts
+    // the floor argument near 1e9, where one grid step is only ~8000
+    // ulps — libm drift is <= a few ulps of the result, so 100 ulps of
+    // headroom is still a >25x safety factor (sqrt/pow(.,0.5) are
+    // correctly rounded anyway; ln/log10 are the ones that can drift)
+    prices.foreach { p =>
+      assertMargin(math.log(p) * 1e6 + 0.5, s"ln($p)", 100.0)
+      assertMargin(math.log10(p) * 1e6 + 0.5, s"log10($p)", 100.0)
+      assertMargin(math.pow(p, 0.5) * 1e6 + 0.5, s"pow($p, 0.5)", 100.0)
+      assertMargin(math.sqrt(p) * 1e6 + 0.5, s"sqrt($p)", 100.0)
+    }
+  }
+
+  test("text_zipf ln snaps: rank and tf arguments clear every boundary") {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(500)
+      .collect().map(_.getLong(1))
+    tf.zipWithIndex.foreach { case (f, i) =>
+      assertMargin(math.log((i + 1).toDouble) * 1e6 + 0.5, s"ln(rank ${i + 1})")
+      assertMargin(math.log(f.toDouble) * 1e6 + 0.5, s"ln(tf $f)")
+    }
+  }
+
+  test("sim_sparse_cosine idf-weight snap: ln((n+1)/(df+1)) clears every boundary") {
+    val cp = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        expr("o_orderkey = l_orderkey"))
+      .groupBy("o_custkey", "l_partkey").agg(count(lit(1)).as("tf"))
+    val n = cp.select(countDistinct("o_custkey")).head.getLong(0)
+    val dfs = cp.groupBy("l_partkey").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("df").distinct().collect().map(_.getLong(0))
+    assert(dfs.nonEmpty)
+    dfs.foreach { df =>
+      assertMargin(math.log((n + 1.0) / (df + 1.0)) * 1e5 + 0.5,
+        s"idf weight n=$n df=$df")
+    }
+  }
+
+  test("stats_benford expected-mass snap: the nine ln constants clear every boundary") {
+    (1 to 9).foreach { dgt =>
+      assertMargin(math.log(1.0 + 1.0 / dgt) / math.log(10.0) * 1e6 + 0.5,
+        s"benford digit $dgt")
+    }
+  }
+
+  test("udaf_typed geo_cents snap: exp(mean-ln) per flag clears every boundary") {
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      // mirror the oracle: ln snapped to DECIMAL(18,12) before the exact sum
+      val sum = grp.map(v => BigDecimal(math.log(v._2))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      val gm = math.exp((sum / grp.length).toDouble)
+      assertMargin(gm * 100 + 0.5, s"geo_cents($flag) = $gm")
+    }
+  }
+
+  test("stats_mutual_info mi_e6 snap: every contingency cell clears the boundary") {
+    val cust = Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = cust.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = cust.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = cust.length.toLong
+    cells.foreach { case ((seg, nat), o) =>
+      assertMargin(
+        math.log((o * n).toDouble / (rt(seg) * ct(nat)).toDouble) * 1e6 + 0.5,
+        s"mi cell ($seg,$nat)")
+    }
+  }
+
+  test("sim_e3 snaps: every reported cosine clears the e3 boundary") {
+    // correctly-rounded chain, so this guards fixture ties only — a
+    // cosine exactly on an x.0005 grid would make the snap expression
+    // load-bearing in a way no refactor check would catch
+    Seq("sim_cosine_topk", "ann_lsh_bucket", "ann_ivf", "dedup_embedding")
+      .foreach { key =>
+        val sims = SparkEntry.queries(key)(s, d)
+          .select(col("sim_e3")).collect().map(_.getLong(0))
+        assert(sims.nonEmpty, s"$key returned no rows")
+        s.catalog.clearCache()
+      }
+    // the snap argument margin needs the UNROUNDED sim: re-derive via the
+    // shared simPairs kernel for the brute-force key (the others share
+    // the identical cosine expression shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val sims = queries.TextSim.simPairs(s, d, 50)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("sim").collect().map(_.getDouble(0))
+    assert(sims.nonEmpty)
+    sims.foreach(v => assertMargin(v * 1000 + 0.5, s"cosine $v"))
+  }
+}
