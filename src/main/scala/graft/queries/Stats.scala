@@ -918,20 +918,14 @@ object Stats {
        |  CAST(min(CASE WHEN 2 * cw >= tw THEN q END) AS BIGINT) AS wq50,
        |  CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN q END) AS BIGINT) AS wq75
        |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    // the generic operator owns the domain-reduce + cross-multiplied
+    // window idiom; this query pins only the UNITS (quantity, cents)
     val b = Tables.lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       col("l_quantity").cast("long").as("q"),
       expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("wt"))
-    val g = b.groupBy("flag", "q").agg(sum("wt").as("w"))
-    val c = g
-      .withColumn("cw", sum("w").over(Window.partitionBy("flag").orderBy("q")))
-      .withColumn("tw", sum("w").over(Window.partitionBy("flag")))
-    c.groupBy("flag").agg(
-        max("tw").as("w_total"),
-        min(when(expr("4 * cw >= tw"), col("q"))).as("wq25"),
-        min(when(expr("2 * cw >= tw"), col("q"))).as("wq50"),
-        min(when(expr("4 * cw >= 3 * tw"), col("q"))).as("wq75"))
-      .orderBy("flag")
+    graft.operators.WeightedQuantiles.of(b, "flag", "q", "wt",
+      Seq((1, 4, "wq25"), (1, 2, "wq50"), (3, 4, "wq75")))
   }
 
   /** Cramér's V association between two categorical columns (market
@@ -1641,17 +1635,19 @@ object Stats {
         lag("ts_us", 1).over(Window.partitionBy("event_type", "day")
           .orderBy("ts_us", "event_id")))
       .filter(col("gap").isNotNull)
-    val gd = m.groupBy("event_type", "gap").agg(count(lit(1)).as("w"))
-    val c = gd
-      .withColumn("cw", sum("w").over(Window.partitionBy("event_type").orderBy("gap")))
-      .withColumn("tw", sum("w").over(Window.partitionBy("event_type")))
+    // WeightedQuantiles owns the cumulative frame; the extra sum/min/max
+    // aggregates compose in the same group-by (one exchange, one pass)
+    import graft.operators.WeightedQuantiles
+    val c = WeightedQuantiles.cumulated(
+      m.select(col("event_type"), col("gap"), lit(1L).as("one")),
+      "event_type", "gap", "one")
     c.groupBy("event_type").agg(
         max("tw").as("n_gaps"),
         sum(expr("gap * w")).as("gap_us_sum"),
         min("gap").as("min_us"),
-        min(when(expr("4 * cw >= tw"), col("gap"))).as("q25_us"),
-        min(when(expr("2 * cw >= tw"), col("gap"))).as("q50_us"),
-        min(when(expr("4 * cw >= 3 * tw"), col("gap"))).as("q75_us"),
+        WeightedQuantiles.quantileAgg("gap", 1, 4).as("q25_us"),
+        WeightedQuantiles.quantileAgg("gap", 1, 2).as("q50_us"),
+        WeightedQuantiles.quantileAgg("gap", 3, 4).as("q75_us"),
         max("gap").as("max_us"))
       .orderBy("event_type")
   }

@@ -523,6 +523,38 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("WeightedQuantiles: exact lower quantiles on skewed/tied synthetic weights") {
+    import s.implicits._
+    // adversarial: duplicate values across input rows (domain reduction
+    // must merge them), one group where a single value carries most of
+    // the weight, exact-boundary weights (cum hits p·total exactly)
+    val rows = Seq(
+      ("a", 10L, 1L), ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 4L),
+      ("b", 5L, 3L), ("b", 6L, 1L), ("b", 7L, 0L), ("b", 9L, 4L),
+      ("c", 1L, 100L), ("c", 2L, 1L))
+    val df = rows.toDF("g", "v", "w").repartition(5)
+    val got = operators.WeightedQuantiles.of(df, "g", "v", "w",
+      Seq((1, 4, "q25"), (1, 2, "q50"), (3, 4, "q75"), (1, 1, "q100")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val dom = grp.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tw = dom.map(_._2).sum
+      def q(num: Long, den: Long): Long = {
+        var cw = 0L
+        dom.collectFirst { case (v, w) if { cw += w; den * cw >= num * tw } => v }.get
+      }
+      assert(got(g) == ((tw, q(1, 4), q(1, 2), q(3, 4), q(1, 1))),
+        s"group $g: got ${got(g)}")
+    }
+    // boundary semantics pinned: in group a (tw=8), cum at v=20 is
+    // exactly 4 = tw/2, so the lower median is 20, not 30
+    assert(got("a")._3 == 20L, "exact-boundary tie must take the lower value")
+    // degenerate dominance: a 100-weight value is every quantile
+    assert(got("c") == ((101L, 1L, 1L, 1L, 2L)))
+  }
+
   test("stats_cramers_v: chi-square matches a brute contingency recount; V in [0,1]") {
     val cust = Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
       .collect().map(r => (r.getString(0), r.getInt(1)))
