@@ -220,9 +220,15 @@ executed plans):
   ReuseExchange, the cramers lesson). `events_interarrival` lags inside
   (type, day) partitions -- one day's traffic bounds every sort
   (PlansSpec-pinned) -- then exact quartiles ride the weighted-median
-  window idiom on the (type, gap) domain. `text_zipf` never sorts the
-  vocabulary: top-500 is a TakeOrdered heap, the OLS runs on <=500
-  snapped rows.
+  window idiom on the (type, gap) domain (the generic
+  operators/WeightedQuantiles shape since r15). `text_zipf` never sorts
+  the vocabulary: top-500 is a TakeOrdered heap, the OLS runs on <=500
+  snapped rows. `parts_abc` (r15) has NO window at all: the revenue
+  running sum is the range-partitioned two-pass RangePrefixSum (its
+  plan below starts from the prefix-summed RDD; the old partition-less
+  ORDER BY window single-tasked the whole part dimension), and the
+  class test is a map-side exact-decimal comparison against literal
+  4T/5 and 19T/20 thresholds.
 
 Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
 """)
