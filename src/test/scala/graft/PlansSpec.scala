@@ -244,6 +244,46 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"parts_abc must not force a single-partition exchange for ordering:\n$plan")
   }
 
+  test("no key plans a partition-less window outside the audited bounded-domain allowlist") {
+    // the r14 parts_abc lesson: sum() OVER (ORDER BY ...) with no
+    // PARTITION BY moves the whole input into ONE task. That is only
+    // acceptable over a domain bounded by VALUE SPACE, not by row count —
+    // each allowlisted key's domain argument is audited here, and the
+    // gate fails both ways (a new partition-less window on an unlisted
+    // key, or a stale allowlist entry whose window was since removed).
+    val allow = Map(
+      "exp_pipeline" -> "231-row composite grid",
+      "interval_concurrency" -> "minute domain - bounded by wall-clock, not rows",
+      "pareto_frontier" -> "distinct price-cents domain (value-bounded)",
+      "retrieval_rrf" -> "bounded top-k candidate lists",
+      "stats_anova" -> "|event types| rows",
+      "stats_benford" -> "9 digits",
+      "stats_cramers_v" -> "|segments|x|nations| cells",
+      "stats_mutual_info" -> "|segments|x|nations| cells",
+      "text_zipf" -> "top-500 TakeOrdered cut")
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val found = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case w: WindowExec if w.partitionSpec.isEmpty => found += k
+          case _ => ()
+        }
+        p.children.foreach(walk)
+        p match { case a: AdaptiveSparkPlanExec => walk(a.executedPlan); case _ => () }
+      }
+      walk(fn(s, d).queryExecution.executedPlan)
+      s.catalog.clearCache()
+    }
+    val unlisted = found.toSet -- allow.keySet
+    assert(unlisted.isEmpty,
+      s"partition-less WindowExec in unaudited keys: $unlisted - either " +
+        "re-plan (RangePrefixSum / per-key windows) or audit the domain bound here")
+    val stale = allow.keySet -- found
+    assert(stale.isEmpty, s"allowlist entries without such a window any more: $stale")
+  }
+
   test("RangePrefixSum: exact running sums across partitions, ties, and empty partitions") {
     import s.implicits._
     // adversarial: heavy ties in the value (the order includes the
