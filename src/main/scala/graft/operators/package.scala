@@ -18,6 +18,9 @@ package graft
   *  - [[operators.RangePrefixSum]] — distributed running sums under a
   *    total order (two-pass range-partitioned shape; replaces the
   *    single-task partition-less window).
+  *  - [[operators.GroupedRanks]] — doubled average ranks over weighted
+  *    value domains, in both the window form and the range-partitioned
+  *    swap for few-giant-group deployments (spec-proved identical).
   *  - [[operators.TopK]] — per-group top-k as partial/final bounded heaps
   *    (a custom `SparkPlan`), plus the `TopKRewrite` rule that replans the
   *    `row_number() <= k` window idiom automatically.

@@ -1128,9 +1128,11 @@ object Stats {
     * aggregate. No joins — a marginal-tables-joined-back form scanned
     * lineitem three times (differing pushed join-key filters defeat
     * ReuseExchange; the stats_cramers_v lesson). A deployment with few
-    * giant groups would swap the domain windows for the
-    * ExactQuantiles-style range-partitioned rank — the moments and
-    * outputs are unchanged, so the contract survives the physical swap.
+    * giant groups swaps the domain windows for
+    * [[graft.operators.GroupedRanks.doubled]] — the range-partitioned
+    * rank, spec-proved bit-identical to this window form on the same
+    * fixture — so the contract survives the physical swap by
+    * construction, not by prose.
     */
   private val statsSpearman = Q("stats_spearman",
     s"""WITH b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,

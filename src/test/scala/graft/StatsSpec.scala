@@ -523,6 +523,34 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("GroupedRanks: the range-partitioned doubled rank equals the window form exactly") {
+    import s.implicits._
+    // 1) adversarial synthetic: heavy ties, skewed groups, a singleton
+    val rows = (1L to 400L).map(i => (s"g${i % 3}", (i * 7 % 11), 1L)) ++
+      Seq(("solo", 42L, 5L))
+    val df = rows.toDF("g", "v", "w").repartition(9)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val swap = canon(operators.GroupedRanks.doubled(df, "g", "v", "w"))
+    val win = canon(operators.GroupedRanks.doubledWindowForm(df, "g", "v", "w"))
+    assert(swap == win, "physical swap changed rank values on synthetic ties")
+    // doubled ranks sum to n(n+1) per group — the tie-handling invariant
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val n = grp.map(_._3).sum
+      val got = swap.filter(_._1 == g).map(t => t._3 * t._4).sum
+      assert(got == n * (n + 1), s"$g rank-sum invariant")
+    }
+    // 2) the real stats_spearman regime: few giant groups on lineitem —
+    // the exact data the window form ranks today
+    val b = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("v"),
+      lit(1L).as("w"))
+    val swapL = canon(operators.GroupedRanks.doubled(b, "g", "v", "w"))
+    val winL = canon(operators.GroupedRanks.doubledWindowForm(b, "g", "v", "w"))
+    assert(swapL == winL, "physical swap changed rank values on the fixture")
+  }
+
   test("WeightedQuantiles: exact lower quantiles on skewed/tied synthetic weights") {
     import s.implicits._
     // adversarial: duplicate values across input rows (domain reduction
