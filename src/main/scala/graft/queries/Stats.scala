@@ -1731,6 +1731,53 @@ object Stats {
     * (n0−tx)(n0−ty) is exact integer arithmetic; tau-b ships as tau2_e6 + tau_sign —
     * ExactRatio's exact integer rational over those integers, so no
     * double is hashed on either engine. */
+  /** Fano factor (variance-to-mean ratio) of the daily event count per
+    * type — the burstiness screen completing the drift suite: Poisson
+    * traffic sits at 1, clumped/bursty ingest far above, metronomic
+    * load far below; alongside [[eventsAutocorr]] it tells a watermark
+    * tuner whether spikes are momentum or noise. Exact-integer
+    * discipline end to end: daily counts are BIGINTs, var_n2 =
+    * n·Σc² − (Σc)² is an exact DECIMAL(38,0) (hash surface), and the
+    * ratio ships as fano_e6 = floor(1e6·var_n2/(n·Σc)) — the r15
+    * integer-rational rule; var/mean = (n·Σc²−S²)/(n·S) needs no
+    * pre-shift (≤ ~1e29 at 100 TB daily volumes). Scale: ONE
+    * map-combinable count onto the (type, day) domain is the only
+    * O(data) stage; the moments are a second combinable aggregate on
+    * the |types|×|days| table. Degenerate guard exact: n ≥ 2 days and
+    * a positive total.
+    */
+  private val eventsBurstiness = Q("events_burstiness",
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY event_type, day),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(c AS HUGEINT)) AS sc,
+       |    sum(CAST(c * c AS HUGEINT)) AS scc
+       |  FROM daily GROUP BY event_type)
+       |SELECT event_type, n, CAST(sc AS BIGINT) AS total,
+       |  CAST(CAST(n AS HUGEINT) * scc - sc * sc AS DECIMAL(38,0)) AS var_n2,
+       |  CAST((CAST('1000000' AS HUGEINT) * (CAST(n AS HUGEINT) * scc - sc * sc))
+       |    // (CAST(n AS HUGEINT) * sc) AS BIGINT) AS fano_e6
+       |FROM m WHERE n >= 2 AND sc > 0
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(c as decimal(38,0))")).as("sc"),
+        sum(expr("cast(c * c as decimal(38,0))")).as("scc"))
+      .filter(col("n") >= 2 && col("sc") > 0)
+      .select(col("event_type"), col("n"),
+        expr("cast(sc as bigint)").as("total"),
+        expr("cast(cast(n as decimal(38,0)) * scc - sc * sc as decimal(38,0))").as("var_n2"),
+        expr("cast((cast('1000000' as decimal(38,0))" +
+          " * (cast(n as decimal(38,0)) * scc - sc * sc))" +
+          " div (cast(n as decimal(38,0)) * sc) as bigint)").as("fano_e6"))
+      .orderBy("event_type")
+  }
+
   private val statsKendallTau = Q("stats_kendall_tau",
     s"""WITH g AS (SELECT c_nationkey AS nk,
        |    CAST(count(*) AS BIGINT) AS x,
@@ -1806,5 +1853,6 @@ object Stats {
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
     statsAnova, eventsCusum, statsMutualInfo, statsBenford,
-    eventsInterarrival, forecastSeasonalNaive, statsKendallTau)
+    eventsInterarrival, forecastSeasonalNaive, statsKendallTau,
+    eventsBurstiness)
 }

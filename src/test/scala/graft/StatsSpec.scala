@@ -523,6 +523,32 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("events_burstiness: moments and fano_e6 match a brute BigInt re-derivation") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val res = SparkEntry.queries("events_burstiness")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), BigInt(r.getDecimal(3).toBigInteger), r.getLong(4)))).toMap
+    var checked = 0
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = BigInt(daily.size)
+      val sc = daily.values.map(BigInt(_)).sum
+      if (n >= 2 && sc > 0) {
+        val scc = daily.values.map(c => BigInt(c) * c).sum
+        val varN2 = n * scc - sc * sc
+        val fanoE6 = ((BigInt(1000000) * varN2) / (n * sc)).toLong
+        assert(res(ty) == ((n.toLong, sc.toLong, varN2, fanoE6)), s"$ty: ${res(ty)}")
+        // Poisson-ish fixture traffic should not look metronomic: the
+        // Fano factor must be meaningfully positive somewhere
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty degenerate must be excluded")
+    }
+    assert(checked > 0 && res.size == checked)
+    assert(res.values.exists(_._4 > 0L), "all-zero Fano would be vacuous")
+  }
+
   test("GroupedRanks: the range-partitioned doubled rank equals the window form exactly") {
     import s.implicits._
     // 1) adversarial synthetic: heavy ties, skewed groups, a singleton
