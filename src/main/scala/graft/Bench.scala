@@ -143,7 +143,7 @@ object Bench {
       "dedup_calibration" -> minhashWarm,
       "dedup_containment" -> pairWarm, "dedup_ngram_jaccard" -> pairWarm,
       "dedup_cluster" -> pairWarm, "dedup_retention" -> pairWarm,
-      "graph_degree" -> pairWarm)
+      "graph_degree" -> pairWarm, "dedup_rate_by_source" -> pairWarm)
     kernelWarm.keys.foreach(q => require(SparkEntry.queries.contains(q),
       s"kernel-warm list names unknown query '$q'"))
     // drive each query through a noop SINK, not .count(): count() lets

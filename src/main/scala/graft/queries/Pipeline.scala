@@ -122,6 +122,45 @@ object Pipeline {
       .orderBy("da", "db")
   }
 
+  /** Per-source duplicate rate — the ingest-source report card downstream
+    * of the near-dup pair graph: for each document source, how many docs
+    * participate in at least one exact-Jaccard near-dup pair (jac ≥ 0.5,
+    * the dedup_ngram_jaccard edge set) and the fraction as an exact
+    * rate_e6 integer. This is the number a pipeline uses to decide which
+    * FEED to renegotiate, where the pair list says which DOCS to drop —
+    * the reporting grain the dedup family feeds. Scale: the pair graph is
+    * the shared banded/df-capped kernel (never all-pairs, kernel cached
+    * once per session); membership is a distinct over pair endpoints
+    * (≤ 2·|pairs| rows) left-joined to the doc dimension, then one
+    * combinable aggregate per source. Integer-only hash surface (r15
+    * rule): counts + floor-divided rate.
+    */
+  private val dedupRateBySource = Q("dedup_rate_by_source",
+    s"""WITH ${LlmOps.jaccardCte},
+       |dup AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT da AS doc_id FROM jpairs
+       |  UNION ALL SELECT db AS doc_id FROM jpairs) u)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+       |  CAST((1000000 * sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END))
+       |    // count(*) AS BIGINT) AS rate_e6
+       |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val pairs = LlmOps.jaccardPairs(s, d)
+    val dup = pairs.select(col("da").as("doc_id"))
+      .unionAll(pairs.select(col("db").as("doc_id")))
+      .distinct()
+      .withColumn("isdup", lit(1L))
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(dup, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("cast((1000000 * n_dup) div n_docs as bigint)").as("rate_e6"))
+      .orderBy("source")
+  }
+
   /** Deterministic source rebalancing: every language is downsampled to
     * the smallest language's document count (uniform target mix), keeping
     * the lowest doc_ids. The min count is a one-row broadcast. The exact
@@ -559,7 +598,8 @@ object Pipeline {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment, domainMix,
+  val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment,
+    dedupRateBySource, domainMix,
     joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr,
     sessionize, topkDiverse, aggMode, statsRegression, textUnigramLogprob,
     sessionStats)

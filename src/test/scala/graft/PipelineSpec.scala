@@ -84,6 +84,27 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     cont.values.foreach(c => assert(c >= 0.8 && c <= 1.0 + 1e-12))
   }
 
+  test("dedup_rate_by_source: counts match a brute recount from the pair list") {
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(s, d)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    s.catalog.clearCache()
+    val dupDocs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val res = SparkEntry.queries("dedup_rate_by_source")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val bySrc = docs.groupBy(_._2)
+    assert(res.keySet == bySrc.keySet, "every source reports, dup or not")
+    bySrc.foreach { case (src, grp) =>
+      val n = grp.length.toLong
+      val nd = grp.count(dc => dupDocs.contains(dc._1)).toLong
+      val rate = (BigInt(1000000) * nd / n).toLong
+      assert(res(src) == ((n, nd, rate)), s"$src: ${res(src)} vs ($n,$nd,$rate)")
+    }
+    // non-vacuous: the fixture has organic near-dups somewhere
+    assert(res.values.map(_._2).sum > 0, "no source shows any dups")
+  }
+
   test("outlier_iqr rows are exactly the rows outside rank-derived fences") {
     val out = SparkEntry.queries("outlier_iqr")(s, d)
       .select("event_id").collect().map(_.getLong(0)).toSet
