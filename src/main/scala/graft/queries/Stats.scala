@@ -1731,6 +1731,110 @@ object Stats {
     * (n0−tx)(n0−ty) is exact integer arithmetic; tau-b ships as tau2_e6 + tau_sign —
     * ExactRatio's exact integer rational over those integers, so no
     * double is hashed on either engine. */
+  /** Brown–Forsythe / Levene variance-homogeneity test across event
+    * types — the companion [[statsAnova]] needs before its F is taken at
+    * face value (ANOVA assumes equal group variances; BF tests exactly
+    * that by running the SAME one-way F on absolute deviations from each
+    * group's MEDIAN — robust to the heavy tails a mean-centered Levene
+    * isn't). Exactness: values snap to cents; the per-group doubled
+    * median med2 = lower-middle + upper-middle is an exact BIGINT from
+    * the agg_weighted_median cross-multiplied idiom (2·cw ≥ tw / ≥ tw+1
+    * — no interpolation, no doubles); deviations z = |2·vc − med2| are
+    * exact integers, and the F machinery is [[statsAnova]]'s verbatim:
+    * exact DECIMAL(38,0) moments, floor(x+0.5)-snapped per-group SSB
+    * terms (ONE identical IEEE division each), integer degenerate
+    * guards, f_e6/eta2_e6 via the exact pre-divided rationals. Scale:
+    * ONE combinable aggregate onto the (type, cent) domain is the only
+    * O(data) stage; the median windows, the deviation projection and
+    * both moment aggregates all run on that bounded domain over one
+    * exchange on type (plus the |types|-row total window, allowlisted).
+    */
+  private val statsLevene = Q("stats_levene",
+    s"""WITH b AS (SELECT event_type AS g,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       |dom AS (SELECT g, vc, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY g, vc),
+       |cum AS (SELECT g, vc, c,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY vc) AS BIGINT) AS cw,
+       |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS tw FROM dom),
+       |zc AS (SELECT g, c,
+       |    abs(2 * vc - (min(CASE WHEN 2 * cw >= tw THEN vc END) OVER (PARTITION BY g)
+       |      + min(CASE WHEN 2 * cw >= tw + 1 THEN vc END) OVER (PARTITION BY g))) AS z
+       |  FROM cum),
+       |gm AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+       |    sum(CAST(c AS HUGEINT) * z) AS sg,
+       |    sum(CAST(c AS HUGEINT) * z * z) AS ssg FROM zc GROUP BY g),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(ng) AS HUGEINT) AS n, sum(sg) AS s, sum(ssg) AS ss,
+       |    max(CAST(ng AS HUGEINT) * ssg - sg * sg) AS maxa FROM gm),
+       |e AS (SELECT t.k, t.n, t.maxa,
+       |    CAST(t.n * t.ss - t.s * t.s AS DECIMAL(38,0)) AS sst_n,
+       |    CAST(sum(CAST(floor(
+       |      CAST((gm.sg * t.n - t.s * gm.ng) * (gm.sg * t.n - t.s * gm.ng) AS DOUBLE)
+       |        / (CAST(gm.ng AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+       |      + 0.5) AS BIGINT)) AS BIGINT) AS ssb_c2
+       |  FROM gm CROSS JOIN t GROUP BY t.k, t.n, t.maxa, t.s, t.ss)
+       |SELECT k, n, sst_n, ssb_c2, f_e6, eta2_e6
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT CAST(e.k AS BIGINT) AS k, CAST(e.n AS BIGINT) AS n, sst_n, ssb_c2,
+          |  CAST(ssb_c2 AS HUGEINT) * (e.n - e.k) AS fa,
+          |  greatest(greatest(CAST(sst_n AS HUGEINT) - e.n * ssb_c2, 0) // e.n, 1)
+          |    * (e.k - 1) AS fb,
+          |  CAST(ssb_c2 AS HUGEINT) AS ea,
+          |  greatest(CAST(sst_n AS HUGEINT) // e.n, 1) AS eb
+          |FROM e
+          |WHERE e.k >= 2 AND CAST(e.n AS BIGINT) > e.k AND sst_n > 0 AND maxa > 0""".stripMargin,
+        graft.functions.ExactRatio.ratE6Stages(
+          graft.functions.ExactRatio.DuckF, "fa", "fb", "f_e6") ++
+        graft.functions.ExactRatio.ratE6Stages(
+          graft.functions.ExactRatio.DuckF, "ea", "eb", "eta2_e6"))} q""".stripMargin) { (s, d) =>
+    val dom = Tables.events(s, d)
+      .select(col("event_type").as("g"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("c"))
+    val perG = Window.partitionBy("g")
+    val cum = dom
+      .withColumn("cw", sum("c").over(perG.orderBy("vc")))
+      .withColumn("tw", sum("c").over(perG))
+    val zc = cum
+      .withColumn("m2",
+        min(when(expr("2 * cw >= tw"), col("vc"))).over(perG) +
+          min(when(expr("2 * cw >= tw + 1"), col("vc"))).over(perG))
+      .select(col("g"), col("c"), expr("abs(2 * vc - m2)").as("z"))
+    val gm = zc.groupBy("g").agg(sum("c").as("ng"),
+      sum(expr("cast(c as decimal(38,0)) * z")).as("sg"),
+      sum(expr("cast(c as decimal(38,0)) * z * z")).as("ssg"))
+    val w = Window.partitionBy(lit(1))
+    val e = gm
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("n", sum(expr("cast(ng as decimal(38,0))")).over(w))
+      .withColumn("s", sum("sg").over(w))
+      .withColumn("ss", sum("ssg").over(w))
+      .withColumn("maxa", max(expr("cast(ng as decimal(38,0)) * ssg - sg * sg")).over(w))
+    e.groupBy("k", "n", "s", "ss", "maxa")
+      .agg(sum(expr("cast(floor(" +
+        "cast((sg * n - s * ng) * (sg * n - s * ng) as double)" +
+        " / (cast(ng as double) * cast(n as double) * cast(n as double))" +
+        " + 0.5) as bigint)")).as("ssb_c2"))
+      .select(expr("cast(k as bigint)").as("k"), expr("cast(n as bigint)").as("n"),
+        expr("cast(n * ss - s * s as decimal(38,0))").as("sst_n"),
+        col("ssb_c2"), col("maxa"))
+      .filter(col("k") >= 2 && expr("n > k") && col("sst_n") > 0 && col("maxa") > 0)
+      .select(col("k"), col("n"), col("sst_n"), col("ssb_c2"),
+        expr("cast(ssb_c2 as decimal(38,0)) * (n - k)").as("fa"),
+        expr("cast(greatest(greatest(cast(sst_n as decimal(38,0))" +
+          " - cast(n as decimal(38,0)) * ssb_c2, cast(0 as decimal(38,0)))" +
+          " div cast(n as decimal(38,0)), 1) as decimal(38,0)) * (k - 1)").as("fb"),
+        col("ssb_c2").as("ea"),
+        expr("greatest(cast(sst_n as decimal(38,0)) div cast(n as decimal(38,0)), 1)").as("eb"))
+      .transform { base =>
+        import graft.functions.ExactRatio
+        ExactRatio.applySpark(base,
+          ExactRatio.ratE6Stages(ExactRatio.SparkF, "fa", "fb", "f_e6") ++
+          ExactRatio.ratE6Stages(ExactRatio.SparkF, "ea", "eb", "eta2_e6"))
+      }
+      .select("k", "n", "sst_n", "ssb_c2", "f_e6", "eta2_e6")
+  }
+
   /** Fano factor (variance-to-mean ratio) of the daily event count per
     * type — the burstiness screen completing the drift suite: Poisson
     * traffic sits at 1, clumped/bursty ingest far above, metronomic
@@ -1854,5 +1958,5 @@ object Stats {
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
     statsAnova, eventsCusum, statsMutualInfo, statsBenford,
     eventsInterarrival, forecastSeasonalNaive, statsKendallTau,
-    eventsBurstiness)
+    eventsBurstiness, statsLevene)
 }

@@ -257,6 +257,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "pareto_frontier" -> "distinct price-cents domain (value-bounded)",
       "retrieval_rrf" -> "bounded top-k candidate lists",
       "stats_anova" -> "|event types| rows",
+      "stats_levene" -> "|event types| rows (the anova total window)",
       "stats_benford" -> "9 digits",
       "stats_cramers_v" -> "|segments|x|nations| cells",
       "stats_mutual_info" -> "|segments|x|nations| cells",

@@ -523,6 +523,50 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("stats_levene: median deviations and BF-F match a brute BigInt re-derivation") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val res = SparkEntry.queries("stats_levene")(s, d).collect()
+    assert(res.length == 1)
+    val row = res.head
+    // brute: per-type doubled median from the sorted values (lower middle
+    // + upper middle — exact under any tie pattern), then |2v - med2|
+    val groups = evs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val zByG = groups.map { case (g, vs) =>
+      val n = vs.length
+      val med2 = vs((n - 1) / 2) + vs(n / 2)
+      g -> vs.map(v => math.abs(2 * v - med2))
+    }
+    val k = BigInt(zByG.size)
+    val n = BigInt(zByG.values.map(_.length).sum)
+    val sAll = zByG.values.flatten.map(BigInt(_)).sum
+    val ssAll = zByG.values.flatten.map(z => BigInt(z) * z).sum
+    val sstN = n * ssAll - sAll * sAll
+    val ssb = zByG.values.map { zs =>
+      val ng = BigInt(zs.length)
+      val sg = zs.map(BigInt(_)).sum
+      val num = (sg * n - sAll * ng).pow(2)
+      math.floor(num.toDouble / (ng.toDouble * n.toDouble * n.toDouble) + 0.5).toLong
+    }.sum
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
+    assert(BigInt(row.getDecimal(2).toBigInteger) == sstN, "sst_n")
+    assert(row.getLong(3) == ssb, s"ssb_c2 ${row.getLong(3)} vs brute $ssb")
+    def ratE6(a: BigInt, b: BigInt): Long = {
+      var u = 0
+      while (a / BigInt(10).pow(u) >= BigInt(10).pow(30)) u += 1
+      val ap = a / BigInt(10).pow(u)
+      val bp = (b / BigInt(10).pow(u)).max(1)
+      ((BigInt(1000000) * ap) / bp).toLong
+    }
+    val ssbB = BigInt(ssb)
+    val sswC2 = ((sstN - n * ssbB).max(0) / n).max(1)
+    assert(row.getLong(4) == ratE6(ssbB * (n - k), sswC2 * (k - 1)), "f_e6")
+    assert(row.getLong(5) == ratE6(ssbB, (sstN / n).max(1)), "eta2_e6")
+    // BF on a mixed-variance fixture should register a positive statistic
+    assert(row.getLong(4) > 0L && row.getLong(5) >= 0L && row.getLong(5) <= 1000000L)
+  }
+
   test("events_burstiness: moments and fano_e6 match a brute BigInt re-derivation") {
     val evs = Tables.events(s, d).select(col("event_type"),
         expr("cast(ts_us div 86400000000 as bigint)").as("day"))
