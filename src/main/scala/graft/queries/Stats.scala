@@ -1596,6 +1596,49 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Benford χ² goodness-of-fit over l_extendedprice's first significant
+    * digits — the TEST STATISTIC on top of [[statsBenford]]'s profile
+    * (the profile says how each digit deviates; this collapses the nine
+    * deviations into the one number an audit thresholds, df = 8). The
+    * digit counts are engine-exact (string-head of exact cents, the
+    * statsBenford discipline); each cell's (o − n·p)²/(n·p) is ONE
+    * identically-shaped double expression of the exact integers (p =
+    * ln(1+1/d)/ln(10) — nine data-independent constants), floor-scaled
+    * ×10⁹ per cell and summed exactly, so the total is
+    * order-independent and the only cross-engine exposure is the
+    * MarginSpec-gated snap boundary. Scale: ONE map-combinable count
+    * onto the 9-digit domain; everything after runs on 9 rows.
+    */
+  private val statsBenfordChisq = Q("stats_benford_chisq", {
+    val pd = "(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) / ln(CAST(10 AS DOUBLE)))"
+    val dev = s"(CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * $pd)"
+    s"""WITH b AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem WHERE l_extendedprice > 0),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM b GROUP BY digit),
+       |w AS (SELECT digit, n_d, CAST(sum(n_d) OVER () AS BIGINT) AS n FROM g),
+       |cell AS (SELECT n, CAST(floor($dev * $dev
+       |      / (CAST(n AS DOUBLE) * $pd) * 1000000000 + 0.5) AS BIGINT) AS c9
+       |  FROM w)
+       |SELECT CAST(max(n) AS BIGINT) AS n,
+       |  CAST(count(*) AS BIGINT) AS n_digits,
+       |  CAST(sum(c9) AS BIGINT) AS chi2_e9
+       |FROM cell""".stripMargin
+  }) { (s, d) =>
+    val pd = "(ln(1.0d + 1.0d / digit) / ln(10.0d))"
+    val dev = s"(cast(n_d as double) - cast(n as double) * $pd)"
+    val g = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > 0)
+      .select(expr("cast(substring(cast(cast(floor(l_extendedprice * 100 + 0.5)" +
+        " as bigint) as string), 1, 1) as bigint)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_d"))
+    g.withColumn("n", sum("n_d").over(Window.partitionBy()))
+      .select(col("n"), expr(s"cast(floor($dev * $dev" +
+        s" / (cast(n as double) * $pd) * 1000000000.0d + 0.5d) as bigint)").as("c9"))
+      .agg(max("n").as("n"), count(lit(1)).as("n_digits"),
+        sum("c9").as("chi2_e9"))
+  }
+
   /** Inter-arrival-time distribution per event type — the traffic-shape
     * profile (bursty vs steady) that sizes streaming watermarks and
     * sessionization gaps before they are hard-coded. Gaps are exact
@@ -1958,5 +2001,5 @@ object Stats {
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
     statsAnova, eventsCusum, statsMutualInfo, statsBenford,
     eventsInterarrival, forecastSeasonalNaive, statsKendallTau,
-    eventsBurstiness, statsLevene)
+    eventsBurstiness, statsLevene, statsBenfordChisq)
 }

@@ -259,6 +259,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "stats_anova" -> "|event types| rows",
       "stats_levene" -> "|event types| rows (the anova total window)",
       "stats_benford" -> "9 digits",
+      "stats_benford_chisq" -> "9 digits",
       "stats_cramers_v" -> "|segments|x|nations| cells",
       "stats_mutual_info" -> "|segments|x|nations| cells",
       "text_zipf" -> "top-500 TakeOrdered cut")

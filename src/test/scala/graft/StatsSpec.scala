@@ -984,6 +984,28 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(shareSum > 1000000L - 10 && shareSum <= 1000000L, "shares must sum to ~1")
   }
 
+  test("stats_benford_chisq: chi-square matches a brute snapped-cell recount") {
+    val prices = Tables.lineitem(s, d).select("l_extendedprice")
+      .collect().map(_.getDouble(0)).filter(_ > 0)
+    val truth = prices
+      .map(p => math.floor(p * 100 + 0.5).toLong.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = prices.length.toLong
+    // per-cell snap replicated with the engines' EXACT double shape
+    val chi2e9 = truth.map { case (d0, o) =>
+      val p = math.log(1.0 + 1.0 / d0) / math.log(10.0)
+      val dev = o.toDouble - n.toDouble * p
+      math.floor(dev * dev / (n.toDouble * p) * 1e9 + 0.5).toLong
+    }.sum
+    val r = SparkEntry.queries("stats_benford_chisq")(s, d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n && r(0).getLong(1) == truth.size.toLong)
+    assert(r(0).getLong(2) == chi2e9, s"chi2_e9 ${r(0).getLong(2)} vs brute $chi2e9")
+    // the uniform-ish synthetic prices are decidedly NOT Benford: the
+    // statistic must be enormous relative to the df=8 critical value
+    assert(r(0).getLong(2) / 1e9 > 100.0, "fixture should reject Benford loudly")
+  }
+
   test("events_interarrival: gaps, quartiles, and totals match a brute sorted scan per (type, day)") {
     val evs = Tables.events(s, d).select(col("event_type"), col("ts_us"),
         expr("cast(ts_us div 86400000000 as bigint)").as("day"))
