@@ -249,6 +249,39 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(chunkOverlap, datasetSplit, dedupStrip, sourceOverlap,
+  /** Token-budget mix table per (source, lang) — the allocation grain LLM
+    * training actually plans by: `domain_mix` balances DOCUMENT counts,
+    * but a 50-token doc and a 5k-token doc are not the same spend, so the
+    * budget table reports exact token counts and each cell's share of the
+    * corpus budget as share_e6 = floor(1e6·tokens/total) — integer-only
+    * (r15 rule). Scale: token counts are per-row `size(split(…))` (no
+    * explode — the only O(data) stage is one map + combinable aggregate
+    * onto the ≤ |sources|×|langs| domain); the corpus total rides a
+    * window over that bounded cell table (allowlisted).
+    */
+  private val corpusTokenBudget = Q("corpus_token_budget",
+    s"""WITH t AS (SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+       |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source, lang),
+       |w AS (SELECT source, lang, n_docs, n_tokens,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM g)
+       |SELECT source, lang, n_docs, n_tokens,
+       |  CAST((1000000 * n_tokens) // total AS BIGINT) AS share_e6
+       |FROM w ORDER BY source, lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    g.withColumn("total", sum("n_tokens").over(Window.partitionBy()))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        expr("cast((1000000 * n_tokens) div total as bigint)").as("share_e6"))
+      .orderBy("source", "lang")
+  }
+
+  val all: Seq[Q] = Seq(corpusTokenBudget,
+    chunkOverlap, datasetSplit, dedupStrip, sourceOverlap,
     layoutZvalue, corpusNovelty)
 }

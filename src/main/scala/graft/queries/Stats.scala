@@ -1596,6 +1596,108 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Wald–Wolfowitz runs test on each type's daily-count series — the
+    * randomness screen closing the drift suite: too FEW runs of
+    * above/below-median days means trend/clustering (what
+    * [[eventsAutocorr]] sees as momentum), too MANY means oscillation;
+    * both invalidate an i.i.d. assumption before a drift threshold is
+    * trusted. All-integer end to end: the per-type doubled median of the
+    * daily counts comes from the cross-multiplied 2·cw ≥ tw idiom (an
+    * exact BIGINT — ties AT the median are dropped, the standard
+    * treatment, by an exact sign comparison); runs are 1 + Σ(sign ≠
+    * lag(sign)) over the day order; and the normal-approximation z² is
+    * an exact rational of (R, n1, n2) — z² = A²·(n−1) / (2·n1·n2·
+    * (2·n1·n2 − n)) with A = (R−1)·n − 2·n1·n2 — shipped as z2_e6 +
+    * z_sign via ExactRatio (A ≤ n² keeps A²·n < 1e38 to ~40k observed
+    * days; the ratE6 shift guards beyond). Scale: ONE map-combinable
+    * daily count is the only O(data) stage; the median windows, sign
+    * lag and moments all run on the |types|×|days| domain over
+    * exchanges on type. Exclusions exact: n1 ≥ 1, n2 ≥ 1 and
+    * 2·n1·n2 > n (a one-sided series has no defined variance).
+    */
+  private val statsRunsTest = Q("stats_runs_test",
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY event_type, day),
+       |dom AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS w
+       |  FROM daily GROUP BY event_type, c),
+       |cum AS (SELECT event_type, c, w,
+       |    CAST(sum(w) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cw,
+       |    CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS tw FROM dom),
+       |med AS (SELECT event_type,
+       |    CAST(min(CASE WHEN 2 * cw >= tw THEN c END)
+       |      + min(CASE WHEN 2 * cw >= tw + 1 THEN c END) AS BIGINT) AS med2
+       |  FROM cum GROUP BY event_type),
+       |sg AS (SELECT daily.event_type, day,
+       |    CASE WHEN 2 * c > med2 THEN 1 ELSE -1 END AS sgn
+       |  FROM daily JOIN med ON med.event_type = daily.event_type
+       |  WHERE 2 * c <> med2),
+       |rl AS (SELECT event_type, sgn,
+       |    lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS psgn
+       |  FROM sg),
+       |m AS (SELECT event_type,
+       |    CAST(1 + sum(CASE WHEN psgn IS NOT NULL AND sgn <> psgn
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS r,
+       |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM rl GROUP BY event_type)
+       |SELECT event_type, n_obs, n_runs, n_above, n_below, z2_e6,
+       |  ${graft.functions.ExactRatio.signInt("za")} AS z_sign
+       |FROM ${graft.functions.ExactRatio.applyDuck(
+        """SELECT event_type, n1 + n2 AS n_obs, r AS n_runs,
+          |  n1 AS n_above, n2 AS n_below,
+          |  CAST((r - 1) * (n1 + n2) - 2 * n1 * n2 AS HUGEINT) AS za,
+          |  CAST((r - 1) * (n1 + n2) - 2 * n1 * n2 AS HUGEINT)
+          |    * ((r - 1) * (n1 + n2) - 2 * n1 * n2) * (n1 + n2 - 1) AS zn,
+          |  CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS zd
+          |FROM m
+          |WHERE n1 >= 1 AND n2 >= 1 AND 2 * n1 * n2 > n1 + n2""".stripMargin,
+        graft.functions.ExactRatio.ratE6Stages(
+          graft.functions.ExactRatio.DuckF, "abs(zn)", "zd", "z2_e6"))} q
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val perT = Window.partitionBy("event_type")
+    // doubled median of the COUNTS from their (type, c) domain — the
+    // WeightedQuantiles idiom inlined because med2 = lo + hi needs both
+    // middles, then joined back (|types|-row broadcast)
+    val cum = daily.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
+      .withColumn("cw", sum("w").over(perT.orderBy("c")))
+      .withColumn("tw", sum("w").over(perT))
+    val med = cum.groupBy("event_type")
+      .agg((min(when(expr("2 * cw >= tw"), col("c"))) +
+        min(when(expr("2 * cw >= tw + 1"), col("c")))).as("med2"))
+    val sg = daily.join(broadcast(med), "event_type")
+      .filter(expr("2 * c <> med2"))
+      .select(col("event_type"), col("day"),
+        expr("case when 2 * c > med2 then 1 else -1 end").as("sgn"))
+    val m = sg
+      .withColumn("psgn", lag("sgn", 1).over(perT.orderBy("day")))
+      .groupBy("event_type")
+      .agg((lit(1) + sum(when(expr("psgn is not null and sgn <> psgn"), 1)
+          .otherwise(0))).cast("bigint").as("r"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"))
+    val base = m.filter(expr("n1 >= 1 AND n2 >= 1 AND 2 * n1 * n2 > n1 + n2"))
+      .select(col("event_type"),
+        expr("n1 + n2").as("n_obs"), col("r").as("n_runs"),
+        col("n1").as("n_above"), col("n2").as("n_below"),
+        expr("cast((r - 1) * (n1 + n2) - 2 * n1 * n2 as decimal(38,0))").as("za"),
+        expr("cast((r - 1) * (n1 + n2) - 2 * n1 * n2 as decimal(38,0))" +
+          " * ((r - 1) * (n1 + n2) - 2 * n1 * n2) * (n1 + n2 - 1)").as("zn"),
+        expr("cast(2 as decimal(38,0)) * n1 * n2" +
+          " * (2 * n1 * n2 - (n1 + n2))").as("zd"))
+    import graft.functions.ExactRatio
+    ExactRatio.applySpark(base,
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "abs(zn)", "zd", "z2_e6"))
+      .select(col("event_type"), col("n_obs"), col("n_runs"),
+        col("n_above"), col("n_below"), col("z2_e6"),
+        expr(ExactRatio.signInt("za")).as("z_sign"))
+      .orderBy("event_type")
+  }
+
   /** Benford χ² goodness-of-fit over l_extendedprice's first significant
     * digits — the TEST STATISTIC on top of [[statsBenford]]'s profile
     * (the profile says how each digit deviates; this collapses the nine
@@ -2001,5 +2103,5 @@ object Stats {
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
     statsAnova, eventsCusum, statsMutualInfo, statsBenford,
     eventsInterarrival, forecastSeasonalNaive, statsKendallTau,
-    eventsBurstiness, statsLevene, statsBenfordChisq)
+    eventsBurstiness, statsLevene, statsBenfordChisq, statsRunsTest)
 }

@@ -17,6 +17,25 @@ class CorpusSpec extends AnyFunSuite {
   private def chunks6(text: String): Seq[String] =
     text.split(" ", -1).toSeq.grouped(6).map(_.mkString(" ")).toSeq
 
+  test("corpus_token_budget: cell counts, token sums and shares match a brute recount") {
+    val docs = Tables.documents(s, d).select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val res = SparkEntry.queries("corpus_token_budget")(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val cells = docs.groupBy(dc => (dc._1, dc._2))
+    assert(res.keySet == cells.keySet)
+    val total = docs.map(_._3).sum
+    cells.foreach { case (k, grp) =>
+      val toks = grp.map(_._3).sum
+      val share = (BigInt(1000000) * toks / total).toLong
+      assert(res(k) == ((grp.length.toLong, toks, share)), s"$k: ${res(k)}")
+    }
+    // shares telescope to ~1e6 (floor loses < 1 per cell)
+    val sum = res.values.map(_._3).sum
+    assert(sum > 1000000L - res.size && sum <= 1000000L)
+  }
+
   test("chunk_overlap: windows tile each doc with stride 4 and cover every token") {
     val rows = SparkEntry.queries("chunk_overlap")(s, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))

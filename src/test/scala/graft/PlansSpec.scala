@@ -252,6 +252,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // gate fails both ways (a new partition-less window on an unlisted
     // key, or a stale allowlist entry whose window was since removed).
     val allow = Map(
+      "corpus_token_budget" -> "|sources|x|langs| cells",
       "exp_pipeline" -> "231-row composite grid",
       "interval_concurrency" -> "minute domain - bounded by wall-clock, not rows",
       "pareto_frontier" -> "distinct price-cents domain (value-bounded)",

@@ -567,6 +567,42 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(row.getLong(4) > 0L && row.getLong(5) >= 0L && row.getLong(5) <= 1000000L)
   }
 
+  test("stats_runs_test: runs, split counts and z2_e6 match a brute day-walk") {
+    val evs = Tables.events(s, d).select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val res = SparkEntry.queries("stats_runs_test")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))).toMap
+    def ratE6(a: BigInt, b: BigInt): Long = {
+      var u = 0
+      while (a / BigInt(10).pow(u) >= BigInt(10).pow(30)) u += 1
+      ((BigInt(1000000) * (a / BigInt(10).pow(u))) /
+        (b / BigInt(10).pow(u)).max(1)).toLong
+    }
+    var checked = 0
+    evs.groupBy(_._1).foreach { case (ty, rows) =>
+      val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val counts = daily.values.toSeq.sorted
+      val nD = counts.length
+      val med2 = counts((nD - 1) / 2) + counts(nD / 2)
+      // signs in day order, median ties dropped (the standard treatment)
+      val signs = daily.toSeq.sortBy(_._1)
+        .collect { case (_, c) if 2 * c != med2 => if (2 * c > med2) 1 else -1 }
+      val n1 = signs.count(_ == 1).toLong
+      val n2 = signs.count(_ == -1).toLong
+      val n = n1 + n2
+      if (n1 >= 1 && n2 >= 1 && 2 * n1 * n2 > n) {
+        val runs = 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+        val a = BigInt((runs - 1) * n) - BigInt(2) * n1 * n2
+        val z2 = ratE6(a * a * (n - 1), BigInt(2) * n1 * n2 * (BigInt(2) * n1 * n2 - n))
+        assert(res(ty) == ((n, runs, n1, n2, z2, a.signum)), s"$ty: ${res(ty)}")
+        checked += 1
+      } else assert(!res.contains(ty), s"$ty one-sided series must be excluded")
+    }
+    assert(checked > 0 && res.size == checked)
+  }
+
   test("events_burstiness: moments and fano_e6 match a brute BigInt re-derivation") {
     val evs = Tables.events(s, d).select(col("event_type"),
         expr("cast(ts_us div 86400000000 as bigint)").as("day"))
