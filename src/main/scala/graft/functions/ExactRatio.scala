@@ -122,22 +122,50 @@ object ExactRatio {
 
   /** Stages appending `out` ≈ floor(1e6 · a / b) as BIGINT for exact
     * integer columns a ≥ 0, b ≥ 1, each < 1e38 — the single-ratio surface
-    * (F statistics, η², regression slopes). A common shift keeps 1e6·a'
-    * under 1e36; `greatest(b', 1)` guards the (deterministic on both
-    * engines) case where b is many orders below a.
+    * (F statistics, η², regression slopes). The shift budget is governed
+    * by Spark's `div`: IntegralDivide always returns BIGINT and silently
+    * WRAPS any quotient above int64 (verified on the bundled Spark 4.1.2:
+    * `CAST('1e25-ish' AS DECIMAL(38,0)) div 1` returns garbage), while
+    * DuckDB's HUGEINT `//` is exact to 128 bits — so every staged div
+    * must keep its QUOTIENT under 9.2e18 or the two engines silently
+    * diverge. The common shift u therefore reduces BOTH operands to ≤ 12
+    * digits (u = max over the two shiftOver terms — the r2e6Stages
+    * discipline): a' ≤ 1e12 and b' ≤ 1e12, so `a div 10^u`, `b div 10^u`
+    * and the final `1e6·a' div b'` (≤ 1e18 even when b' collapses to the
+    * `greatest(b', 1)` guard) all fit int64. Relative truncation error
+    * stays ≤ ~1e-11 whenever the ratio is meaningfully nonzero, and the
+    * result is an exact-integer function evaluated identically on both
+    * engines — the hash-surface requirement.
     */
   def ratE6Stages(f: Flavor, a: String, b: String,
                   out: String): Seq[Seq[(String, String)]] = {
     val p = out
     val (ab, bb) = (f.bigCast(a), f.bigCast(b))
     Seq(
-      Seq(s"${p}_u" -> shiftOver(f, ab, 30)),
+      Seq(s"${p}_ua" -> shiftOver(f, ab, 12),
+          s"${p}_ub" -> shiftOver(f, bb, 12)),
+      Seq(s"${p}_u" -> s"greatest(${p}_ua, ${p}_ub)"),
       Seq(s"${p}_ap" -> f.intDiv(ab, pow10Case(f, s"${p}_u")),
           s"${p}_bp" -> s"greatest(${f.intDiv(bb, pow10Case(f, s"${p}_u"))}, 1)"),
       Seq(out -> s"CAST(${f.intDiv(
           s"${bigLit(f, 6)} * ${f.bigCast(s"${p}_ap")}",
           f.bigCast(s"${p}_bp"))} AS BIGINT)"))
   }
+
+  /** Bounded exactness witness for a (possibly huge) exact integer
+    * column: `abs(x) mod 1000000007` as BIGINT. Round-15 forensics: the
+    * driver's hash breaks on ANY decimal128 output column (its
+    * duckdb/pandas stack canonicalizes decimals differently per side —
+    * the 7 r15 hash-red keys were EXACTLY the 7 keys emitting
+    * DECIMAL(38,0), magnitude-independent), so unbounded moments like
+    * n²·cov may never ship raw. The modular digest keeps a full-width
+    * exactness witness (any single-limb discrepancy between the engines'
+    * 128-bit moments survives mod p with probability 1 − 1/p) on an
+    * int64 surface that can never overflow at any data scale. Sign is
+    * carried separately by [[signInt]] where it matters.
+    */
+  def modDigest(f: Flavor, x: String): String =
+    s"CAST((${f.bigCast(s"abs($x)")} % 1000000007) AS BIGINT)"
 
   /** Apply staged columns to a DataFrame (Spark flavor); Catalyst collapses
     * the chained projections into one.

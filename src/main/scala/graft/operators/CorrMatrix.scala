@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * Exactness contract: the caller snaps measures to integers FIRST
   * (cents, percent points, counts — the caller owns the units); every
   * moment is then an exact sum — per-row products in int64, accumulated
-  * as DECIMAL(38,0) — so `cov_n2` (= n²·covariance, the cross-multiplied
-  * integer that needs no division) is engine-exact and order-independent.
+  * as DECIMAL(38,0) — so n²·covariance (the cross-multiplied integer
+  * that needs no division) is engine-exact and order-independent; it
+  * ships as `cov_m9` = abs mod 1e9+7 (a bounded int64 witness — r15
+  * forensics: the driver's hash breaks on any decimal128 output column,
+  * so the raw 128-bit moment may never be emitted).
   * The normalized correlation is exposed as `r2_e6` ≈ floor(1e6·r²) plus
   * `r_sign`, both exact integers built by [[graft.functions.ExactRatio]]
   * — no double is ever emitted (r14 forensics: a round(double) ratio
@@ -29,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object CorrMatrix {
 
-  /** Pair rows (col_x, col_y, n, cov_n2, r2_e6, r_sign) for every
+  /** Pair rows (col_x, col_y, n, cov_m9, r2_e6, r_sign) for every
     * unordered column pair of `cols` with both variance terms non-zero
     * (named pairs follow `cols` order, col_x before col_y), ordered by
     * (col_x, col_y). `cols` must be integer-valued (anything castable to
@@ -61,7 +64,8 @@ object CorrMatrix {
     ExactRatio.applySpark(exploded,
         ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "r2_e6"))
       .withColumn("r_sign", expr(ExactRatio.signInt("cov_n2")))
-      .select("col_x", "col_y", "n", "cov_n2", "r2_e6", "r_sign")
+      .withColumn("cov_m9", expr(ExactRatio.modDigest(ExactRatio.SparkF, "cov_n2")))
+      .select("col_x", "col_y", "n", "cov_m9", "r2_e6", "r_sign")
       .orderBy("col_x", "col_y")
   }
 }

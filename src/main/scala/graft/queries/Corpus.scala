@@ -267,7 +267,7 @@ object Corpus {
        |w AS (SELECT source, lang, n_docs, n_tokens,
        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM g)
        |SELECT source, lang, n_docs, n_tokens,
-       |  CAST((1000000 * n_tokens) // total AS BIGINT) AS share_e6
+       |  CAST((CAST('1000000' AS HUGEINT) * n_tokens) // total AS BIGINT) AS share_e6
        |FROM w ORDER BY source, lang""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, d)
@@ -277,7 +277,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
     g.withColumn("total", sum("n_tokens").over(Window.partitionBy()))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        expr("cast((1000000 * n_tokens) div total as bigint)").as("share_e6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * n_tokens) div total as bigint)").as("share_e6"))
       .orderBy("source", "lang")
   }
 

@@ -698,7 +698,9 @@ object Curation {
        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
        |    sum(CAST(x * y AS HUGEINT)) AS sxy,
        |    sum(CAST(x * x AS HUGEINT)) AS sxx FROM sn)
-       |SELECT n, num, den,
+       |SELECT n,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF, "num")} AS num_m9,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF, "den")} AS den_m9,
        |  CAST(${graft.functions.ExactRatio.signInt("num")} * sl_e6 AS BIGINT) AS slope_e6
        |FROM ${graft.functions.ExactRatio.applyDuck(
         """SELECT n,
@@ -734,7 +736,9 @@ object Curation {
         expr("abs(cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0)))").as("sl_a"))
     ExactRatio.applySpark(base,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "sl_a", "den", "sl_e6"))
-      .select(col("n"), col("num"), col("den"),
+      .select(col("n"),
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "num")).as("num_m9"),
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "den")).as("den_m9"),
         expr(s"cast(${ExactRatio.signInt("num")} * sl_e6 as bigint)").as("slope_e6"))
   }
 

@@ -142,7 +142,7 @@ object Pipeline {
        |  UNION ALL SELECT db AS doc_id FROM jpairs) u)
        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
-       |  CAST((1000000 * sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END))
+       |  CAST((CAST('1000000' AS HUGEINT) * sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END))
        |    // count(*) AS BIGINT) AS rate_e6
        |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
@@ -157,7 +157,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
       .select(col("source"), col("n_docs"), col("n_dup"),
-        expr("cast((1000000 * n_dup) div n_docs as bigint)").as("rate_e6"))
+        expr("cast((cast('1000000' as decimal(38,0)) * n_dup) div n_docs as bigint)").as("rate_e6"))
       .orderBy("source")
   }
 

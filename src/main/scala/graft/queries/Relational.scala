@@ -615,16 +615,52 @@ object Relational {
         .orderBy("c_nationkey")
     },
 
-    // exact interpolated percentile (sort-based, deterministic — unlike
-    // approx_percentile sketches); Spark percentile() == DuckDB quantile_cont
+    // exact interpolated percentile emitted ENTIRELY in integer
+    // arithmetic (ADVICE r15: for integer quantities the interpolated
+    // 0.9-quantile is an exact multiple of 0.1, so a floor(x*10+0.5)
+    // snap over the engines' float interpolation sits exactly ON the
+    // rounding tie — Spark percentile() and DuckDB quantile_cont()
+    // interpolate with different formulas and ±1 ulp decides the digit).
+    // Here: with g = (10p·(n−1)) mod 10 and bracketing order statistics
+    // a,b (ranks found by the cross-multiplied cw≥rank idiom over the
+    // bounded quantity DOMAIN — one scan, no per-row sort),
+    // p_x10 = (10−g)·a + g·b exactly on both engines.
     Q("agg_percentile",
-      s"""SELECT l_returnflag, CAST(floor(quantile_cont(l_quantity, 0.5) * 10 + 0.5) AS BIGINT) AS p50_x10,
-         |  CAST(floor(quantile_cont(l_quantity, 0.9) * 10 + 0.5) AS BIGINT) AS p90_x10
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        expr("cast(floor(percentile(l_quantity, 0.5d) * 10 + 0.5) as bigint)").as("p50_x10"),
-        expr("cast(floor(percentile(l_quantity, 0.9d) * 10 + 0.5) as bigint)").as("p90_x10"),
-      ).orderBy("l_returnflag")
+      s"""WITH dom AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(count(*) AS BIGINT) AS w FROM lineitem GROUP BY flag, q),
+         |c AS (SELECT flag, q, w,
+         |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS cw,
+         |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS n FROM dom),
+         |sel AS (SELECT flag, max(n) AS n,
+         |    min(CASE WHEN cw >= 1 + (n - 1) // 2 THEN q END) AS a5,
+         |    min(CASE WHEN cw >= 2 + (n - 1) // 2 THEN q END) AS b5,
+         |    min(CASE WHEN cw >= 1 + (9 * (n - 1)) // 10 THEN q END) AS a9,
+         |    min(CASE WHEN cw >= 2 + (9 * (n - 1)) // 10 THEN q END) AS b9
+         |  FROM c GROUP BY flag)
+         |SELECT flag AS l_returnflag,
+         |  CAST((2 - (n - 1) % 2) * 5 * a5
+         |    + ((n - 1) % 2) * 5 * coalesce(b5, a5) AS BIGINT) AS p50_x10,
+         |  CAST((10 - (9 * (n - 1)) % 10) * a9
+         |    + ((9 * (n - 1)) % 10) * coalesce(b9, a9) AS BIGINT) AS p90_x10
+         |FROM sel ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val perF = Window.partitionBy("flag")
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          expr("cast(l_quantity as bigint)").as("q"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("cw", sum("w").over(perF.orderBy("q")))
+        .withColumn("n", sum("w").over(perF))
+      c.groupBy("flag").agg(max("n").as("n"),
+          min(when(expr("cw >= 1 + (n - 1) div 2"), col("q"))).as("a5"),
+          min(when(expr("cw >= 2 + (n - 1) div 2"), col("q"))).as("b5"),
+          min(when(expr("cw >= 1 + (9 * (n - 1)) div 10"), col("q"))).as("a9"),
+          min(when(expr("cw >= 2 + (9 * (n - 1)) div 10"), col("q"))).as("b9"))
+        .select(col("flag").as("l_returnflag"),
+          expr("cast((2 - (n - 1) % 2) * 5 * a5" +
+            " + ((n - 1) % 2) * 5 * coalesce(b5, a5) as bigint)").as("p50_x10"),
+          expr("cast((10 - (9 * (n - 1)) % 10) * a9" +
+            " + ((9 * (n - 1)) % 10) * coalesce(b9, a9) as bigint)").as("p90_x10"))
+        .orderBy("l_returnflag")
     },
 
     // HLL sketch — engines' sketches differ, so no SQL oracle (rows-only

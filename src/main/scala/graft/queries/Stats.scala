@@ -1060,7 +1060,9 @@ object Stats {
     * per-row products stay in int64 (≤ ~10¹⁴), and the sums are
     * DECIMAL(38,0) on the Spark side / native 128-bit on the oracle —
     * so n·Sxy − Sx·Sy is exact on both engines and `cov_n2` (= n² ×
-    * covariance) is hash-comparable as a DECIMAL(38,0). The normalized
+    * covariance) is engine-exact; it ships as cov_m9 = abs mod 1e9+7
+    * (a bounded int64 witness — the driver's hash mangles any decimal128
+    * column, r15 forensics). The normalized
     * correlation ships as r2_e6 + r_sign — ExactRatio's shift-guarded
     * integer rational; no double is hashed (the r14 driver forensics:
     * a round(,6) ratio over sqrt terms flipped per oracle build).
@@ -1093,7 +1095,9 @@ object Stats {
     s"""WITH b AS (SELECT ${cols.zipWithIndex.map { case (c, i) => s"$c AS x${i + 1}" }.mkString(", ")}
        |  FROM lineitem),
        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $prods FROM b)
-       |SELECT col_x, col_y, n, cov_n2, r2_e6, ${ExactRatio.signInt("cov_n2")} AS r_sign
+       |SELECT col_x, col_y, n,
+       |  ${ExactRatio.modDigest(ExactRatio.DuckF, "cov_n2")} AS cov_m9,
+       |  r2_e6, ${ExactRatio.signInt("cov_n2")} AS r_sign
        |FROM $laddered q ORDER BY col_x, col_y""".stripMargin
   }) { (s, d) =>
     // snap to integer units (quantity, cents, percent points) then hand
@@ -1116,7 +1120,8 @@ object Stats {
     * value v, 2·avgrank = rank(v) + cumcount(≤ v) exactly (min position
     * plus max position of the tie run), so rx/ry are BIGINTs and the
     * Pearson-over-ranks moments reuse the CorrMatrix exactness contract —
-    * DECIMAL(38,0) product chains and sums, cov_n2 hash-exact, and the
+    * DECIMAL(38,0) product chains and sums, the covariance witnessed as
+    * cov_m9 (abs mod 1e9+7 — no decimal128 on the hash surface), and the
     * normalized rho shipped as rho2_e6 + rho_sign (ExactRatio's exact
     * integer rational — no hashed double). Scale: rows collapse FIRST to
     * the (flag, x, y) joint DOMAIN through one combinable aggregate (the
@@ -1151,7 +1156,9 @@ object Stats {
        |    sum(CAST(rx * rx AS HUGEINT)) AS sxx,
        |    sum(CAST(ry * ry AS HUGEINT)) AS syy
        |  FROM r GROUP BY flag)
-       |SELECT flag, n, cov_n2, rho2_e6, ${graft.functions.ExactRatio.signInt("cov_n2")} AS rho_sign
+       |SELECT flag, n,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF, "cov_n2")} AS cov_m9,
+       |  rho2_e6, ${graft.functions.ExactRatio.signInt("cov_n2")} AS rho_sign
        |FROM ${graft.functions.ExactRatio.applyDuck(
         """SELECT flag, n,
           |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
@@ -1217,7 +1224,8 @@ object Stats {
     ExactRatio.applySpark(filtered,
         ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "rho2_e6"))
       .withColumn("rho_sign", expr(ExactRatio.signInt("cov_n2")))
-      .select("flag", "n", "cov_n2", "rho2_e6", "rho_sign")
+      .withColumn("cov_m9", expr(ExactRatio.modDigest(ExactRatio.SparkF, "cov_n2")))
+      .select("flag", "n", "cov_m9", "rho2_e6", "rho_sign")
       .orderBy("flag")
   }
 
@@ -1227,7 +1235,8 @@ object Stats {
     * it). Pairs are ADJACENT observed days (day, day+1 both present);
     * counts are integers, so the Pearson moments over (c_t, c_{t−1})
     * reuse the exact-integer discipline: products in int64, DECIMAL(38,0)
-    * sums, cov_n2 hash-exact, and the normalized AC1 shipped as
+    * sums, the covariance witnessed as cov_m9 (abs mod 1e9+7 — no
+    * decimal128 on the hash surface), and the normalized AC1 shipped as
     * ac12_e6 + ac1_sign (ExactRatio). Scale: the daily table
     * is |types|×|days| rows (tiny at any SF) — the heavy lifting is the
     * ONE map-combinable count aggregate over events; the lag window and
@@ -1248,7 +1257,9 @@ object Stats {
        |    sum(CAST(c * c AS HUGEINT)) AS sxx,
        |    sum(CAST(pc * pc AS HUGEINT)) AS syy
        |  FROM p WHERE pday = day - 1 GROUP BY event_type)
-       |SELECT event_type, n, cov_n2, ac12_e6, ${graft.functions.ExactRatio.signInt("cov_n2")} AS ac1_sign
+       |SELECT event_type, n,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF, "cov_n2")} AS cov_m9,
+       |  ac12_e6, ${graft.functions.ExactRatio.signInt("cov_n2")} AS ac1_sign
        |FROM ${graft.functions.ExactRatio.applyDuck(
         """SELECT event_type, n,
           |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS cov_n2,
@@ -1289,7 +1300,8 @@ object Stats {
     ExactRatio.applySpark(filtered,
         ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "ac12_e6"))
       .withColumn("ac1_sign", expr(ExactRatio.signInt("cov_n2")))
-      .select("event_type", "n", "cov_n2", "ac12_e6", "ac1_sign")
+      .withColumn("cov_m9", expr(ExactRatio.modDigest(ExactRatio.SparkF, "cov_n2")))
+      .select("event_type", "n", "cov_m9", "ac12_e6", "ac1_sign")
       .orderBy("event_type")
   }
 
@@ -1360,7 +1372,8 @@ object Stats {
     * dominance, AC1: momentum, this: do the GROUP MEANS differ more than
     * within-group noise explains?). Exactness: group moments (n, Σvc,
     * Σvc²) are exact integer sums; the total scatter ×N
-    * (sst_n = N·Σvc² − S², DECIMAL(38,0)) is hash-exact; SSB is an exact
+    * (sst_n = N·Σvc² − S², DECIMAL(38,0) internally, witnessed on the
+    * hash surface as sst_m9 = mod 1e9+7) is engine-exact; SSB is an exact
     * BIGINT because each group's term n_g(m_g−m)² =
     * (s_g·N − S·n_g)²/(n_g·N²) is computed from exact ≤10³³ integers
     * with ONE double division and floor(x+0.5)-snapped — both engines
@@ -1391,14 +1404,15 @@ object Stats {
        |        / (CAST(gm.ng AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
        |      + 0.5) AS BIGINT)) AS BIGINT) AS ssb_c2
        |  FROM gm CROSS JOIN t GROUP BY t.k, t.n, t.maxa, t.s, t.ss)
-       |SELECT k, n, sst_n, ssb_c2, f_e6, eta2_e6
+       |SELECT k, n,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF, "sst_n")} AS sst_m9,
+       |  ssb_c2, f_e6, eta2_e6
        |FROM ${graft.functions.ExactRatio.applyDuck(
         """SELECT CAST(e.k AS BIGINT) AS k, CAST(e.n AS BIGINT) AS n, sst_n, ssb_c2,
-          |  CAST(ssb_c2 AS HUGEINT) * (e.n - e.k) AS fa,
-          |  greatest(greatest(CAST(sst_n AS HUGEINT) - e.n * ssb_c2, 0) // e.n, 1)
-          |    * (e.k - 1) AS fb,
-          |  CAST(ssb_c2 AS HUGEINT) AS ea,
-          |  greatest(CAST(sst_n AS HUGEINT) // e.n, 1) AS eb
+          |  CAST(ssb_c2 AS HUGEINT) * (e.n - e.k) * e.n AS fa,
+          |  greatest(CAST(sst_n AS HUGEINT) - e.n * ssb_c2, 1) * (e.k - 1) AS fb,
+          |  CAST(ssb_c2 AS HUGEINT) * e.n AS ea,
+          |  CAST(sst_n AS HUGEINT) AS eb
           |FROM e
           |WHERE e.k >= 2 AND CAST(e.n AS BIGINT) > e.k AND sst_n > 0 AND maxa > 0""".stripMargin,
         graft.functions.ExactRatio.ratE6Stages(
@@ -1429,22 +1443,28 @@ object Stats {
         col("ssb_c2"), col("maxa"))
       .filter(col("k") >= 2 && expr("n > k") && col("sst_n") > 0 && col("maxa") > 0)
       .select(col("k"), col("n"), col("sst_n"), col("ssb_c2"),
-        // SS terms return to cents² via exact truncating division by n
-        // (identical on both engines: all operands non-negative) BEFORE
-        // the rational, so no operand ever nears the 1e38 exactness cap
-        expr("cast(ssb_c2 as decimal(38,0)) * (n - k)").as("fa"),
-        expr("cast(greatest(greatest(cast(sst_n as decimal(38,0))" +
-          " - cast(n as decimal(38,0)) * ssb_c2, cast(0 as decimal(38,0)))" +
-          " div cast(n as decimal(38,0)), 1) as decimal(38,0)) * (k - 1)").as("fb"),
-        col("ssb_c2").as("ea"),
-        expr("greatest(cast(sst_n as decimal(38,0)) div cast(n as decimal(38,0)), 1)").as("eb"))
+        // ratio operands are DIVISION-FREE 128-bit products (the old
+        // `sst_n div n` pre-division stage had an unguarded Spark `div`
+        // whose quotient wraps int64 at extreme scale — ADVICE r15):
+        // f = ssb·(n−k)·n / (ssw_e·(k−1)) and η² = ssb·n / sst_n with
+        // ssw_e = sst_n − n·ssb exact; formation overflow past 1e38
+        // fails LOUD on both engines (ANSI decimal / HUGEINT), and the
+        // only divisions left are ratE6Stages' shift-guarded ones
+        expr("cast(ssb_c2 as decimal(38,0)) * (n - k) * n").as("fa"),
+        expr("greatest(cast(sst_n as decimal(38,0))" +
+          " - cast(n as decimal(38,0)) * ssb_c2," +
+          " cast(1 as decimal(38,0))) * (k - 1)").as("fb"),
+        expr("cast(ssb_c2 as decimal(38,0)) * n").as("ea"),
+        expr("cast(sst_n as decimal(38,0))").as("eb"))
       .transform { base =>
         import graft.functions.ExactRatio
         ExactRatio.applySpark(base,
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "fa", "fb", "f_e6") ++
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "ea", "eb", "eta2_e6"))
       }
-      .select("k", "n", "sst_n", "ssb_c2", "f_e6", "eta2_e6")
+      .withColumn("sst_m9", expr(
+        graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.SparkF, "sst_n")))
+      .select("k", "n", "sst_m9", "ssb_c2", "f_e6", "eta2_e6")
   }
 
   /** CUSUM changepoint per event type over the daily count series — the
@@ -1608,8 +1628,13 @@ object Stats {
     * lag(sign)) over the day order; and the normal-approximation z² is
     * an exact rational of (R, n1, n2) — z² = A²·(n−1) / (2·n1·n2·
     * (2·n1·n2 − n)) with A = (R−1)·n − 2·n1·n2 — shipped as z2_e6 +
-    * z_sign via ExactRatio (A ≤ n² keeps A²·n < 1e38 to ~40k observed
-    * days; the ratE6 shift guards beyond). Scale: ONE map-combinable
+    * z_sign via ExactRatio. Magnitude contract (ADVICE r15 correction):
+    * the numerator A²·(n−1) ~ 4n⁵ leaves int64 near ~4.6k observed days
+    * — which is exactly why BOTH engines FORM it in 128-bit (HUGEINT /
+    * DECIMAL(38,0), exact to n ~ 4·10⁶ days, loud overflow beyond) and
+    * the division runs through ratE6Stages' shift ladder, whose ≤12-digit
+    * operand budget keeps every Spark `div` quotient inside int64 at any
+    * magnitude. Scale: ONE map-combinable
     * daily count is the only O(data) stage; the median windows, sign
     * lag and moments all run on the |types|×|days| domain over
     * exchanges on type. Exclusions exact: n1 ≥ 1, n2 ≥ 1 and
@@ -1703,42 +1728,54 @@ object Stats {
     * (the profile says how each digit deviates; this collapses the nine
     * deviations into the one number an audit thresholds, df = 8). The
     * digit counts are engine-exact (string-head of exact cents, the
-    * statsBenford discipline); each cell's (o − n·p)²/(n·p) is ONE
-    * identically-shaped double expression of the exact integers (p =
-    * ln(1+1/d)/ln(10) — nine data-independent constants), floor-scaled
-    * ×10⁹ per cell and summed exactly, so the total is
-    * order-independent and the only cross-engine exposure is the
-    * MarginSpec-gated snap boundary. Scale: ONE map-combinable count
+    * statsBenford discipline); each cell's (o − n·p)²/(n·p) is an EXACT
+    * integer rational of (o, n, benford_e6) — with p snapped once to the
+    * nine data-independent benford_e6 constants (the statsBenford
+    * columns; MarginSpec-gated), the cell is
+    * (1e6·o − n·be6)² / (1e6·n·be6), floor-scaled ×10⁶ through
+    * ExactRatio's shift-guarded ladder and summed exactly. No
+    * data-DEPENDENT double ever reaches the hash (ADVICE r15: the first
+    * cut floor-snapped a per-cell libm chain, re-importing the fragile
+    * class this suite had just evicted). Scale: ONE map-combinable count
     * onto the 9-digit domain; everything after runs on 9 rows.
     */
   private val statsBenfordChisq = Q("stats_benford_chisq", {
-    val pd = "(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) / ln(CAST(10 AS DOUBLE)))"
-    val dev = s"(CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * $pd)"
+    import graft.functions.ExactRatio
+    val be6 = "CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)" +
+      " / ln(CAST(10 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    val inner =
+      s"""SELECT digit, n,
+         |  (CAST(1000000 AS HUGEINT) * n_d - CAST(n AS HUGEINT) * $be6)
+         |    * (CAST(1000000 AS HUGEINT) * n_d - CAST(n AS HUGEINT) * $be6) AS nc,
+         |  CAST(1000000 AS HUGEINT) * n * $be6 AS dc
+         |FROM w""".stripMargin
     s"""WITH b AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
        |  FROM lineitem WHERE l_extendedprice > 0),
        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM b GROUP BY digit),
-       |w AS (SELECT digit, n_d, CAST(sum(n_d) OVER () AS BIGINT) AS n FROM g),
-       |cell AS (SELECT n, CAST(floor($dev * $dev
-       |      / (CAST(n AS DOUBLE) * $pd) * 1000000000 + 0.5) AS BIGINT) AS c9
-       |  FROM w)
+       |w AS (SELECT digit, n_d, CAST(sum(n_d) OVER () AS BIGINT) AS n FROM g)
        |SELECT CAST(max(n) AS BIGINT) AS n,
        |  CAST(count(*) AS BIGINT) AS n_digits,
-       |  CAST(sum(c9) AS BIGINT) AS chi2_e9
-       |FROM cell""".stripMargin
+       |  CAST(sum(c_e6) AS BIGINT) AS chi2_e6
+       |FROM ${ExactRatio.applyDuck(inner,
+          ExactRatio.ratE6Stages(ExactRatio.DuckF, "nc", "dc", "c_e6"))} q""".stripMargin
   }) { (s, d) =>
-    val pd = "(ln(1.0d + 1.0d / digit) / ln(10.0d))"
-    val dev = s"(cast(n_d as double) - cast(n as double) * $pd)"
+    import graft.functions.ExactRatio
+    val be6 = "cast(floor(ln(1.0d + 1.0d / digit) / ln(10.0d) * 1000000 + 0.5) as bigint)"
     val g = Tables.lineitem(s, d)
       .filter(col("l_extendedprice") > 0)
       .select(expr("cast(substring(cast(cast(floor(l_extendedprice * 100 + 0.5)" +
         " as bigint) as string), 1, 1) as bigint)").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_d"))
-    g.withColumn("n", sum("n_d").over(Window.partitionBy()))
-      .select(col("n"), expr(s"cast(floor($dev * $dev" +
-        s" / (cast(n as double) * $pd) * 1000000000.0d + 0.5d) as bigint)").as("c9"))
+    val w = g.withColumn("n", sum("n_d").over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr(s"(cast(1000000 as decimal(38,0)) * n_d - cast(n as decimal(38,0)) * $be6)" +
+          s" * (cast(1000000 as decimal(38,0)) * n_d - cast(n as decimal(38,0)) * $be6)").as("nc"),
+        expr(s"cast(1000000 as decimal(38,0)) * n * $be6").as("dc"))
+    ExactRatio.applySpark(w,
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "nc", "dc", "c_e6"))
       .agg(max("n").as("n"), count(lit(1)).as("n_digits"),
-        sum("c9").as("chi2_e9"))
+        sum("c_e6").as("chi2_e6"))
   }
 
   /** Inter-arrival-time distribution per event type — the traffic-shape
@@ -1918,14 +1955,15 @@ object Stats {
        |        / (CAST(gm.ng AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
        |      + 0.5) AS BIGINT)) AS BIGINT) AS ssb_c2
        |  FROM gm CROSS JOIN t GROUP BY t.k, t.n, t.maxa, t.s, t.ss)
-       |SELECT k, n, sst_n, ssb_c2, f_e6, eta2_e6
+       |SELECT k, n,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF, "sst_n")} AS sst_m9,
+       |  ssb_c2, f_e6, eta2_e6
        |FROM ${graft.functions.ExactRatio.applyDuck(
         """SELECT CAST(e.k AS BIGINT) AS k, CAST(e.n AS BIGINT) AS n, sst_n, ssb_c2,
-          |  CAST(ssb_c2 AS HUGEINT) * (e.n - e.k) AS fa,
-          |  greatest(greatest(CAST(sst_n AS HUGEINT) - e.n * ssb_c2, 0) // e.n, 1)
-          |    * (e.k - 1) AS fb,
-          |  CAST(ssb_c2 AS HUGEINT) AS ea,
-          |  greatest(CAST(sst_n AS HUGEINT) // e.n, 1) AS eb
+          |  CAST(ssb_c2 AS HUGEINT) * (e.n - e.k) * e.n AS fa,
+          |  greatest(CAST(sst_n AS HUGEINT) - e.n * ssb_c2, 1) * (e.k - 1) AS fb,
+          |  CAST(ssb_c2 AS HUGEINT) * e.n AS ea,
+          |  CAST(sst_n AS HUGEINT) AS eb
           |FROM e
           |WHERE e.k >= 2 AND CAST(e.n AS BIGINT) > e.k AND sst_n > 0 AND maxa > 0""".stripMargin,
         graft.functions.ExactRatio.ratE6Stages(
@@ -1965,19 +2003,22 @@ object Stats {
         col("ssb_c2"), col("maxa"))
       .filter(col("k") >= 2 && expr("n > k") && col("sst_n") > 0 && col("maxa") > 0)
       .select(col("k"), col("n"), col("sst_n"), col("ssb_c2"),
-        expr("cast(ssb_c2 as decimal(38,0)) * (n - k)").as("fa"),
-        expr("cast(greatest(greatest(cast(sst_n as decimal(38,0))" +
-          " - cast(n as decimal(38,0)) * ssb_c2, cast(0 as decimal(38,0)))" +
-          " div cast(n as decimal(38,0)), 1) as decimal(38,0)) * (k - 1)").as("fb"),
-        col("ssb_c2").as("ea"),
-        expr("greatest(cast(sst_n as decimal(38,0)) div cast(n as decimal(38,0)), 1)").as("eb"))
+        // division-free ratio operands (see statsAnova — same rationale)
+        expr("cast(ssb_c2 as decimal(38,0)) * (n - k) * n").as("fa"),
+        expr("greatest(cast(sst_n as decimal(38,0))" +
+          " - cast(n as decimal(38,0)) * ssb_c2," +
+          " cast(1 as decimal(38,0))) * (k - 1)").as("fb"),
+        expr("cast(ssb_c2 as decimal(38,0)) * n").as("ea"),
+        expr("cast(sst_n as decimal(38,0))").as("eb"))
       .transform { base =>
         import graft.functions.ExactRatio
         ExactRatio.applySpark(base,
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "fa", "fb", "f_e6") ++
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "ea", "eb", "eta2_e6"))
       }
-      .select("k", "n", "sst_n", "ssb_c2", "f_e6", "eta2_e6")
+      .withColumn("sst_m9", expr(
+        graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.SparkF, "sst_n")))
+      .select("k", "n", "sst_m9", "ssb_c2", "f_e6", "eta2_e6")
   }
 
   /** Fano factor (variance-to-mean ratio) of the daily event count per
@@ -1986,7 +2027,8 @@ object Stats {
     * load far below; alongside [[eventsAutocorr]] it tells a watermark
     * tuner whether spikes are momentum or noise. Exact-integer
     * discipline end to end: daily counts are BIGINTs, var_n2 =
-    * n·Σc² − (Σc)² is an exact DECIMAL(38,0) (hash surface), and the
+    * n·Σc² − (Σc)² is an exact 128-bit integer witnessed as var_m9
+    * (mod 1e9+7 — no decimal128 on the hash surface), and the
     * ratio ships as fano_e6 = floor(1e6·var_n2/(n·Σc)) — the r15
     * integer-rational rule; var/mean = (n·Σc²−S²)/(n·S) needs no
     * pre-shift (≤ ~1e29 at 100 TB daily volumes). Scale: ONE
@@ -2005,7 +2047,8 @@ object Stats {
        |    sum(CAST(c * c AS HUGEINT)) AS scc
        |  FROM daily GROUP BY event_type)
        |SELECT event_type, n, CAST(sc AS BIGINT) AS total,
-       |  CAST(CAST(n AS HUGEINT) * scc - sc * sc AS DECIMAL(38,0)) AS var_n2,
+       |  ${graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.DuckF,
+          "CAST(n AS HUGEINT) * scc - sc * sc")} AS var_m9,
        |  CAST((CAST('1000000' AS HUGEINT) * (CAST(n AS HUGEINT) * scc - sc * sc))
        |    // (CAST(n AS HUGEINT) * sc) AS BIGINT) AS fano_e6
        |FROM m WHERE n >= 2 AND sc > 0
@@ -2020,7 +2063,8 @@ object Stats {
       .filter(col("n") >= 2 && col("sc") > 0)
       .select(col("event_type"), col("n"),
         expr("cast(sc as bigint)").as("total"),
-        expr("cast(cast(n as decimal(38,0)) * scc - sc * sc as decimal(38,0))").as("var_n2"),
+        expr(graft.functions.ExactRatio.modDigest(graft.functions.ExactRatio.SparkF,
+          "cast(n as decimal(38,0)) * scc - sc * sc")).as("var_m9"),
         expr("cast((cast('1000000' as decimal(38,0))" +
           " * (cast(n as decimal(38,0)) * scc - sc * sc))" +
           " div (cast(n as decimal(38,0)) * sc) as bigint)").as("fano_e6"))

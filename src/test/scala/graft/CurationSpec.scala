@@ -366,11 +366,19 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(res.length == 1)
     val row = res.head
     assert(row.getLong(0) == snapped.length)
-    assert(BigInt(row.getDecimal(1).toBigInteger) == num, "num")
-    assert(BigInt(row.getDecimal(2).toBigInteger) == den, "den")
-    // integer surface: slope_e6 = sign(num)·floor(1e6·|num|/den) — the
-    // exact BigInt twin (den < 1e30 here, so no shift applies)
-    val sE6 = (num.signum * ((BigInt(1000000) * num.abs) / den)).toLong
+    def m9(x: BigInt): Long = (x.abs mod BigInt(1000000007)).toLong
+    assert(row.getLong(1) == m9(num), "num_m9")
+    assert(row.getLong(2) == m9(den), "den_m9")
+    // integer surface: slope_e6 = sign(num)·floor(1e6·|num|/den) via the
+    // ratE6b ladder (common shift to ≤12 digits on both operands)
+    def ratE6b(a: BigInt, b: BigInt): Long = {
+      var u = 0
+      while (a / BigInt(10).pow(u) >= BigInt(10).pow(12) ||
+             b / BigInt(10).pow(u) >= BigInt(10).pow(12)) u += 1
+      ((BigInt(1000000) * (a / BigInt(10).pow(u))) /
+        (b / BigInt(10).pow(u)).max(1)).toLong
+    }
+    val sE6 = num.signum * ratE6b(num.abs, den)
     assert(row.getLong(3) == sE6, s"slope_e6 ${row.getLong(3)} vs brute $sE6")
     val brute = num.toDouble / den.toDouble
     assert(math.abs(row.getLong(3) / 1e6 - brute) <= 2e-6)

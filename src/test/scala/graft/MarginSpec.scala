@@ -86,21 +86,9 @@ class MarginSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
-  test("stats_benford_chisq cell snaps: every chi-square cell clears the e9 boundary") {
-    val prices = Tables.lineitem(s, d).select("l_extendedprice")
-      .collect().map(_.getDouble(0)).filter(_ > 0)
-    val truth = prices
-      .map(p => math.floor(p * 100 + 0.5).toLong.toString.head.asDigit.toLong)
-      .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val n = prices.length.toLong
-    truth.foreach { case (d0, o) =>
-      val p = math.log(1.0 + 1.0 / d0) / math.log(10.0)
-      val dev = o.toDouble - n.toDouble * p
-      // 100-ulp floor (the fn_math rationale): cell magnitudes reach 1e12
-      // against a unit grid, and the libm exposure is a few ulps of ln
-      assertMargin(dev * dev / (n.toDouble * p) * 1e9 + 0.5, s"chisq digit $d0", 100.0)
-    }
-  }
+  // (the r15 chisq cell-snap test is gone: stats_benford_chisq's cells are
+  // now exact integer rationals of the benford_e6 constants — the only
+  // libm snaps left are those constants, gated by the statsBenford test)
 
   test("udaf_typed geo_cents snap: exp(mean-ln) per flag clears every boundary") {
     val rows = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")

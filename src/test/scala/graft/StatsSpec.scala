@@ -14,6 +14,24 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
 
   private def cents(x: Double): Long = math.floor(x * 100 + 0.5).toLong
 
+  /** abs mod 1e9+7 — the bounded int64 digest every 128-bit moment ships
+    * as (no decimal128 column may reach the driver's hash; r15 forensics:
+    * the 7 hash-red keys were exactly the 7 emitting DECIMAL(38,0)). */
+  private def m9(x: BigInt): Long = (x.abs mod BigInt(1000000007)).toLong
+
+  /** BigInt replica of ExactRatio.ratE6Stages: common shift reducing BOTH
+    * operands to ≤ 12 digits (so every Spark `div` quotient fits int64 —
+    * ADVICE r15: the old 30-digit budget silently wrapped), floor-div,
+    * greatest guard. Must stay EXACTLY in step with the production ladder. */
+  private def ratE6b(a: BigInt, b: BigInt): Long = {
+    var u = 0
+    while (a / BigInt(10).pow(u) >= BigInt(10).pow(12) ||
+           b / BigInt(10).pow(u) >= BigInt(10).pow(12)) u += 1
+    val ap = a / BigInt(10).pow(u)
+    val bp = (b / BigInt(10).pow(u)).max(1)
+    ((BigInt(1000000) * ap) / bp).toLong
+  }
+
   /** Exact interpolated quantile of sorted integers, scaled by `scale`
     * (scale must clear the position denominator for integer exactness). */
   private def qScaled(sorted: Array[Long], p: Double, scale: Long): Long = {
@@ -550,19 +568,13 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       math.floor(num.toDouble / (ng.toDouble * n.toDouble * n.toDouble) + 0.5).toLong
     }.sum
     assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
-    assert(BigInt(row.getDecimal(2).toBigInteger) == sstN, "sst_n")
+    assert(row.getLong(2) == m9(sstN), "sst_m9")
     assert(row.getLong(3) == ssb, s"ssb_c2 ${row.getLong(3)} vs brute $ssb")
-    def ratE6(a: BigInt, b: BigInt): Long = {
-      var u = 0
-      while (a / BigInt(10).pow(u) >= BigInt(10).pow(30)) u += 1
-      val ap = a / BigInt(10).pow(u)
-      val bp = (b / BigInt(10).pow(u)).max(1)
-      ((BigInt(1000000) * ap) / bp).toLong
-    }
+    // division-free operands: f = ssb·(n−k)·n/(ssw_e·(k−1)), η² = ssb·n/sst_n
     val ssbB = BigInt(ssb)
-    val sswC2 = ((sstN - n * ssbB).max(0) / n).max(1)
-    assert(row.getLong(4) == ratE6(ssbB * (n - k), sswC2 * (k - 1)), "f_e6")
-    assert(row.getLong(5) == ratE6(ssbB, (sstN / n).max(1)), "eta2_e6")
+    val sswE = (sstN - n * ssbB).max(1)
+    assert(row.getLong(4) == ratE6b(ssbB * (n - k) * n, sswE * (k - 1)), "f_e6")
+    assert(row.getLong(5) == ratE6b(ssbB * n, sstN), "eta2_e6")
     // BF on a mixed-variance fixture should register a positive statistic
     assert(row.getLong(4) > 0L && row.getLong(5) >= 0L && row.getLong(5) <= 1000000L)
   }
@@ -574,12 +586,6 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val res = SparkEntry.queries("stats_runs_test")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getInt(6)))).toMap
-    def ratE6(a: BigInt, b: BigInt): Long = {
-      var u = 0
-      while (a / BigInt(10).pow(u) >= BigInt(10).pow(30)) u += 1
-      ((BigInt(1000000) * (a / BigInt(10).pow(u))) /
-        (b / BigInt(10).pow(u)).max(1)).toLong
-    }
     var checked = 0
     evs.groupBy(_._1).foreach { case (ty, rows) =>
       val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
@@ -595,7 +601,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       if (n1 >= 1 && n2 >= 1 && 2 * n1 * n2 > n) {
         val runs = 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
         val a = BigInt((runs - 1) * n) - BigInt(2) * n1 * n2
-        val z2 = ratE6(a * a * (n - 1), BigInt(2) * n1 * n2 * (BigInt(2) * n1 * n2 - n))
+        val z2 = ratE6b(a * a * (n - 1), BigInt(2) * n1 * n2 * (BigInt(2) * n1 * n2 - n))
         assert(res(ty) == ((n, runs, n1, n2, z2, a.signum)), s"$ty: ${res(ty)}")
         checked += 1
       } else assert(!res.contains(ty), s"$ty one-sided series must be excluded")
@@ -609,7 +615,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val res = SparkEntry.queries("events_burstiness")(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1),
-        r.getLong(2), BigInt(r.getDecimal(3).toBigInteger), r.getLong(4)))).toMap
+        r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     var checked = 0
     evs.groupBy(_._1).foreach { case (ty, rows) =>
       val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
@@ -619,7 +625,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         val scc = daily.values.map(c => BigInt(c) * c).sum
         val varN2 = n * scc - sc * sc
         val fanoE6 = ((BigInt(1000000) * varN2) / (n * sc)).toLong
-        assert(res(ty) == ((n.toLong, sc.toLong, varN2, fanoE6)), s"$ty: ${res(ty)}")
+        assert(res(ty) == ((n.toLong, sc.toLong, m9(varN2), fanoE6)), s"$ty: ${res(ty)}")
         // Poisson-ish fixture traffic should not look metronomic: the
         // Fano factor must be meaningfully positive somewhere
         checked += 1
@@ -765,7 +771,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       assert(i >= 0 && j > i, s"pair ($cx,$cy) ordering")
       assert(r.getLong(2) == rows.length)
       val cov = n * qSum(i, j) - sSum(i) * sSum(j)
-      assert(BigInt(r.getDecimal(3).toBigInteger) == cov, s"($cx,$cy) cov_n2")
+      assert(r.getLong(3) == m9(cov), s"($cx,$cy) cov_m9")
       val dx = n * qSum(i, i) - sSum(i) * sSum(i)
       val dy = n * qSum(j, j) - sSum(j) * sSum(j)
       // integer surface: r2_e6 ≈ floor(1e6·r²) (shift truncation ≤ 1e-10
@@ -783,7 +789,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getDouble(1).toLong, cents(r.getDouble(2))))
     val res = SparkEntry.queries("stats_spearman")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getInt(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
     val byFlag = rows.groupBy(_._1)
     // fixture flags all have varying quantity AND price, so none is
     // excluded by the degenerate-variance guard
@@ -805,7 +811,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       val cov = n * sxy - rx.map(BigInt(_)).sum * ry.map(BigInt(_)).sum
       val (rn, rcov, rho2e6, rsign) = res(flag)
       assert(rn == grp.length, s"$flag n")
-      assert(rcov == cov, s"$flag cov_n2 $rcov vs brute $cov")
+      assert(rcov == m9(cov), s"$flag cov_m9 $rcov vs brute ${m9(cov)}")
       val dx = n * rx.map(a => BigInt(a) * a).sum - rx.map(BigInt(_)).sum.pow(2)
       val dy = n * ry.map(a => BigInt(a) * a).sum - ry.map(BigInt(_)).sum.pow(2)
       val rho2Brute = cov.toDouble * cov.toDouble / (dx.toDouble * dy.toDouble)
@@ -821,7 +827,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val res = SparkEntry.queries("events_autocorr")(s, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getInt(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
     var checked = 0
     evs.groupBy(_._1).foreach { case (ty, rows) =>
       val daily = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
@@ -836,7 +842,7 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         val cov = n * pairs.map(p => BigInt(p._1) * p._2).sum - sx * sy
         val (rn, rcov, ac2e6, acSign) = res(ty)
         assert(rn == pairs.length, s"$ty n")
-        assert(rcov == cov, s"$ty cov $rcov vs $cov")
+        assert(rcov == m9(cov), s"$ty cov_m9 $rcov vs ${m9(cov)}")
         val ac2Brute = cov.toDouble * cov.toDouble / (dx.toDouble * dy.toDouble)
         assert(math.abs(ac2e6 / 1e6 - ac2Brute) <= 2e-6, s"$ty ac12_e6 $ac2e6 vs $ac2Brute")
         assert(ac2e6 >= 0L && ac2e6 <= 1000000L)
@@ -899,21 +905,14 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       math.floor(num.toDouble / (ng.toDouble * n.toDouble * n.toDouble) + 0.5).toLong
     }.sum
     assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
-    assert(BigInt(row.getDecimal(2).toBigInteger) == sstN, "sst_n")
+    assert(row.getLong(2) == m9(sstN), "sst_m9")
     assert(row.getLong(3) == ssb, s"ssb_c2 ${row.getLong(3)} vs brute $ssb")
-    // integer-surface cross-check: replicate ExactRatio.ratE6 (shift to
-    // ≤30 digits, floor-div, greatest guards) in BigInt — must be EXACT
-    def ratE6(a: BigInt, b: BigInt): Long = {
-      var u = 0
-      while (a / BigInt(10).pow(u) >= BigInt(10).pow(30)) u += 1
-      val ap = a / BigInt(10).pow(u)
-      val bp = (b / BigInt(10).pow(u)).max(1)
-      ((BigInt(1000000) * ap) / bp).toLong
-    }
+    // integer-surface cross-check: the division-free operands through the
+    // shared ratE6b replica — must be EXACT
     val ssbB = BigInt(ssb)
-    val sswC2 = ((sstN - n * ssbB).max(0) / n).max(1)
-    val fE6 = ratE6(ssbB * (n - k), sswC2 * (k - 1))
-    val etaE6 = ratE6(ssbB, (sstN / n).max(1))
+    val sswE = (sstN - n * ssbB).max(1)
+    val fE6 = ratE6b(ssbB * (n - k) * n, sswE * (k - 1))
+    val etaE6 = ratE6b(ssbB * n, sstN)
     assert(row.getLong(4) == fE6, s"f_e6 ${row.getLong(4)} vs brute $fE6")
     assert(row.getLong(5) == etaE6, s"eta2_e6 ${row.getLong(5)} vs brute $etaE6")
     // and the rational values they encode agree with the exact-double F/eta²
@@ -1027,19 +1026,21 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map(p => math.floor(p * 100 + 0.5).toLong.toString.head.asDigit.toLong)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     val n = prices.length.toLong
-    // per-cell snap replicated with the engines' EXACT double shape
-    val chi2e9 = truth.map { case (d0, o) =>
-      val p = math.log(1.0 + 1.0 / d0) / math.log(10.0)
-      val dev = o.toDouble - n.toDouble * p
-      math.floor(dev * dev / (n.toDouble * p) * 1e9 + 0.5).toLong
+    // exact-rational cells over the nine snapped benford_e6 constants,
+    // through the shared ratE6b ladder — no data-dependent double anywhere
+    val chi2e6 = truth.map { case (d0, o) =>
+      val be6 = BigInt(math.floor(
+        math.log(1.0 + 1.0 / d0) / math.log(10.0) * 1e6 + 0.5).toLong)
+      val dev = BigInt(1000000) * o - BigInt(n) * be6
+      ratE6b(dev * dev, BigInt(1000000) * n * be6)
     }.sum
     val r = SparkEntry.queries("stats_benford_chisq")(s, d).collect()
     assert(r.length == 1)
     assert(r(0).getLong(0) == n && r(0).getLong(1) == truth.size.toLong)
-    assert(r(0).getLong(2) == chi2e9, s"chi2_e9 ${r(0).getLong(2)} vs brute $chi2e9")
+    assert(r(0).getLong(2) == chi2e6, s"chi2_e6 ${r(0).getLong(2)} vs brute $chi2e6")
     // the uniform-ish synthetic prices are decidedly NOT Benford: the
     // statistic must be enormous relative to the df=8 critical value
-    assert(r(0).getLong(2) / 1e9 > 100.0, "fixture should reject Benford loudly")
+    assert(r(0).getLong(2) / 1e6 > 100.0, "fixture should reject Benford loudly")
   }
 
   test("events_interarrival: gaps, quartiles, and totals match a brute sorted scan per (type, day)") {
@@ -1088,10 +1089,10 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(byPair(("x", "z")).getLong(4) == 1000000L && byPair(("x", "z")).getInt(5) == -1)
     assert(byPair(("y", "z")).getLong(4) == 1000000L && byPair(("y", "z")).getInt(5) == -1)
     res.foreach(r => assert(r.getLong(2) == 200L))
-    // cov_n2 against a BigInt brute on one pair: n·Sxy − Sx·Sy
+    // cov_m9 against a BigInt brute on one pair: (n·Sxy − Sx·Sy) mod 1e9+7
     val xs = (1L to 200L).map(BigInt(_))
     val cov = BigInt(200) * xs.map(x => x * 2 * x).sum - xs.sum * xs.map(_ * 2).sum
-    assert(BigInt(byPair(("x", "y")).getDecimal(3).toBigInteger) == cov)
+    assert(byPair(("x", "y")).getLong(3) == m9(cov))
   }
 
   test("forecast_seasonal_naive: MAE terms match a brute day-7-aligned recount") {

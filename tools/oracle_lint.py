@@ -109,6 +109,18 @@ def main():
                       " a division/sqrt chain -- hash-fragile across oracle"
                       " builds; migrate to an ExactRatio integer surface")
                 findings += 1
+        # Rule 3 (round-15 forensics): the driver's hash breaks on ANY
+        # decimal128 output column -- its duckdb/pandas stack canonicalizes
+        # decimals differently per side, magnitude-independent (the 7 r15
+        # hash-red keys were EXACTLY the 7 emitting DECIMAL(38,0) while the
+        # arrow-strict local gate passed). Unbounded exact moments must ship
+        # as ExactRatio.modDigest (abs mod 1e9+7) int64 witnesses instead.
+        for c in sorted(stypes):
+            if "decimal" in stypes[c]:
+                print(f"LINT {key}: col {c} is {stypes[c]} -- the driver's"
+                      " hash mangles decimal columns; ship an int64 surface"
+                      " (ExactRatio.modDigest for unbounded moments)")
+                findings += 1
     print(f"== oracle_lint: {findings} finding(s) over {len(oracles)} oracles ==")
     sys.exit(1 if findings else 0)
 
