@@ -281,7 +281,172 @@ object Corpus {
       .orderBy("source", "lang")
   }
 
-  val all: Seq[Q] = Seq(corpusTokenBudget,
+  /** Per-source vocabulary-health profile: vocabulary size, hapax
+    * legomena (tokens occurring exactly once — the classic "is this
+    * source natural text or generated boilerplate" axis: natural corpora
+    * sit near 40-60% hapax share of vocabulary; templated text collapses
+    * far below), token total, and the two ratios every corpus report
+    * prints — hapax share of vocab and type-token ratio — as exact
+    * ×10⁶ integers (HUGEINT/DECIMAL(38,0) cross-multiplied floor
+    * division; the r16 int64-only hash rule). Scale: ONE O(data) explode
+    * collapses immediately onto the (source, token) DOMAIN through a
+    * combinable count; the per-source profile is a second combinable
+    * aggregate on that domain. No windows, no joins.
+    */
+  private val textHapax = Q("text_hapax",
+    s"""WITH tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents) u
+       |  WHERE tok <> '' GROUP BY source, tok)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST((CAST('1000000' AS HUGEINT) * sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS hapax_e6,
+       |  CAST((CAST('1000000' AS HUGEINT) * count(*)) // sum(tf) AS BIGINT) AS ttr_e6
+       |FROM tf GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum("tf").as("n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+        expr("cast((cast('1000000' as decimal(38,0)) * hapax) div vocab as bigint)")
+          .as("hapax_e6"),
+        expr("cast((cast('1000000' as decimal(38,0)) * vocab) div n_tokens as bigint)")
+          .as("ttr_e6"))
+      .orderBy("source")
+  }
+
+  /** Heaps'-law vocabulary-growth exponent: OLS slope of ln(vocab) on
+    * ln(docs seen) over 16 corpus-prefix checkpoints — the scaling-curve
+    * number ("how fast does new data stop teaching new phrases") a
+    * pipeline tracks per ingest source alongside [[textHapax]]'s static
+    * profile and `text_zipf`'s frequency slope. The vocabulary unit is
+    * the TRIGRAM type (unigram vocabulary saturates almost immediately
+    * on any bounded word list — the fixture's plateaus at checkpoint 1
+    * and the slope degenerates to an exact 0; trigram types keep growing
+    * through the whole corpus, which is also the unit n-gram-novelty
+    * curves use in practice). Checkpoints are VALUE
+    * splits of the doc_id range (q_k = lo + ⌊Δ·k/16⌋ — min/max is one
+    * combinable aggregate), NEVER rank splits: a rank checkpoint needs a
+    * global cumulative count over the unbounded doc domain, exactly the
+    * partition-less-window shape the plan rules ban. Each doc/token then
+    * maps to its bucket by the exact integer inverse
+    * b = max(1, ⌈16·(id−lo)/Δ⌉) = max(1, (16·(id−lo)+Δ−1) div Δ) —
+    * provably the smallest k with id ≤ q_k, identical on both engines —
+    * so x_k (docs seen) and y_k (vocab = trigram types whose FIRST doc ≤ q_k)
+    * are cumulative sums over a 16-row bounded domain (allowlisted
+    * window). ln snaps to ×10⁶ BIGINTs (MarginSpec-gated), OLS moments
+    * exact DECIMAL(38,0), slope via the shift-guarded ExactRatio ladder,
+    * moments witnessed as mod-1e9+7 digests (the r16 hash rule). Scale:
+    * one O(data) trigram explode collapsing onto the trigram-type domain
+    * (min(doc_id) per type is combinable), one doc-id scan; everything
+    * after runs on ≤16 rows.
+    */
+  private val corpusHeaps = Q("corpus_heaps", {
+    import graft.functions.ExactRatio
+    val inner =
+      """SELECT n,
+        |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+        |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS den,
+        |  abs(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS HUGEINT)) AS sl_a
+        |FROM m WHERE n >= 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0""".stripMargin
+    s"""WITH b AS (SELECT min(doc_id) AS lo, greatest(max(doc_id) - min(doc_id), 1) AS dl
+       |  FROM documents),
+       |db AS (SELECT least(CAST(16 AS BIGINT),
+       |      greatest(CAST(1 AS BIGINT), (16 * (doc_id - lo) + dl - 1) // dl)) AS bk
+       |  FROM documents, b),
+       |dc AS (SELECT bk, CAST(count(*) AS BIGINT) AS nd FROM db GROUP BY bk),
+       |g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents) t WHERE len(w) >= 3),
+       |fd AS (SELECT min(doc_id) AS fdoc
+       |  FROM (SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS tri FROM g) x
+       |  GROUP BY tri),
+       |tb AS (SELECT least(CAST(16 AS BIGINT),
+       |      greatest(CAST(1 AS BIGINT), (16 * (fdoc - lo) + dl - 1) // dl)) AS bk
+       |  FROM fd, b),
+       |tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS nv FROM tb GROUP BY bk),
+       |sp AS (SELECT unnest(generate_series(CAST(1 AS BIGINT), CAST(16 AS BIGINT))) AS k),
+       |cum AS (SELECT k,
+       |    CAST(sum(coalesce(dc.nd, 0)) OVER (ORDER BY k) AS BIGINT) AS xk,
+       |    CAST(sum(coalesce(tc.nv, 0)) OVER (ORDER BY k) AS BIGINT) AS yk
+       |  FROM sp LEFT JOIN dc ON dc.bk = sp.k LEFT JOIN tc ON tc.bk = sp.k),
+       |sn AS (SELECT
+       |    CAST(floor(ln(CAST(xk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(yk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+       |  FROM cum WHERE xk >= 1 AND yk >= 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x * y AS HUGEINT)) AS sxy,
+       |    sum(CAST(x * x AS HUGEINT)) AS sxx FROM sn)
+       |SELECT n,
+       |  ${ExactRatio.modDigest(ExactRatio.DuckF, "num")} AS num_m9,
+       |  ${ExactRatio.modDigest(ExactRatio.DuckF, "den")} AS den_m9,
+       |  CAST(${ExactRatio.signInt("num")} * sl_e6 AS BIGINT) AS beta_e6
+       |FROM ${ExactRatio.applyDuck(inner,
+          ExactRatio.ratE6Stages(ExactRatio.DuckF, "sl_a", "den", "sl_e6"))} q""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.ExactRatio
+    val docs = Tables.documents(s, d)
+    val b = docs.agg(min("doc_id").as("lo"),
+      expr("greatest(max(doc_id) - min(doc_id), 1)").as("dl"))
+    def bucket(idCol: String) =
+      s"least(cast(16 as bigint), greatest(cast(1 as bigint)," +
+        s" (16 * ($idCol - lo) + dl - 1) div dl))"
+    val dc = docs.select("doc_id").crossJoin(broadcast(b))
+      .select(expr(bucket("doc_id")).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("nd"))
+    val fd = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("tri"))
+      .groupBy("tri").agg(min("doc_id").as("fdoc"))
+    val tc = fd.crossJoin(broadcast(b))
+      .select(expr(bucket("fdoc")).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("nv"))
+    val sp = s.range(1, 17).select(col("id").as("k"))
+    // 16-row bounded domain: the partition-less cumulative window is the
+    // allowlisted checkpoint-spine case, never the doc/token domain
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+    val cum = sp
+      .join(dc.withColumnRenamed("bk", "bkd"), col("k") === col("bkd"), "left")
+      .join(tc.withColumnRenamed("bk", "bkt"), col("k") === col("bkt"), "left")
+      .select(col("k"), coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+      .withColumn("xk", sum("nd").over(w).cast("long"))
+      .withColumn("yk", sum("nv").over(w).cast("long"))
+    val sn = cum.filter(col("xk") >= 1 && col("yk") >= 1)
+      .select(
+        expr("cast(floor(ln(cast(xk as double)) * 1000000 + 0.5) as bigint)").as("x"),
+        expr("cast(floor(ln(cast(yk as double)) * 1000000 + 0.5) as bigint)").as("y"))
+    val m = sn.agg(count(lit(1)).as("n"),
+      sum(expr("cast(x as decimal(38,0))")).as("sx"),
+      sum(expr("cast(y as decimal(38,0))")).as("sy"),
+      sum(expr("cast(x * y as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(x * x as decimal(38,0))")).as("sxx"))
+    val base = m.filter(col("n") >= 2 &&
+        expr("cast(n as decimal(38,0)) * sxx - sx * sx > 0"))
+      .select(col("n"),
+        expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))").as("num"),
+        expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as decimal(38,0))").as("den"),
+        expr("abs(cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0)))").as("sl_a"))
+    ExactRatio.applySpark(base,
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "sl_a", "den", "sl_e6"))
+      .select(col("n"),
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "num")).as("num_m9"),
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "den")).as("den_m9"),
+        expr(s"cast(${ExactRatio.signInt("num")} * sl_e6 as bigint)").as("beta_e6"))
+  }
+
+  val all: Seq[Q] = Seq(corpusTokenBudget, textHapax, corpusHeaps,
     chunkOverlap, datasetSplit, dedupStrip, sourceOverlap,
     layoutZvalue, corpusNovelty)
 }

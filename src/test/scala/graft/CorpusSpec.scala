@@ -36,6 +36,78 @@ class CorpusSpec extends AnyFunSuite {
     assert(sum > 1000000L - res.size && sum <= 1000000L)
   }
 
+  test("text_hapax: vocab, hapax and ratios match a brute per-source recount") {
+    val docs = Tables.documents(s, d).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val res = SparkEntry.queries("text_hapax")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(res.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, grp) =>
+      val tf = grp.flatMap(_._2.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val vocab = tf.size.toLong
+      val hapax = tf.values.count(_ == 1L).toLong
+      val nTok = tf.values.sum
+      val hapaxE6 = (BigInt(1000000) * hapax / vocab).toLong
+      val ttrE6 = (BigInt(1000000) * vocab / nTok).toLong
+      assert(res(src) == ((vocab, hapax, nTok, hapaxE6, ttrE6)), s"$src: ${res(src)}")
+    }
+  }
+
+  test("corpus_heaps: checkpoint curve and OLS slope match a brute trigram first-seen walk") {
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lo = docs.map(_._1).min
+    val dl = math.max(docs.map(_._1).max - lo, 1L)
+    def bucket(id: Long): Long =
+      math.min(16L, math.max(1L, (16L * (id - lo) + dl - 1L) / dl))
+    // docs per bucket and trigram-type first-doc per bucket
+    val dc = docs.groupBy(dc0 => bucket(dc0._1)).view.mapValues(_.length.toLong).toMap
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, text) =>
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length >= 3) (0 to w.length - 3).foreach { i =>
+        val tri = w.slice(i, i + 3).mkString(" ")
+        firstDoc.updateWith(tri)(o => Some(o.fold(id)(math.min(_, id))))
+      }
+    }
+    val tc = firstDoc.values.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    // cumulative checkpoints, degenerate-excluded like the query
+    var (xc, yc) = (0L, 0L)
+    val pts = (1L to 16L).flatMap { k =>
+      xc += dc.getOrElse(k, 0L); yc += tc.getOrElse(k, 0L)
+      if (xc >= 1 && yc >= 1) Some((
+        math.floor(math.log(xc.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(yc.toDouble) * 1e6 + 0.5).toLong)) else None
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val num = n * pts.map(p => BigInt(p._1) * p._2).sum - sx * sy
+    val den = n * pts.map(p => BigInt(p._1) * p._1).sum - sx * sx
+    def m9(x: BigInt): Long = (x.abs mod BigInt(1000000007)).toLong
+    def ratE6b(a: BigInt, b: BigInt): Long = {
+      var u = 0
+      while (a / BigInt(10).pow(u) >= BigInt(10).pow(12) ||
+             b / BigInt(10).pow(u) >= BigInt(10).pow(12)) u += 1
+      ((BigInt(1000000) * (a / BigInt(10).pow(u))) /
+        (b / BigInt(10).pow(u)).max(1)).toLong
+    }
+    val res = SparkEntry.queries("corpus_heaps")(s, d).collect()
+    assert(res.length == 1)
+    val row = res.head
+    assert(row.getLong(0) == pts.length.toLong, "n checkpoints")
+    assert(row.getLong(1) == m9(num), "num_m9")
+    assert(row.getLong(2) == m9(den), "den_m9")
+    assert(row.getLong(3) == num.signum * ratE6b(num.abs, den), "beta_e6")
+    // a growing corpus teaches new trigrams sublinearly but teaches SOME:
+    // 0 < beta < 1.5 (the trigram fix for the degenerate-flat unigram form)
+    assert(row.getLong(3) > 0L && row.getLong(3) < 1500000L,
+      s"heaps beta out of range: ${row.getLong(3)}")
+  }
+
   test("chunk_overlap: windows tile each doc with stride 4 and cover every token") {
     val rows = SparkEntry.queries("chunk_overlap")(s, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))

@@ -90,6 +90,33 @@ class MarginSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   // now exact integer rationals of the benford_e6 constants — the only
   // libm snaps left are those constants, gated by the statsBenford test)
 
+  test("corpus_heaps ln snaps: every checkpoint's x and y clear the boundary") {
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lo = docs.map(_._1).min
+    val dl = math.max(docs.map(_._1).max - lo, 1L)
+    def bucket(id: Long): Long =
+      math.min(16L, math.max(1L, (16L * (id - lo) + dl - 1L) / dl))
+    val dc = docs.groupBy(x => bucket(x._1)).view.mapValues(_.length.toLong).toMap
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, text) =>
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length >= 3) (0 to w.length - 3).foreach { i =>
+        val tri = w.slice(i, i + 3).mkString(" ")
+        firstDoc.updateWith(tri)(o => Some(o.fold(id)(math.min(_, id))))
+      }
+    }
+    val tc = firstDoc.values.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    var (xc, yc) = (0L, 0L)
+    (1L to 16L).foreach { k =>
+      xc += dc.getOrElse(k, 0L); yc += tc.getOrElse(k, 0L)
+      if (xc >= 1 && yc >= 1) {
+        assertMargin(math.log(xc.toDouble) * 1e6 + 0.5, s"heaps ln(x) k=$k")
+        assertMargin(math.log(yc.toDouble) * 1e6 + 0.5, s"heaps ln(y) k=$k")
+      }
+    }
+  }
+
   test("udaf_typed geo_cents snap: exp(mean-ln) per flag clears every boundary") {
     val rows = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
       .collect().map(r => (r.getString(0), r.getDouble(1)))
