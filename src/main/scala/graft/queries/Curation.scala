@@ -555,6 +555,61 @@ object Curation {
       .orderBy("prev", "next")
   }
 
+  /** Conditional next-event entropy per from-state — H(next | prev) over
+    * the user-session transition counts: the sequence-predictability
+    * number behind "is this event stream worth a Markov model" (0 nats =
+    * deterministic follow-up; ln|types| = uniform chaos; pairs with
+    * [[eventsTransitions]], which ships the raw matrix this collapses).
+    * The col_entropy ln discipline end to end: each transition share's
+    * log-probability floor-snaps to an exact ×10⁶ BIGINT (per-cell — one
+    * deterministic libm call per (prev, next), never a cross-group double
+    * sum), Σ n·lp_e6 accumulates exactly in DECIMAL, and the entropy
+    * ships INTEGER-ONLY as h_e6 = (−Σ n·lp_e6) div tot — algebraically
+    * floor(1e6·H) because the 1e6 scales cancel, so not even the final
+    * division touches a double (one step stricter than col_entropy's
+    * closing double). Scale: the O(data) stage is ONE per-user lag
+    * window (day-unbounded but user-partitioned — each task sorts one
+    * user's history) plus ONE combinable count onto the bounded
+    * |types|² transition domain; everything after runs there.
+    */
+  private val eventsMarkovEntropy = Q("events_markov_entropy",
+    s"""WITH o AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+       |  FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+       |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot,
+       |    CAST(count(*) AS BIGINT) AS n_next FROM c GROUP BY prev),
+       |lp AS (SELECT c.prev, c.n,
+       |    CAST(floor(ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp_e6
+       |  FROM c JOIN t ON c.prev = t.prev)
+       |SELECT t.prev, t.n_next, t.tot,
+       |  CAST((-sum(CAST(lp.n AS HUGEINT) * lp.lp_e6)) // t.tot AS BIGINT) AS h_e6
+       |FROM lp JOIN t ON lp.prev = t.prev
+       |GROUP BY t.prev, t.n_next, t.tot ORDER BY t.prev""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("prev")
+      .agg(sum("n").as("tot"), count(lit(1)).as("n_next"))
+    c.join(broadcast(t), "prev")
+      .withColumn("lp_e6", expr(
+        "cast(floor(ln(cast(n as double) / cast(tot as double)) * 1000000.0d + 0.5d) as bigint)"))
+      // decimal-before-multiply (the col_entropy overflow note): n ~1e12
+      // × lp_e6 ~4e7 wraps int64; DECIMAL(38,0) stays exact
+      .groupBy("prev", "n_next", "tot")
+      .agg(sum(expr("cast(n as decimal(19,0)) * lp_e6")).as("slp"))
+      .select(col("prev"), col("n_next"), col("tot"),
+        expr("cast((-cast(slp as decimal(38,0))) div cast(tot as decimal(38,0)) as bigint)")
+          .as("h_e6"))
+      .orderBy("prev")
+  }
+
   /** Deterministic 5-fold cross-validation assignment with a per-fold
     * stratification audit — the ML-experiment plumbing step before any
     * train/eval split ships: every vector gets fold = Knuth-hash(vec_id)
@@ -815,8 +870,8 @@ object Curation {
   val all: Seq[Q] = Seq(scdType2, intervalCoverage, tokenVocab, textTfidf,
     textBm25, textBoilerplate, sampleWeighted, embeddingQuantize,
     eventsZscore, mergeUpsert, attributionLastTouch, graphDegree,
-    eventsTransitions, mlFolds, mlScore, invertedIndex, textZipf,
-    intervalConcurrency, dqAudit)
+    eventsTransitions, eventsMarkovEntropy, mlFolds, mlScore, invertedIndex,
+    textZipf, intervalConcurrency, dqAudit)
 }
 
 /** The ONE owner of the BM25 scoring kernel (k1 = 1.2, b = 0.75; probe

@@ -14,6 +14,38 @@ class CurationSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private def run(key: String) = SparkEntry.queries(key)(s, d)
   override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
 
+  test("events_markov_entropy: h_e6 matches a brute per-user transition walk; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq0 = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq0.zip(seq0.drop(1))
+    }
+    val res = run("events_markov_entropy").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byPrev = trans.groupBy(_._1)
+    assert(res.keySet == byPrev.keySet)
+    byPrev.foreach { case (prev, ps) =>
+      val cnt = ps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val tot = cnt.values.sum
+      val slp = cnt.values.map { n =>
+        val lp = math.floor(math.log(n.toDouble / tot.toDouble) * 1e6 + 0.5).toLong
+        BigInt(n) * lp
+      }.sum
+      val hE6 = ((-slp) / BigInt(tot)).toLong
+      assert(res(prev) == ((cnt.size.toLong, tot, hE6)), s"$prev: ${res(prev)}")
+      // 0 <= H <= ln(n_next): entropy bounded by the uniform distribution
+      val hMax = math.log(cnt.size.toDouble)
+      assert(hE6 >= 0L && hE6 <= math.ceil(hMax * 1e6).toLong + 1,
+        s"$prev entropy bound: $hE6 vs ln(${cnt.size})")
+    }
+    // the fixture's event streams are not deterministic chains: some state
+    // must carry real branching entropy or the key is vacuous
+    assert(res.values.exists(_._3 > 100000L), "all-near-zero entropy is vacuous")
+  }
+
   test("scd_type2: one interval per event; exactly one open interval per user") {
     val rows = run("scd_type2").collect()
     assert(rows.length == 1000) // every event opens an interval

@@ -90,6 +90,24 @@ class MarginSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   // now exact integer rationals of the benford_e6 constants — the only
   // libm snaps left are those constants, gated by the statsBenford test)
 
+  test("events_markov_entropy ln snaps: every transition share clears the boundary") {
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq0 = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq0.zip(seq0.drop(1))
+    }
+    trans.groupBy(_._1).foreach { case (prev, ps) =>
+      val cnt = ps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val tot = cnt.values.sum
+      cnt.foreach { case (nx, n) =>
+        assertMargin(math.log(n.toDouble / tot.toDouble) * 1e6 + 0.5,
+          s"markov ln($prev->$nx $n/$tot)")
+      }
+    }
+  }
+
   test("corpus_heaps ln snaps: every checkpoint's x and y clear the boundary") {
     val docs = Tables.documents(s, d).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))

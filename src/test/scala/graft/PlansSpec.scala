@@ -252,6 +252,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     // gate fails both ways (a new partition-less window on an unlisted
     // key, or a stale allowlist entry whose window was since removed).
     val allow = Map(
+      "corpus_heaps" -> "16-row checkpoint spine (fixed k = 1..16)",
       "corpus_token_budget" -> "|sources|x|langs| cells",
       "exp_pipeline" -> "231-row composite grid",
       "interval_concurrency" -> "minute domain - bounded by wall-clock, not rows",

@@ -37,7 +37,10 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "stats_anova", "events_cusum", "stats_mutual_info", "stats_benford",
   "text_zipf", "events_interarrival", "interval_concurrency",
   "forecast_seasonal_naive", "stats_kendall_tau", "dq_audit",
-  "parts_abc", "events_seasonality", "events_rolling_median")
+  "parts_abc", "events_seasonality", "events_rolling_median",
+  "stats_levene", "events_burstiness", "stats_runs_test",
+  "stats_benford_chisq", "corpus_token_budget", "dedup_rate_by_source",
+  "text_hapax", "corpus_heaps", "events_markov_entropy")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
