@@ -446,7 +446,54 @@ object Corpus {
         expr(s"cast(${ExactRatio.signInt("num")} * sl_e6 as bigint)").as("beta_e6"))
   }
 
+  /** Top-100 trigram coverage: what fraction of all trigram OCCURRENCES
+    * the 100 most frequent trigram TYPES account for — the head-heaviness
+    * number completing the corpus-health quartet (`text_zipf` fits the
+    * head's slope, [[corpusHeaps]] the tail's growth, [[textHapax]] the
+    * tail's mass; this one says how much of the corpus is pure
+    * boilerplate head — near 1.0 means template text, natural corpora sit
+    * far lower). Deterministic top-100 cut (tf DESC, trigram ASC — both
+    * engines cut the identical set), all counts exact BIGINTs, coverage
+    * as cov_e6 = floor(1e6·top_occ/total_occ) through HUGEINT/DECIMAL
+    * cross-multiplied division (int64-only surface). Scale: the trigram
+    * tf aggregate is the only O(data) stage; top-100 plans as a bounded
+    * TakeOrdered heap and the totals ride ONE more combinable aggregate
+    * over the type domain.
+    */
+  private val textNgramCoverage = Q("text_ngram_coverage",
+    s"""WITH g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents) t WHERE len(w) >= 3),
+       |tf AS (SELECT tri, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT array_to_string(w[i : i + 2], ' ') AS tri FROM g) x
+       |  GROUP BY tri),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(tf) AS BIGINT) AS total_occ FROM tf),
+       |top AS (SELECT CAST(count(*) AS BIGINT) AS n_top,
+       |    CAST(sum(tf) AS BIGINT) AS top_occ
+       |  FROM (SELECT tf FROM tf ORDER BY tf DESC, tri LIMIT 100) c)
+       |SELECT n_types, total_occ, n_top, top_occ,
+       |  CAST((CAST('1000000' AS HUGEINT) * top_occ) // total_occ AS BIGINT) AS cov_e6
+       |FROM tot, top""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("tf"))
+    val pinned = graft.Caching.pinOnce(tf)
+    val tot = pinned.agg(count(lit(1)).as("n_types"), sum("tf").as("total_occ"))
+    val top = pinned.orderBy(col("tf").desc, col("tri")).limit(100)
+      .agg(count(lit(1)).as("n_top"), sum("tf").as("top_occ"))
+    tot.crossJoin(top)
+      .select(col("n_types"), col("total_occ"), col("n_top"), col("top_occ"),
+        expr("cast((cast('1000000' as decimal(38,0)) * top_occ) div total_occ as bigint)")
+          .as("cov_e6"))
+  }
+
   val all: Seq[Q] = Seq(corpusTokenBudget, textHapax, corpusHeaps,
+    textNgramCoverage,
     chunkOverlap, datasetSplit, dedupStrip, sourceOverlap,
     layoutZvalue, corpusNovelty)
 }

@@ -385,6 +385,59 @@ object Pipeline {
       .orderBy("user_id", "event_id")
   }
 
+  /** Session-gap sensitivity sweep: session counts (and mean events per
+    * session) at five candidate inactivity thresholds — the tuning curve
+    * a pipeline reads BEFORE hard-coding [[sessionize]]'s 30-minute gap
+    * (a flat stretch of the curve means the choice is robust; a steep one
+    * means the "session" is an artifact of the threshold). Exact
+    * identity, no per-threshold re-sessionization: sessions(t) = n_users
+    * + #{gaps > t} (every user's first event opens a session, every
+    * over-threshold gap opens one more), so ONE per-user lag window and
+    * ONE combinable aggregate (five conditional sums; n_users counted as
+    * the null-gap rows — no count(DISTINCT), which would plan an Expand)
+    * serve all five thresholds; the 5-row sweep is a broadcast spine
+    * over that 1-row moment table. Events-per-session ships as eps_e6 =
+    * floor(1e6·n_events/n_sessions) — int64-only surface.
+    */
+  private val sessionizeGapSweep = Q("sessionize_gap_sweep", {
+    val gaps = Seq(60L, 300L, 900L, 1800L, 3600L)
+    val caseOf = (f: Long => String) =>
+      "CASE gap_s " + gaps.map(g => s"WHEN $g THEN ${f(g)}").mkString(" ") + " END"
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |g AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS gap FROM e),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+       |    ${gaps.map(g => s"CAST(sum(CASE WHEN gap > ${g * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS b$g").mkString(",\n       |    ")}
+       |  FROM g),
+       |sp AS (SELECT unnest([${gaps.mkString(", ")}]) AS gap_s),
+       |sw AS (SELECT CAST(gap_s AS BIGINT) AS gap_s, n_events,
+       |    n_users + ${caseOf(g => s"b$g")} AS n_sessions
+       |  FROM sp, m)
+       |SELECT gap_s, n_sessions, n_events,
+       |  CAST((CAST('1000000' AS HUGEINT) * n_events) // n_sessions AS BIGINT) AS eps_e6
+       |FROM sw ORDER BY gap_s""".stripMargin
+  }) { (s, d) =>
+    val gaps = Seq(60L, 300L, 900L, 1800L, 3600L)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val g = Tables.events(s, d).select("user_id", "event_id", "ts_us")
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+    val aggs = Seq(count(lit(1)).as("n_events"),
+      sum(when(col("gap").isNull, 1L).otherwise(0L)).as("n_users")) ++
+      gaps.map(gp => sum(when(col("gap") > gp * 1000000L, 1L).otherwise(0L)).as(s"b$gp"))
+    val m = g.agg(aggs.head, aggs.tail: _*)
+    val spine = s.range(1)
+      .select(explode(array(gaps.map(lit): _*)).as("gap_s"))
+    val caseSql = "CASE gap_s " +
+      gaps.map(gp => s"WHEN $gp THEN b$gp").mkString(" ") + " END"
+    spine.crossJoin(broadcast(m))
+      .select(col("gap_s"),
+        expr(s"n_users + $caseSql").as("n_sessions"), col("n_events"))
+      .withColumn("eps_e6",
+        expr("cast((cast('1000000' as decimal(38,0)) * n_events) div n_sessions as bigint)"))
+      .orderBy("gap_s")
+  }
+
   /** Diversity-constrained top-k (curation sampling): the 3 longest docs
     * per language, but at most 2 from any one source — the MMR-style
     * "don't let one crawl dominate the sample" rule. Two window passes:
@@ -601,6 +654,6 @@ object Pipeline {
   val all: Seq[Q] = Seq(qualityGate, dedupChunk, dedupContainment,
     dedupRateBySource, domainMix,
     joinBloomPrefilter, paretoFrontier, histogramFixed, profileColumns, outlierIqr,
-    sessionize, topkDiverse, aggMode, statsRegression, textUnigramLogprob,
-    sessionStats)
+    sessionize, sessionizeGapSweep, topkDiverse, aggMode, statsRegression,
+    textUnigramLogprob, sessionStats)
 }

@@ -1575,6 +1575,85 @@ object Stats {
         expr("cast(smi_e6 as double) / (cast(n as double) * 1000000)").as("mi_nats"))
   }
 
+  /** Theil's uncertainty coefficient U(nation | segment) — the NORMALIZED
+    * mutual information ("what fraction of nation-entropy does knowing
+    * the segment remove", 0..1) that makes [[statsMutualInfo]]'s raw nats
+    * comparable across tables, completing the association suite next to
+    * `stats_cramers_v` (χ²-normalized) with the information-theoretic
+    * normalization. Same contingency and per-cell snap discipline as
+    * mutual_info (mi_e6 = floor(ln(o·n/(rt·ct))·1e6+0.5) per cell, exact
+    * weighted sums); the denominator is the nation marginal entropy
+    * −Σ ct·floor(ln(ct/n)·1e6+0.5). Both accumulate in DECIMAL(38,0)
+    * (ct·lp ~ n·2.7e7 leaves int64 near n ~ 3·10¹¹ — the col_entropy
+    * widen note), ship as mod-1e9+7 digests, and U ships as u_e6 =
+    * sign(smi)·floor(1e6·|smi|/hn) through the shift-guarded ExactRatio
+    * ladder — int64-only surface throughout. Scale: ONE combinable
+    * aggregate onto the bounded |seg|×|nat| cell domain; marginals are
+    * windows/regroups of those ≤125 rows.
+    */
+  private val statsTheilU = Q("stats_theil_u", {
+    import graft.functions.ExactRatio
+    val inner =
+      """SELECT n, n_seg, n_nat, smi, hnv,
+        |  abs(CAST(smi AS HUGEINT)) AS ua,
+        |  greatest(CAST(hnv AS HUGEINT), 1) AS ub
+        |FROM mi CROSS JOIN hn""".stripMargin
+    s"""WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+       |    CAST(count(*) AS BIGINT) AS o FROM customer GROUP BY seg, nat),
+       |w AS (SELECT seg, nat, o,
+       |    CAST(sum(o) OVER (PARTITION BY seg) AS BIGINT) AS rtv,
+       |    CAST(sum(o) OVER (PARTITION BY nat) AS BIGINT) AS ctv,
+       |    CAST(sum(o) OVER () AS BIGINT) AS nv FROM cells),
+       |lp AS (SELECT *,
+       |    CAST(floor(ln(CAST(o * nv AS DOUBLE) / CAST(rtv * ctv AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_e6
+       |  FROM w),
+       |colm AS (SELECT nat, max(ctv) AS ct, max(nv) AS nv FROM lp GROUP BY nat),
+       |hn AS (SELECT CAST(-sum(CAST(ct AS HUGEINT)
+       |      * CAST(floor(ln(CAST(ct AS DOUBLE) / CAST(nv AS DOUBLE))
+       |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+       |    AS DECIMAL(38,0)) AS hnv FROM colm),
+       |mi AS (SELECT max(nv) AS n,
+       |    CAST(count(DISTINCT seg) AS BIGINT) AS n_seg,
+       |    CAST(count(DISTINCT nat) AS BIGINT) AS n_nat,
+       |    CAST(sum(CAST(o AS HUGEINT) * mi_e6) AS DECIMAL(38,0)) AS smi FROM lp)
+       |SELECT n, n_seg, n_nat,
+       |  ${ExactRatio.modDigest(ExactRatio.DuckF, "smi")} AS smi_m9,
+       |  ${ExactRatio.modDigest(ExactRatio.DuckF, "hnv")} AS hn_m9,
+       |  CAST(${ExactRatio.signInt("smi")} * u0_e6 AS BIGINT) AS u_e6
+       |FROM ${ExactRatio.applyDuck(inner,
+          ExactRatio.ratE6Stages(ExactRatio.DuckF, "ua", "ub", "u0_e6"))} q""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.ExactRatio
+    val cells = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("o"))
+    val w = cells
+      .withColumn("rtv", sum("o").over(Window.partitionBy("seg")))
+      .withColumn("ctv", sum("o").over(Window.partitionBy("nat")))
+      .withColumn("nv", sum("o").over(Window.partitionBy()))
+    val lp = w.withColumn("mi_e6", expr(
+      "cast(floor(ln(cast(o * nv as double) / cast(rtv * ctv as double))" +
+        " * 1000000.0d + 0.5d) as bigint)"))
+    val pinned = graft.Caching.pinOnce(lp)
+    val hn = pinned.groupBy("nat").agg(max("ctv").as("ct"), max("nv").as("nv"))
+      .agg((-sum(expr("cast(ct as decimal(38,0))" +
+        " * cast(floor(ln(cast(ct as double) / cast(nv as double))" +
+        " * 1000000.0d + 0.5d) as bigint)"))).cast("decimal(38,0)").as("hnv"))
+    val mi = pinned.agg(max("nv").as("n"),
+      countDistinct("seg").as("n_seg"), countDistinct("nat").as("n_nat"),
+      sum(expr("cast(o as decimal(38,0)) * mi_e6")).cast("decimal(38,0)").as("smi"))
+    val base = mi.crossJoin(hn)
+      .withColumn("ua", expr("abs(cast(smi as decimal(38,0)))"))
+      .withColumn("ub", expr("greatest(cast(hnv as decimal(38,0)), cast(1 as decimal(38,0)))"))
+    ExactRatio.applySpark(base,
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "ua", "ub", "u0_e6"))
+      .select(col("n"), col("n_seg"), col("n_nat"),
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "smi")).as("smi_m9"),
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "hnv")).as("hn_m9"),
+        expr(s"cast(${ExactRatio.signInt("smi")} * u0_e6 as bigint)").as("u_e6"))
+  }
+
   /** First-significant-digit (Benford) profile of l_extendedprice — the
     * classic fabricated-/truncated-data screen a corpus audit runs over
     * monetary and count columns. The digit is extracted from the EXACT
@@ -2145,7 +2224,7 @@ object Stats {
     ordersRfm, textCompressibility, driftPsi, bpeApplyMerge, bpeTrain,
     tokenPmi, aggWeightedMedian, statsCramersV, statsKsTest,
     statsCorrMatrix, statsSpearman, eventsAutocorr, statsMannwhitney,
-    statsAnova, eventsCusum, statsMutualInfo, statsBenford,
+    statsAnova, eventsCusum, statsMutualInfo, statsTheilU, statsBenford,
     eventsInterarrival, forecastSeasonalNaive, statsKendallTau,
     eventsBurstiness, statsLevene, statsBenfordChisq, statsRunsTest)
 }

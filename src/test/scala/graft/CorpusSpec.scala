@@ -108,6 +108,30 @@ class CorpusSpec extends AnyFunSuite {
       s"heaps beta out of range: ${row.getLong(3)}")
   }
 
+  test("text_ngram_coverage: totals and top-100 coverage match a brute trigram census") {
+    val docs = Tables.documents(s, d).select("text").collect().map(_.getString(0))
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { text =>
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length >= 3) (0 to w.length - 3).foreach { i =>
+        val tri = w.slice(i, i + 3).mkString(" ")
+        tf.updateWith(tri)(o => Some(o.getOrElse(0L) + 1L))
+      }
+    }
+    val total = tf.values.sum
+    val top = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val topOcc = top.map(_._2).sum
+    val covE6 = (BigInt(1000000) * topOcc / total).toLong
+    val r = SparkEntry.queries("text_ngram_coverage")(s, d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == tf.size.toLong, "n_types")
+    assert(r(0).getLong(1) == total, "total_occ")
+    assert(r(0).getLong(2) == math.min(100L, tf.size.toLong), "n_top")
+    assert(r(0).getLong(3) == topOcc, "top_occ")
+    assert(r(0).getLong(4) == covE6, "cov_e6")
+    assert(covE6 > 0L && covE6 <= 1000000L)
+  }
+
   test("chunk_overlap: windows tile each doc with stride 4 and cover every token") {
     val rows = SparkEntry.queries("chunk_overlap")(s, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))

@@ -161,6 +161,17 @@ class MarginSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("stats_theil_u marginal-entropy snaps: every ln(ct/n) clears the boundary") {
+    val cust = Tables.customer(s, d).select("c_nationkey")
+      .collect().map(_.getInt(0))
+    val ct = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = cust.length.toLong
+    ct.foreach { case (nat, c) =>
+      assertMargin(math.log(c.toDouble / n.toDouble) * 1e6 + 0.5,
+        s"theil ln(ct/n) nat=$nat")
+    }
+  }
+
   test("sim_e3 snaps: every reported cosine clears the e3 boundary") {
     // correctly-rounded chain, so this guards fixture ties only — a
     // cosine exactly on an x.0005 grid would make the snap expression

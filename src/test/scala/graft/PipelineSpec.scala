@@ -12,6 +12,33 @@ class PipelineSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private val d = TestSpark.sf
   override def afterEach(): Unit = { s.catalog.clearCache(); super.afterEach() }
 
+  test("sessionize_gap_sweep: counts match a brute gap walk and the 1800s row equals sessionize") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(s, d).select("user_id", "event_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gapsByUser = evs.groupBy(_._1).view.mapValues(rows =>
+      rows.sortBy(r => (r._3, r._2)).map(_._3).toSeq).toMap
+    val res = SparkEntry.queries("sessionize_gap_sweep")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(res.keySet == Set(60L, 300L, 900L, 1800L, 3600L))
+    val nEvents = evs.length.toLong
+    Seq(60L, 300L, 900L, 1800L, 3600L).foreach { gs =>
+      val sessions = gapsByUser.values.map { ts =>
+        1L + ts.zip(ts.drop(1)).count { case (a, b) => b - a > gs * 1000000L }
+      }.sum
+      val eps = (BigInt(1000000) * nEvents / sessions).toLong
+      assert(res(gs) == ((sessions, nEvents, eps)), s"gap $gs: ${res(gs)}")
+    }
+    // monotone: a larger gap can only merge sessions
+    val ordered = Seq(60L, 300L, 900L, 1800L, 3600L).map(res(_)._1)
+    assert(ordered == ordered.sorted.reverse, s"session counts must be non-increasing: $ordered")
+    // cross-key consistency: the 1800s row IS sessionize's session count
+    val sess = SparkEntry.queries("sessionize")(s, d)
+      .groupBy("user_id").agg(max("sess_seq").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    assert(res(1800L)._1 == sess, s"gap-sweep 1800s ${res(1800L)._1} vs sessionize $sess")
+  }
+
   test("pareto_frontier equals the brute-force O(n^2) dominance scan") {
     val res = SparkEntry.queries("pareto_frontier")(s, d)
       .select("p_partkey").collect().map(_.getLong(0)).toSet

@@ -995,6 +995,32 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(mi >= -1e-6 && mi <= math.min(entropy(rt), entropy(ct)) + 1e-6)
   }
 
+  test("stats_theil_u: digests and u_e6 match a BigInt re-derivation; U within [0,1]") {
+    val rows = Tables.customer(s, d).select("c_mktsegment", "c_nationkey")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val res = SparkEntry.queries("stats_theil_u")(s, d).collect()
+    assert(res.length == 1)
+    val row = res.head
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val smi = cells.map { case ((seg, nat), o) =>
+      BigInt(o) * math.floor(math.log((o * n).toDouble / (rt(seg) * ct(nat)).toDouble)
+        * 1e6 + 0.5).toLong
+    }.sum
+    val hn = -ct.values.map(c =>
+      BigInt(c) * math.floor(math.log(c.toDouble / n.toDouble) * 1e6 + 0.5).toLong).sum
+    val uE6 = smi.signum * ratE6b(smi.abs, hn.max(1))
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == rt.size && row.getLong(2) == ct.size)
+    assert(row.getLong(3) == m9(smi), s"smi_m9 ${row.getLong(3)} vs ${m9(smi)}")
+    assert(row.getLong(4) == m9(hn), s"hn_m9 ${row.getLong(4)} vs ${m9(hn)}")
+    assert(row.getLong(5) == uE6, s"u_e6 ${row.getLong(5)} vs brute $uE6")
+    // U is normalized: 0 ≤ MI/H(nat) ≤ 1 (snap slack at the edges)
+    assert(row.getLong(5) >= -5L && row.getLong(5) <= 1000005L)
+  }
+
   test("stats_benford: digit counts match a string-head recount; shares sum to one") {
     val prices = Tables.lineitem(s, d).select("l_extendedprice")
       .collect().map(_.getDouble(0)).filter(_ > 0)

@@ -40,7 +40,8 @@ val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum"
   "parts_abc", "events_seasonality", "events_rolling_median",
   "stats_levene", "events_burstiness", "stats_runs_test",
   "stats_benford_chisq", "corpus_token_budget", "dedup_rate_by_source",
-  "text_hapax", "corpus_heaps", "events_markov_entropy")
+  "text_hapax", "corpus_heaps", "events_markov_entropy",
+  "text_ngram_coverage", "sessionize_gap_sweep", "stats_theil_u")
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
