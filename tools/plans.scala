@@ -234,7 +234,7 @@ executed plans):
   class test is a map-side exact-decimal comparison against literal
   4T/5 and 19T/20 thresholds.
 
-Regenerate: `sbt package && /opt/spark/bin/spark-shell --jars target/scala-2.13/*.jar -I tools/plans.scala`
+Regenerate: `sbt package && /opt/spark/bin/spark-shell --driver-memory 8g --jars target/scala-2.13/*.jar -I tools/plans.scala` (the default 1g heap OOMs past ~130 plans)
 """)
 for (k <- keys) {
   val df = graft.SparkEntry.queries(k)(spark, d)
