@@ -825,9 +825,9 @@ object Features {
         graft.functions.ExactRatio.r2e6Stages(graft.functions.ExactRatio.DuckF,
           "dot_e10", "norm2_a", "norm2_b", "cos2_e6"))} q
        |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
-    // pin the (c, p, tf) purchase table FIRST: dfs, nc and the weight
-    // projection all derive from it, and unpinned each would re-run the
-    // lineitem⋈orders join (measured: 3 recomputes = 6 fact scans at
+    // pin the (c, p, tf) purchase table FIRST: nc and the weight
+    // projection both derive from it, and unpinned each would re-run the
+    // lineitem⋈orders join (measured: recompute = extra fact scans at
     // materialization time)
     val cp = graft.Caching.pinOnce(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
@@ -835,24 +835,30 @@ object Features {
           expr("o_orderkey = l_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .agg(count(lit(1)).as("tf")))
-    val dfs = cp.groupBy("p").agg(count(lit(1)).as("df"))
     val nc = cp.agg(countDistinct("c").as("n"))
-    // the (c, p, w) weight table has THREE consumers (norms + both join
-    // sides) — pin it too, the dedup_calibration sig-table discipline
+    // df and the customer norm are WINDOW columns over the weight frame
+    // (r16 verdict item 1: the old separate dfs/nrm aggregates made the
+    // frame a 3-consumer cache and put two extra joins on the pair
+    // table; the window forms ride the same pinned materialization, so
+    // the final action is join-only — 3.73 s → 2.78 s idle). Both windows
+    // are partitioned (by p, then by c) on the df-capped frame, and the
+    // n2 sum is an exact order-free BIGINT — identical values to the
+    // aggregate-and-join form by construction.
     val w = graft.Caching.pinOnce(cp
-      .join(dfs.filter(col("df").between(2, 20)), "p")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("p")))
+      .filter(col("df").between(2, 20))
       .crossJoin(broadcast(nc))
       .select(col("c"), col("p"), expr(
         "cast(tf * cast(floor(ln((cast(n as double) + 1.0d) / (cast(df as double) + 1.0d))" +
-          " * 100000.0d + 0.5d) as bigint) as bigint)").as("w")))
-    val nrm = w.groupBy("c").agg(sum(expr("w * w")).as("n2"))
-    val pr = w.toDF("ca", "pa", "wa")
-      .join(w.toDF("cb", "pb", "wb"), expr("pb = pa AND ca < cb"))
+          " * 100000.0d + 0.5d) as bigint) as bigint)").as("w"))
+      .withColumn("n2", sum(expr("w * w")).over(Window.partitionBy("c"))))
+    val pr = w.toDF("ca", "pa", "wa", "na")
+      .join(w.toDF("cb", "pb", "wb", "nb"), expr("pb = pa AND ca < cb"))
       .groupBy("ca", "cb")
-      .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"))
+      .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"),
+        max("na").as("na"), max("nb").as("nb"))
     import graft.functions.ExactRatio
-    val base = pr.join(nrm.toDF("ca2", "na"), expr("ca = ca2"))
-      .join(nrm.toDF("cb2", "nb"), expr("cb = cb2"))
+    val base = pr
       .filter(expr("nsh >= 2 AND na > 0 AND nb > 0" +
         " AND 4 * (cast(num as decimal(38,0)) * num) >= cast(na as decimal(38,0)) * nb"))
       .select(col("ca").as("cust_a"), col("cb").as("cust_b"),
