@@ -125,7 +125,9 @@ object Bench {
       if (sibling != sfDir && new java.io.File(sibling).isDirectory) sibling
       else {
         System.err.println(s"[bench] NOTE: no sf0.001 sibling for $sfDir — " +
-          "warming on the benched dir itself; timed scans are page-cache-warm")
+          "warming on the benched dir itself; timed scans are page-cache-warm" +
+          " AND model-state keys (SessionMemo is dir-keyed) arrive" +
+          " pre-trained: their timings are steady-state, not first-fit")
         sfDir
       }
     }

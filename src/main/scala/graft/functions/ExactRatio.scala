@@ -132,10 +132,19 @@ object ExactRatio {
     * digits (u = max over the two shiftOver terms — the r2e6Stages
     * discipline): a' ≤ 1e12 and b' ≤ 1e12, so `a div 10^u`, `b div 10^u`
     * and the final `1e6·a' div b'` (≤ 1e18 even when b' collapses to the
-    * `greatest(b', 1)` guard) all fit int64. Relative truncation error
-    * stays ≤ ~1e-11 whenever the ratio is meaningfully nonzero, and the
-    * result is an exact-integer function evaluated identically on both
-    * engines — the hash-surface requirement.
+    * `greatest(b', 1)` guard) all fit int64. Truncation error (ADVICE
+    * r16): the COMMON shift u = max(shift(a), shift(b)) truncates the
+    * smaller operand hard when magnitudes are skewed — relative error is
+    * ~10^(u − digits(b)), i.e. ≤ ~1e-11 only while a and b have similar
+    * digit counts (the F/η²/slope surfaces, where a ≤ ~n·b). When a ≫ b
+    * (say a ≈ 1e25, b ≈ 5e13 → b' = 50) the error reaches ~2%, and b'
+    * near 1 loses the ratio's magnitude entirely. Cross-engine
+    * determinism is unaffected either way — both engines evaluate the
+    * same exact-integer function, the hash-surface requirement — but
+    * brute-force double comparisons downstream (the 2e-6 windows in
+    * StatsSpec/CurationSpec) are valid only at fixture scales where the
+    * operands' digit counts stay within ~5 of each other; they are
+    * scale-gated evidence, not a universal bound.
     */
   def ratE6Stages(f: Flavor, a: String, b: String,
                   out: String): Seq[Seq[(String, String)]] = {

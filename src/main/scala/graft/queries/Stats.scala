@@ -1210,11 +1210,12 @@ object Stats {
     // marginal domains.
     val jd = b.groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
     // both marginals as WINDOW columns over jd — never separate marginal
-    // tables joined back (first attempt: the three jd consumers pushed
-    // DIFFERENT isnotnull join-key filters into their scans, so
-    // ReuseExchange never fired and lineitem was read three times — the
-    // stats_cramers_v lesson verbatim). RANGE frames do both jobs in one
-    // sort per variable: unbounded..current sums ALL order peers →
+    // tables joined back: a (flag, x) marginal broadcast-joined to jd
+    // re-tested this round (r17) still reads lineitem TWICE (the join
+    // pushes isnotnull key filters into only one jd subtree, so
+    // ReuseExchange never fires — the stats_cramers_v lesson verbatim,
+    // measured scans=2 and ~1 s slower). RANGE frames do both jobs in
+    // one sort per variable: unbounded..current sums ALL order peers →
     // cum(≤v); current..current sums exactly the tie group → c(v).
     def rank2(v: String) = {
       val o = Window.partitionBy("flag").orderBy(v)
@@ -1471,7 +1472,14 @@ object Stats {
         // f = ssb·(n−k)·n / (ssw_e·(k−1)) and η² = ssb·n / sst_n with
         // ssw_e = sst_n − n·ssb exact; formation overflow past 1e38
         // fails LOUD on both engines (ANSI decimal / HUGEINT), and the
-        // only divisions left are ratE6Stages' shift-guarded ones
+        // only divisions left are ratE6Stages' shift-guarded ones.
+        // Scale ceiling (ADVICE r16): fa ≈ ssb·n² grows ~n² faster than
+        // the old pre-divided forms, so with cents² moments the 1e38 cap
+        // is reached near n ≈ 1e8 rows per key — the key then fails
+        // loudly instead of returning a result. Accepted trade (loud
+        // beats the silent int64 div wrap it replaced); a deployment
+        // needing larger n re-introduces a shift-guarded pre-reduction
+        // of sst_n before the multiply.
         expr("cast(ssb_c2 as decimal(38,0)) * (n - k) * n").as("fa"),
         expr("greatest(cast(sst_n as decimal(38,0))" +
           " - cast(n as decimal(38,0)) * ssb_c2," +
@@ -1571,7 +1579,8 @@ object Stats {
        |    CAST(sum(o) OVER (PARTITION BY nat) AS BIGINT) AS ctv,
        |    CAST(sum(o) OVER () AS BIGINT) AS nv FROM cells),
        |lp AS (SELECT *,
-       |    CAST(floor(ln(CAST(o * nv AS DOUBLE) / CAST(rtv * ctv AS DOUBLE))
+       |    CAST(floor(ln((CAST(o AS DOUBLE) * CAST(nv AS DOUBLE))
+       |        / (CAST(rtv AS DOUBLE) * CAST(ctv AS DOUBLE)))
        |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_e6
        |  FROM w)
        |SELECT max(nv) AS n,
@@ -1588,7 +1597,8 @@ object Stats {
       .withColumn("ctv", sum("o").over(Window.partitionBy("nat")))
       .withColumn("nv", sum("o").over(Window.partitionBy()))
     w.withColumn("mi_e6", expr(
-        "cast(floor(ln(cast(o * nv as double) / cast(rtv * ctv as double))" +
+        "cast(floor(ln((cast(o as double) * cast(nv as double))" +
+        " / (cast(rtv as double) * cast(ctv as double)))" +
           " * 1000000.0d + 0.5d) as bigint)"))
       .agg(max("nv").as("n"),
         countDistinct("seg").as("n_seg"), countDistinct("nat").as("n_nat"),
@@ -1627,7 +1637,8 @@ object Stats {
        |    CAST(sum(o) OVER (PARTITION BY nat) AS BIGINT) AS ctv,
        |    CAST(sum(o) OVER () AS BIGINT) AS nv FROM cells),
        |lp AS (SELECT *,
-       |    CAST(floor(ln(CAST(o * nv AS DOUBLE) / CAST(rtv * ctv AS DOUBLE))
+       |    CAST(floor(ln((CAST(o AS DOUBLE) * CAST(nv AS DOUBLE))
+       |        / (CAST(rtv AS DOUBLE) * CAST(ctv AS DOUBLE)))
        |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mi_e6
        |  FROM w),
        |colm AS (SELECT nat, max(ctv) AS ct, max(nv) AS nv FROM lp GROUP BY nat),
@@ -1655,7 +1666,8 @@ object Stats {
       .withColumn("ctv", sum("o").over(Window.partitionBy("nat")))
       .withColumn("nv", sum("o").over(Window.partitionBy()))
     val lp = w.withColumn("mi_e6", expr(
-      "cast(floor(ln(cast(o * nv as double) / cast(rtv * ctv as double))" +
+      "cast(floor(ln((cast(o as double) * cast(nv as double))" +
+        " / (cast(rtv as double) * cast(ctv as double)))" +
         " * 1000000.0d + 0.5d) as bigint)"))
     val pinned = graft.Caching.pinOnce(lp)
     val hn = pinned.groupBy("nat").agg(max("ctv").as("ct"), max("nv").as("nv"))
@@ -2104,7 +2116,8 @@ object Stats {
         col("ssb_c2"), col("maxa"))
       .filter(col("k") >= 2 && expr("n > k") && col("sst_n") > 0 && col("maxa") > 0)
       .select(col("k"), col("n"), col("sst_n"), col("ssb_c2"),
-        // division-free ratio operands (see statsAnova — same rationale)
+        // division-free ratio operands (see statsAnova — same rationale
+        // and the same ~n ≈ 1e8 loud-overflow scale ceiling, ADVICE r16)
         expr("cast(ssb_c2 as decimal(38,0)) * (n - k) * n").as("fa"),
         expr("greatest(cast(sst_n as decimal(38,0))" +
           " - cast(n as decimal(38,0)) * ssb_c2," +

@@ -87,6 +87,24 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("agg_percentile: p50_x10/p90_x10 match a driver-side sorted interpolation") {
+    // ADVICE r16: both engines now execute the SAME hand-derived integer
+    // interpolation, so the duck-vs-spark gate can no longer catch a
+    // shared formula bug — this brute-force re-derivation (sort, pos =
+    // p(n−1), linear interpolation, ×10) is the independent witness.
+    val res = SparkEntry.queries("agg_percentile")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toLong))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val vs = grp.map(_._2).sorted
+      val (p50, p90) = res(flag)
+      assert(p50 == qScaled(vs, 0.5, 10), s"$flag p50_x10 $p50 vs ${qScaled(vs, 0.5, 10)}")
+      assert(p90 == qScaled(vs, 0.9, 10), s"$flag p90_x10 $p90 vs ${qScaled(vs, 0.9, 10)}")
+    }
+    assert(res.nonEmpty)
+  }
+
   test("col_entropy: ln floor margins are safe; entropy matches re-derivation and is bounded") {
     val counts = Tables.documents(s, d).groupBy("source", "lang").count()
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
