@@ -239,14 +239,18 @@ object Features {
        |  SELECT b FROM tri UNION ALL
        |  SELECT c FROM tri) t
        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-    val (_, e) = variantEdges(s, d, maxDist = 3)
+    // pin the edge list: the triangle join consumes e THREE times, and
+    // unpinned each copy re-ran the banded levenshtein self-join (r17
+    // scan audit: 18 part scans / 9 DP joins in one plan — the edge
+    // table is vocabulary-bounded, so one cached materialization is the
+    // honest shape); explode(array(…)) replaces the 3× unionAll of tri
+    // so the triangle join itself also runs once, not three times
+    val e = graft.Caching.pinOnce(variantEdges(s, d, maxDist = 3)._2)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("b").as("node")))
-      .unionAll(tri.select(col("c").as("node")))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
       .orderBy("node")
   }

@@ -446,9 +446,14 @@ object Relational {
           .join(prev, "user_id")
           .filter(col("ts_us") > col(prevT) && col("ts_us") <= col(prevT) + winUs)
           .groupBy("user_id").agg(min("ts_us").as(outT))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val c = nextStep(v, "t1", "click", "t2")
+      // pin each funnel step: v is consumed by c AND its own step count,
+      // c by p AND its count — unpinned, the final union re-derived v
+      // three times and c twice (r17 scan audit: 6 event scans where 3
+      // suffice; the step tables are user-bounded, so caching them is
+      // the honest at-scale shape — one fact pass per funnel step)
+      val v = graft.Caching.pinOnce(e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1")))
+      val c = graft.Caching.pinOnce(nextStep(v, "t1", "click", "t2"))
       val p = nextStep(c, "t2", "purchase", "t3")
       def stepCount(df: DataFrame, step: Int, name: String): DataFrame =
         df.agg(count(lit(1)).as("users"))

@@ -474,4 +474,271 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(plan.contains("LessThan(vec_id,50)"),
       s"probe bound must reach the parquet scan as a pushed filter:\n$plan")
   }
+
+  test("per-key parquet scan counts match the audited baseline (multi-scan regressions fail)") {
+    // VERDICT r16 item 2: the one-scan discipline (SURVEY 7.3) was only
+    // enforced where a plan test happened to look; this gate pins EVERY
+    // key's physical parquet-scan count so a multi-scan regression (the
+    // old stats_cramers_v 5-scan class, or r17's triangle_count 9x
+    // levenshtein re-join) is a test failure anywhere in the suite.
+    // Counting rule: FileSourceScanExec nodes in the final plan, recursing
+    // ONCE into each distinct cached relation (a pinOnce kernel's
+    // materialization scans count once no matter how many times the plan
+    // references the cache). 0 = result rides a LocalRelation (bounded
+    // driver-side boundary/model collects, e.g. bpe_train, parts_abc) or
+    // a pure generator (gen_grid). The gate fails BOTH ways: an increase
+    // is a regression; a decrease is a stale baseline - re-audit and
+    // record the improvement here.
+    val expected = Map(
+    "agg_approx_distinct" -> 1,
+    "agg_approx_percentile" -> 1,
+    "agg_collect_list" -> 1,
+    "agg_count_distinct" -> 2,
+    "agg_cube" -> 1,
+    "agg_distinct_global" -> 1,
+    "agg_grouping_sets" -> 3,
+    "agg_hash_sum" -> 1,
+    "agg_mode" -> 1,
+    "agg_percentile" -> 1,
+    "agg_quartiles_exact" -> 0,
+    "agg_rollup" -> 3,
+    "agg_string_agg" -> 1,
+    "agg_weighted_median" -> 1,
+    "ann_ivf" -> 2,
+    "ann_ivfpq" -> 1,
+    "ann_lsh_bucket" -> 2,
+    "ann_pq_adc" -> 1,
+    "attribution_last_touch" -> 2,
+    "basket_lift" -> 2,
+    "basket_pairs" -> 2,
+    "bpe_apply_merge" -> 2,
+    "bpe_pair_counts" -> 1,
+    "bpe_train" -> 0,
+    "chunk_overlap" -> 1,
+    "class_rebalance" -> 4,
+    "col_entropy" -> 2,
+    "corpus_heaps" -> 4,
+    "corpus_novelty" -> 2,
+    "corpus_token_budget" -> 1,
+    "dataset_split" -> 1,
+    "decontaminate" -> 2,
+    "dedup_calibration" -> 1,
+    "dedup_chunk" -> 1,
+    "dedup_cluster" -> 1,
+    "dedup_containment" -> 1,
+    "dedup_embedding" -> 2,
+    "dedup_exact" -> 1,
+    "dedup_fuzzy" -> 1,
+    "dedup_incremental" -> 1,
+    "dedup_name_variants" -> 2,
+    "dedup_ngram_jaccard" -> 1,
+    "dedup_rate_by_source" -> 2,
+    "dedup_retention" -> 1,
+    "dedup_simhash" -> 1,
+    "dedup_strip" -> 3,
+    "domain_mix" -> 2,
+    "dq_audit" -> 5,
+    "drift_psi" -> 4,
+    "embedding_centroid" -> 2,
+    "embedding_cluster" -> 1,
+    "embedding_pq" -> 1,
+    "embedding_project" -> 1,
+    "embedding_quantize" -> 1,
+    "events_anomaly_days" -> 2,
+    "events_autocorr" -> 1,
+    "events_burstiness" -> 1,
+    "events_cohort" -> 2,
+    "events_cusum" -> 1,
+    "events_dau_wau" -> 2,
+    "events_funnel" -> 3,
+    "events_hourly_profile" -> 1,
+    "events_interarrival" -> 1,
+    "events_markov_entropy" -> 2,
+    "events_ohlc" -> 1,
+    "events_rolling" -> 1,
+    "events_rolling_median" -> 1,
+    "events_seasonality" -> 1,
+    "events_transitions" -> 1,
+    "events_twa" -> 1,
+    "events_zscore" -> 2,
+    "exp_pipeline" -> 1,
+    "feature_cdf" -> 2,
+    "filter_pred" -> 1,
+    "flagship_pricing" -> 5,
+    "fn_array" -> 1,
+    "fn_case_when" -> 1,
+    "fn_date" -> 1,
+    "fn_explode" -> 1,
+    "fn_json" -> 1,
+    "fn_json_schema" -> 1,
+    "fn_json_table" -> 1,
+    "fn_map" -> 1,
+    "fn_math" -> 1,
+    "fn_null" -> 1,
+    "fn_string" -> 1,
+    "fn_struct" -> 1,
+    "forecast_seasonal_naive" -> 1,
+    "gen_grid" -> 0,
+    "gen_sequence" -> 0,
+    "graph_degree" -> 2,
+    "graph_pagerank" -> 0,
+    "histogram_equidepth" -> 1,
+    "histogram_fixed" -> 1,
+    "ingest_csv" -> 1,
+    "ingest_json" -> 1,
+    "interval_concurrency" -> 2,
+    "interval_coverage" -> 1,
+    "inverted_index" -> 1,
+    "join_anti" -> 2,
+    "join_asof" -> 2,
+    "join_asof_nearest" -> 2,
+    "join_bloom_prefilter" -> 4,
+    "join_cross" -> 2,
+    "join_full_outer" -> 2,
+    "join_inner_broadcast" -> 4,
+    "join_interval" -> 2,
+    "join_left_outer" -> 2,
+    "join_null_safe" -> 1,
+    "join_right_outer" -> 2,
+    "join_semi" -> 2,
+    "join_skew_salted" -> 2,
+    "join_sortmerge" -> 2,
+    "join_theta_range" -> 2,
+    "kl_divergence" -> 4,
+    "kmeans_iter" -> 1,
+    "knn_label" -> 2,
+    "knn_label_ann" -> 2,
+    "layout_zvalue" -> 1,
+    "limit_topk" -> 1,
+    "merge_upsert" -> 3,
+    "ml_folds" -> 2,
+    "ml_score" -> 1,
+    "mm_binary_meta" -> 1,
+    "mm_decode_features" -> 1,
+    "mm_frame_sample" -> 1,
+    "normalize_expr" -> 1,
+    "orders_rfm" -> 1,
+    "outlier_iqr" -> 2,
+    "outlier_mad" -> 1,
+    "pack_sequences" -> 1,
+    "pareto_frontier" -> 2,
+    "parts_abc" -> 0,
+    "pivot_wide" -> 1,
+    "profile_columns" -> 1,
+    "project_select" -> 1,
+    "quality_gate" -> 1,
+    "resample_ffill" -> 1,
+    "retrieval_eval" -> 2,
+    "retrieval_rrf" -> 4,
+    "revenue_gini" -> 2,
+    "sample_det" -> 1,
+    "sample_stratified" -> 1,
+    "sample_weighted" -> 1,
+    "scale_minmax" -> 2,
+    "scale_winsorize" -> 1,
+    "scan_parquet" -> 1,
+    "scan_partitioned" -> 1,
+    "scd_type2" -> 1,
+    "session_stats" -> 1,
+    "sessionize" -> 1,
+    "sessionize_gap_sweep" -> 1,
+    "sessionize_typed" -> 1,
+    "set_except" -> 2,
+    "set_intersect" -> 2,
+    "set_union_all" -> 2,
+    "set_union_distinct" -> 2,
+    "sim_cosine_topk" -> 2,
+    "sim_signbit_hamming" -> 2,
+    "sim_sparse_cosine" -> 2,
+    "skew_profile" -> 0,
+    "sort_multi" -> 1,
+    "source_overlap" -> 4,
+    "span_attribution" -> 1,
+    "stats_anova" -> 1,
+    "stats_benford" -> 1,
+    "stats_benford_chisq" -> 1,
+    "stats_corr_matrix" -> 1,
+    "stats_cramers_v" -> 1,
+    "stats_kendall_tau" -> 2,
+    "stats_ks_test" -> 2,
+    "stats_levene" -> 1,
+    "stats_mannwhitney" -> 2,
+    "stats_mutual_info" -> 1,
+    "stats_regression" -> 1,
+    "stats_runs_test" -> 2,
+    "stats_spearman" -> 1,
+    "stats_theil_u" -> 1,
+    "stream_session" -> 1,
+    "stream_sliding" -> 1,
+    "stream_tumbling" -> 1,
+    "subquery_scalar" -> 3,
+    "text_bigram_logprob" -> 3,
+    "text_bm25" -> 2,
+    "text_boilerplate" -> 1,
+    "text_compressibility" -> 1,
+    "text_fingerprint" -> 1,
+    "text_hapax" -> 1,
+    "text_keyword_extract" -> 3,
+    "text_langid" -> 1,
+    "text_ngram_coverage" -> 1,
+    "text_quality" -> 1,
+    "text_redact" -> 1,
+    "text_repetition" -> 1,
+    "text_stats" -> 1,
+    "text_tfidf" -> 2,
+    "text_token_count" -> 1,
+    "text_tokenize" -> 1,
+    "text_unigram_logprob" -> 3,
+    "text_verbatim_spans" -> 1,
+    "text_zipf" -> 1,
+    "token_pmi" -> 1,
+    "token_vocab" -> 1,
+    "topk_diverse" -> 1,
+    "topk_group_native" -> 1,
+    "topk_per_group" -> 1,
+    "triangle_count" -> 2,
+    "typed_filter_agg" -> 1,
+    "udaf_typed" -> 1,
+    "udf_scalar" -> 1,
+    "udtf_gen" -> 1,
+    "unpivot_long" -> 1,
+    "versioned_latest" -> 2,
+    "window_analytic" -> 1,
+    "window_frame_range" -> 1,
+    "window_frame_rows" -> 1,
+    "window_nth" -> 1,
+    "window_ntile_pct" -> 1,
+    "window_rank" -> 1)
+    import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val actual = SparkEntry.queries.keys.toSeq.sorted.map { k =>
+      s.catalog.clearCache()
+      val seen = scala.collection.mutable.Set.empty[AnyRef]
+      var n = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case _: FileSourceScanExec => n += 1
+          case im: InMemoryTableScanExec =>
+            if (seen.add(im.relation.cacheBuilder)) walk(im.relation.cachedPlan)
+          case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+          case _ => ()
+        }
+        p.children.foreach(walk)
+        p.subqueries.foreach(walk)
+      }
+      walk(SparkEntry.queries(k)(s, d).queryExecution.executedPlan)
+      k -> n
+    }.toMap
+    val drift = (expected.keySet -- actual.keySet) ++ (actual.keySet -- expected.keySet)
+    assert(drift.isEmpty, s"key-set drift vs baseline: $drift")
+    val regressed = actual.filter { case (k, n) => n > expected(k) }
+      .map { case (k, n) => s"$k: ${expected(k)} -> $n" }
+    assert(regressed.isEmpty,
+      s"scan-count REGRESSION (same table scanned more often than audited): $regressed")
+    val improved = actual.filter { case (k, n) => n < expected(k) }
+      .map { case (k, n) => s"$k: ${expected(k)} -> $n" }
+    assert(improved.isEmpty,
+      s"stale baseline (plan now scans less - record the improvement): $improved")
+  }
 }

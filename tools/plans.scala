@@ -1,47 +1,10 @@
 {
 import java.nio.file.{Files, Paths}
 val d = "/root/testdata/sf0.1"
-val keys = Seq("flagship_pricing", "join_sortmerge", "join_asof", "agg_hash_sum",
-  "sim_cosine_topk", "dedup_embedding", "dedup_fuzzy", "dedup_ngram_jaccard",
-  "join_theta_range", "stream_session",
-  "text_redact", "sample_stratified", "pack_sequences", "ann_ivf",
-  "interval_coverage", "token_vocab", "events_zscore", "merge_upsert",
-  "attribution_last_touch", "embedding_quantize",
-  "text_tfidf", "knn_label_ann", "graph_degree",
-  "pareto_frontier", "join_bloom_prefilter", "dedup_containment",
-  "profile_columns", "outlier_iqr", "dedup_chunk",
-  "text_unigram_logprob", "text_bigram_logprob", "histogram_equidepth",
-  "outlier_mad", "col_entropy", "kl_divergence", "class_rebalance",
-  "bpe_pair_counts", "events_rolling", "embedding_centroid",
-  "dedup_name_variants", "scale_winsorize", "events_anomaly_days",
-  "text_keyword_extract", "feature_cdf", "triangle_count",
-  "scale_minmax", "events_hourly_profile", "agg_approx_percentile",
-  "topk_group_native", "events_twa", "skew_profile", "sessionize_typed",
-  "orders_rfm", "basket_pairs", "revenue_gini", "session_stats",
-  "basket_lift", "events_dau_wau", "scan_partitioned",
-  "ingest_csv", "ingest_json", "ml_folds", "events_ohlc",
-  "graph_pagerank", "embedding_cluster", "drift_psi",
-  "sim_signbit_hamming", "kmeans_iter", "bpe_apply_merge",
-  "inverted_index", "token_pmi", "resample_ffill",
-  "embedding_project",
-  "ann_lsh_bucket", "ml_score", "agg_quartiles_exact",
-  "chunk_overlap", "dataset_split", "dedup_strip", "source_overlap",
-  "join_asof_nearest", "layout_zvalue", "corpus_novelty",
-  "retrieval_rrf", "retrieval_eval", "bpe_train", "embedding_pq", "ann_pq_adc",
-  "dedup_cluster", "dedup_retention", "ann_ivfpq",
-  "dedup_incremental", "fn_json_table", "text_verbatim_spans",
-  "span_attribution",
-  "agg_weighted_median", "stats_cramers_v", "dedup_calibration",
-  "stats_ks_test", "stats_corr_matrix", "sim_sparse_cosine",
-  "stats_spearman", "events_autocorr", "stats_mannwhitney",
-  "stats_anova", "events_cusum", "stats_mutual_info", "stats_benford",
-  "text_zipf", "events_interarrival", "interval_concurrency",
-  "forecast_seasonal_naive", "stats_kendall_tau", "dq_audit",
-  "parts_abc", "events_seasonality", "events_rolling_median",
-  "stats_levene", "events_burstiness", "stats_runs_test",
-  "stats_benford_chisq", "corpus_token_budget", "dedup_rate_by_source",
-  "text_hapax", "corpus_heaps", "events_markov_entropy",
-  "text_ngram_coverage", "sessionize_gap_sweep", "stats_theil_u")
+// ALL keys (VERDICT r16 item 2: plan evidence for every key, not a
+// curated subset) - the registry is the source of truth, so a new key
+// automatically joins the dump.
+val keys = graft.SparkEntry.queries.keys.toSeq.sorted
 val sb = new StringBuilder
 sb.append("""# PLANS -- physical-plan evidence at sf0.1
 
