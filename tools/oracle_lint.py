@@ -17,6 +17,17 @@ graft.Verify; zero findings required.
    integer rationals (graft.functions.ExactRatio). ROUND_RATIO_ALLOW
    lists the audited exceptions.
 
+3. Decimal128 on the hash surface (round-15 forensics): see rule 3
+   inline below.
+
+4. Libm floor-snaps (round-16 ADVICE): rule 2 matches round() but a
+   `floor(<libm chain> + 0.5)` snap has the same cross-engine-drift
+   exposure with a BIGINT output type that rule 2 never inspects. Every
+   such data-dependent snap must carry a ulp-margin gate (MarginSpec or
+   its family spec); FLOOR_SNAP_ALLOW lists the audited (key, column)
+   surfaces with their gate. Two-sided: an unlisted new snap fails, and
+   an allowlisted entry whose snap disappeared fails as stale.
+
 Usage: python3 tools/oracle_lint.py <sfDir> <verifyOutDir>
 """
 import json, re, sys, glob, os
@@ -27,6 +38,66 @@ import duckdb
 #   correctly-rounded (unlike ln/exp/pow), so identical double inputs
 #   give bit-identical results on both engines before the round.
 ROUND_RATIO_ALLOW = {("fn_math", "sq")}
+
+# audited libm floor-snap surfaces (rule 4): (key, column) -> the ulp-margin
+# gate that pins the snap's boundary distance on every fixture SF. The
+# benford constants are DATA-INDEPENDENT (nine fixed values) but carry a
+# MarginSpec gate anyway; everything else is data-dependent and must keep
+# its gate alive or this list goes stale and fails the lint.
+FLOOR_SNAP_ALLOW = {
+    ("col_entropy", "lp_e6"): "StatsSpec col_entropy margin test",
+    ("corpus_heaps", "x"): "MarginSpec corpus_heaps",
+    ("corpus_heaps", "y"): "MarginSpec corpus_heaps",
+    ("drift_psi", "psi_contrib"): "StatsSpec drift_psi margin test",
+    ("events_markov_entropy", "lp_e6"): "MarginSpec events_markov_entropy",
+    ("fn_math", "ln_e6"): "MarginSpec fn_math",
+    ("fn_math", "lg_e6"): "MarginSpec fn_math",
+    ("fn_math", "pw_e6"): "MarginSpec fn_math",
+    ("kl_divergence", "lr_e6"): "StatsSpec kl_divergence margin test",
+    ("retrieval_rrf", "bm25_e6"):
+        "text_bm25's snap expression, gated in CurationSpec",
+    ("sim_sparse_cosine", "w"): "MarginSpec sim_sparse_cosine idf",
+    ("stats_benford", "benford_e6"): "MarginSpec stats_benford (9 constants)",
+    ("stats_benford", "diff_e6"): "MarginSpec stats_benford (9 constants)",
+    ("stats_benford_chisq", "nc"): "MarginSpec stats_benford (9 constants)",
+    ("stats_benford_chisq", "dc"): "MarginSpec stats_benford (9 constants)",
+    ("stats_mutual_info", "mi_e6"): "MarginSpec stats_mutual_info",
+    ("stats_theil_u", "mi_e6"): "MarginSpec stats_mutual_info (same cells)",
+    ("stats_theil_u", "hnv"): "MarginSpec stats_theil_u marginals",
+    ("text_bigram_logprob", "lp_e6"): "FeaturesSpec bigram margin test",
+    ("text_bm25", "bm25_e6"): "CurationSpec bm25 margin test",
+    ("text_keyword_extract", "idf_e6"): "StatsSpec keyword idf margin test",
+    ("text_tfidf", "tfidf_e6"): "CurationSpec tfidf margin test",
+    ("text_unigram_logprob", "lp_e6"): "PipelineSpec unigram margin test",
+    ("text_zipf", "x"): "MarginSpec text_zipf",
+    ("text_zipf", "y"): "MarginSpec text_zipf",
+    ("token_pmi", "pmi_e6"): "StatsSpec token_pmi margin test",
+    ("udaf_typed", "geo_cents"): "MarginSpec udaf_typed geo_cents",
+}
+
+_SQL_TYPES = {"bigint", "int", "integer", "double", "varchar", "hugeint",
+              "decimal", "date", "timestamp"}
+_LIBM = re.compile(r"\b(ln|log|log10|log2|exp|pow)\s*\(")
+
+
+def floor_snap_columns(sql):
+    """Column aliases defined by floor(<libm chain> + 0.5) in sql.
+    sqrt is IEEE-correctly-rounded and deliberately NOT matched."""
+    low = sql.lower()
+    cols = set()
+    for m in re.finditer(r"floor\s*\(", low):
+        j = _balanced_end(low, m.end() - 1)
+        if j < 0:
+            continue
+        inner = low[m.end():j]
+        if _LIBM.search(inner) and "0.5" in inner:
+            # alias = next ` as <word>` past the floor that is not a CAST
+            # target type (the snap usually sits inside CAST(... AS BIGINT))
+            for am in re.finditer(r"\bas\s+(\w+)", low[j:j + 200]):
+                if am.group(1) not in _SQL_TYPES:
+                    cols.add(am.group(1))
+                    break
+    return cols
 
 
 def _balanced_end(s, i):
@@ -109,6 +180,15 @@ def main():
                       " a division/sqrt chain -- hash-fragile across oracle"
                       " builds; migrate to an ExactRatio integer surface")
                 findings += 1
+        # Rule 4 (round-16 ADVICE): data-dependent libm floor-snaps need a
+        # living ulp-margin gate; unlisted ones fail here.
+        snaps = floor_snap_columns(sql)
+        for c in sorted(snaps):
+            if (key, c) not in FLOOR_SNAP_ALLOW:
+                print(f"LINT {key}: col {c} is a floor(libm + 0.5) snap"
+                      " without an audited margin gate -- add a MarginSpec"
+                      " ulp audit and list it in FLOOR_SNAP_ALLOW")
+                findings += 1
         # Rule 3 (round-15 forensics): the driver's hash breaks on ANY
         # decimal128 output column -- its duckdb/pandas stack canonicalizes
         # decimals differently per side, magnitude-independent (the 7 r15
@@ -121,6 +201,17 @@ def main():
                       " hash mangles decimal columns; ship an int64 surface"
                       " (ExactRatio.modDigest for unbounded moments)")
                 findings += 1
+    # Rule 4 stale side: every allowlisted snap must still exist in its
+    # oracle, or the entry (and possibly its margin gate) is dead weight.
+    live = set()
+    for key, sql in oracles.items():
+        for c in floor_snap_columns(sql):
+            live.add((key, c))
+    for pair in sorted(FLOOR_SNAP_ALLOW):
+        if pair not in live:
+            print(f"LINT stale FLOOR_SNAP_ALLOW entry {pair}: no such"
+                  " floor(libm + 0.5) snap in that oracle any more")
+            findings += 1
     print(f"== oracle_lint: {findings} finding(s) over {len(oracles)} oracles ==")
     sys.exit(1 if findings else 0)
 
