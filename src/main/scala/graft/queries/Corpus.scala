@@ -168,12 +168,15 @@ object Corpus {
        |  CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS overlap
        |FROM ov JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
-    val ch = Tables.documents(s, d)
+    // the distinct chunk table has THREE consumers (sizes + both self-join
+    // sides) — pin it, the dedup sig-table discipline (r17 scan audit:
+    // unpinned, documents was re-tokenized 4× in one plan)
+    val ch = graft.Caching.pinOnce(Tables.documents(s, d)
       .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"), explode(expr(
         "transform(sequence(1, (size(w) + 5) div 6), i -> concat_ws(' ', slice(w, (i-1)*6+1, 6)))"))
         .as("chunk"))
-      .distinct()
+      .distinct())
     val sz = ch.groupBy("source").agg(count(lit(1)).as("n"))
     val ov = ch.as("a").join(ch.as("b"),
         expr("a.chunk = b.chunk AND a.source < b.source"))

@@ -210,14 +210,19 @@ object Stats {
        |    / (CAST(ts.t AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS kl
        |FROM lr JOIN ts ON lr.source = ts.source
        |GROUP BY ts.source, ts.t ORDER BY ts.source""".stripMargin) { (s, d) =>
+    // marginals as WINDOW columns over the cells table — the
+    // stats_mutual_info discipline (r17: the old broadcast-joined
+    // ts/g/tg marginal tables were 3 extra consumers of the cells
+    // aggregate, re-scanning documents 4×; the windows ride the one
+    // collapsed |sources|×|langs| domain, so the fact table is read
+    // once). The partition-less tg window is on that bounded cell
+    // domain — PlansSpec-allowlisted like mutual_info's nv.
     val c = Tables.documents(s, d).groupBy("source", "lang")
       .agg(count(lit(1)).as("c"))
-    val ts = c.groupBy("source").agg(sum("c").as("t"))
-    val g = c.groupBy("lang").agg(sum("c").as("cg"))
-    val tg = g.agg(sum("cg").as("tg"))
-    c.join(broadcast(ts), "source").join(broadcast(g), "lang")
-      .crossJoin(broadcast(tg))
-      // decimal-before-multiply: the oracle's c·tg and t·cg are exact in
+      .withColumn("t", sum("c").over(Window.partitionBy("source")))
+      .withColumn("cg", sum("c").over(Window.partitionBy("lang")))
+      .withColumn("tg", sum("c").over(Window.partitionBy()))
+    c // decimal-before-multiply: the oracle's c·tg and t·cg are exact in
       // HUGEINT; LongType products wrap once corpus counts pass ~3e9×3e9,
       // so widen one operand per product (exact to 38 digits, identical
       // double after the cast)
@@ -250,17 +255,22 @@ object Stats {
        |  CAST((SELECT sum(vec_id) FROM r
        |    WHERE r.label = n.label AND r.rn <= m.m) AS BIGINT) AS kept_id_sum
        |FROM n, m ORDER BY n.label""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-    val n = e.groupBy("label").agg(count(lit(1)).as("n_orig"))
-    val m = n.agg(min("n_orig").as("m"))
-    val kept = e.select(col("label"), col("vec_id"),
-        row_number().over(Window.partitionBy("label").orderBy("vec_id")).as("rn"))
-      .crossJoin(broadcast(m))
-      .filter(col("rn") <= col("m"))
-      .groupBy("label").agg(sum("vec_id").as("kept_id_sum"))
-    n.crossJoin(broadcast(m))
-      .join(kept, "label")
-      .select(col("label"), col("n_orig"), col("m").as("n_kept"), col("kept_id_sum"))
+    // ONE window pass computes rank and class size together (same label
+    // exchange), pinned as a 3-int-column frame so the min-class scalar
+    // and the final aggregate are cache reads — the old n/m/kept/join
+    // shape re-scanned embeddings 4× (r17 scan audit); the embedding
+    // vectors themselves never enter the pinned projection
+    val lbl = Window.partitionBy("label")
+    val w = graft.Caching.pinOnce(Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"))
+      .withColumn("rn", row_number().over(lbl.orderBy("vec_id")))
+      .withColumn("n_orig", count(lit(1)).over(lbl)))
+    val m = w.filter(col("rn") === 1).agg(min("n_orig").as("m"))
+    w.crossJoin(broadcast(m))
+      .groupBy("label")
+      .agg(max("n_orig").as("n_orig"), max("m").as("n_kept"),
+        sum(when(col("rn") <= col("m"), col("vec_id"))).as("kept_id_sum"))
+      .select(col("label"), col("n_orig"), col("n_kept"), col("kept_id_sum"))
       .orderBy("label")
   }
 
@@ -893,16 +903,29 @@ object Stats {
        |    AS DOUBLE)
        |  / (CAST(CAST(t_ref AS DECIMAL(19,0)) * t_cur AS DOUBLE) * 1000000.0) AS psi_contrib
        |FROM ct CROSS JOIN t ORDER BY event_type""".stripMargin) { (s, d) =>
-    val dd = Tables.events(s, d).select(col("event_type"),
-      expr("cast(ts_us div 86400000000 as bigint)").as("day"))
-    val mid = dd.agg(expr("(min(day) + max(day) + 1) div 2").as("m"))
-    val ct = dd.crossJoin(broadcast(mid))
+    // rows collapse FIRST onto the bounded (type, day) domain — day count
+    // is wall-clock-bounded (the interval_concurrency argument), so the
+    // midpoint and the ref/cur split derive from windows over that tiny
+    // table instead of re-scanning events per marginal (r17 scan audit:
+    // the old dd/mid/ct/t shape read events 4×; this is ONE O(data)
+    // combinable aggregate, everything after runs on the domain).
+    // Partition-less windows here are on the bounded domain —
+    // PlansSpec-allowlisted.
+    val all = Window.partitionBy()
+    val cells = Tables.events(s, d).select(col("event_type"),
+        expr("cast(ts_us div 86400000000 as bigint)").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("mn", min("day").over(all))
+      .withColumn("mx", max("day").over(all))
+      .withColumn("m", expr("(mn + mx + 1) div 2"))
+    val ct = cells
       .groupBy("event_type")
-      .agg(sum(expr("case when day < m then 1 else 0 end")).as("c_ref"),
-        sum(expr("case when day >= m then 1 else 0 end")).as("c_cur"))
+      .agg(sum(expr("case when day < m then cnt else 0 end")).as("c_ref"),
+        sum(expr("case when day >= m then cnt else 0 end")).as("c_cur"))
       .filter(col("c_ref") > 0 && col("c_cur") > 0)
-    val t = ct.agg(sum("c_ref").as("t_ref"), sum("c_cur").as("t_cur"))
-    ct.crossJoin(broadcast(t))
+      .withColumn("t_ref", sum("c_ref").over(all))
+      .withColumn("t_cur", sum("c_cur").over(all))
+    ct
       .withColumn("lr_e6", expr(
         "cast(floor(ln(cast(cast(c_ref as decimal(19,0)) * t_cur as double)" +
           " / cast(cast(c_cur as decimal(19,0)) * t_ref as double)) * 1000000.0d + 0.5d) as bigint)"))

@@ -255,7 +255,9 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "corpus_heaps" -> "16-row checkpoint spine (fixed k = 1..16)",
       "corpus_token_budget" -> "|sources|x|langs| cells",
       "exp_pipeline" -> "231-row composite grid",
+      "drift_psi" -> "(type, day) cells - day is wall-clock-bounded (r17)",
       "interval_concurrency" -> "minute domain - bounded by wall-clock, not rows",
+      "kl_divergence" -> "|sources|x|langs| cells (r17)",
       "pareto_frontier" -> "distinct price-cents domain (value-bounded)",
       "retrieval_rrf" -> "bounded top-k candidate lists",
       "stats_anova" -> "|event types| rows",
@@ -515,7 +517,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "bpe_pair_counts" -> 1,
     "bpe_train" -> 0,
     "chunk_overlap" -> 1,
-    "class_rebalance" -> 4,
+    "class_rebalance" -> 1,
     "col_entropy" -> 2,
     "corpus_heaps" -> 4,
     "corpus_novelty" -> 2,
@@ -538,7 +540,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "dedup_strip" -> 3,
     "domain_mix" -> 2,
     "dq_audit" -> 5,
-    "drift_psi" -> 4,
+    "drift_psi" -> 1,
     "embedding_centroid" -> 2,
     "embedding_cluster" -> 1,
     "embedding_pq" -> 1,
@@ -604,7 +606,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "join_skew_salted" -> 2,
     "join_sortmerge" -> 2,
     "join_theta_range" -> 2,
-    "kl_divergence" -> 4,
+    "kl_divergence" -> 1,
     "kmeans_iter" -> 1,
     "knn_label" -> 2,
     "knn_label_ann" -> 2,
@@ -652,7 +654,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "sim_sparse_cosine" -> 2,
     "skew_profile" -> 0,
     "sort_multi" -> 1,
-    "source_overlap" -> 4,
+    "source_overlap" -> 1,
     "span_attribution" -> 1,
     "stats_anova" -> 1,
     "stats_benford" -> 1,
