@@ -116,11 +116,14 @@ object Corpus {
        |  t.n_chunks - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_removed
        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-    val ch = Tables.documents(s, d)
+    // pinned: dup, the anti-join probe side and the per-doc totals are
+    // three consumers — unpinned each re-tokenized documents (r17 scan
+    // audit: 3 scans -> 1, the source_overlap discipline)
+    val ch = graft.Caching.pinOnce(Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, (size(w) + 5) div 6), i -> concat_ws(' ', slice(w, (i-1)*6+1, 6)))")))
-      .select(col("doc_id"), (col("pos") + 1).as("ci"), col("col").as("chunk"))
+      .select(col("doc_id"), (col("pos") + 1).as("ci"), col("col").as("chunk")))
     val dup = ch.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -397,8 +400,12 @@ object Corpus {
   }) { (s, d) =>
     import graft.functions.ExactRatio
     val docs = Tables.documents(s, d)
-    val b = docs.agg(min("doc_id").as("lo"),
-      expr("greatest(max(doc_id) - min(doc_id), 1)").as("dl"))
+    // the 1-row bounds frame feeds BOTH bucketings — pinned so the doc-id
+    // min/max scan runs once, not once per broadcast consumer (r17 scan
+    // audit: 4 scans -> 3; the remaining three are the honest passes of
+    // this algorithm — bounds, per-bucket doc counts, trigram first-seen)
+    val b = graft.Caching.pinOnce(docs.agg(min("doc_id").as("lo"),
+      expr("greatest(max(doc_id) - min(doc_id), 1)").as("dl")))
     def bucket(idCol: String) =
       s"least(cast(16 as bigint), greatest(cast(1 as bigint)," +
         s" (16 * ($idCol - lo) + dl - 1) div dl))"

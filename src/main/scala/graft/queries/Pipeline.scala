@@ -594,9 +594,13 @@ object Pipeline {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("tok"))
+    // per-lang totals as a window over the vocab domain (bounded), not a
+    // second aggregate over toks — the model pass reads documents ONCE
+    // and only the scoring join below pays the second tokenization (r17
+    // scan audit: 3 scans -> 2, the honest model-then-score shape)
     val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-    val tot = toks.groupBy("lang").agg(count(lit(1)).as("t"))
-    val lp = freq.join(broadcast(tot), "lang")
+    val lp = freq
+      .withColumn("t", sum("c").over(Window.partitionBy("lang")))
       .withColumn("lp_e6", expr(
         "cast(floor(ln(cast(c as double) / cast(t as double)) * 1000000.0d + 0.5d) as bigint)"))
       .select("lang", "tok", "lp_e6")

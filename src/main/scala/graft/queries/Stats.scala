@@ -648,15 +648,17 @@ object Stats {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
+    // ONE tokenization pass: dtf has one row per (doc, lang, tok), so the
+    // document frequency is a plain count window over (lang, tok) on dtf
+    // itself — the old separate countDistinct aggregate re-tokenized
+    // documents (r17 scan audit: 3 scans -> 2; the remaining n_docs pass
+    // reads only the 2 narrow id/lang columns, no text)
     val dtf = toks.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("lang", "tok")
-      .agg(countDistinct("doc_id").as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "tok")))
     val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val idf = df.join(broadcast(nd), "lang")
+    dtf.join(broadcast(nd), "lang")
       .withColumn("idf_e6", expr(
         "cast(floor(ln((cast(n_docs as double) + 1.0d) / (cast(df as double) + 1.0d)) * 1000000.0d + 0.5d) as bigint)"))
-      .select("lang", "tok", "idf_e6")
-    dtf.join(broadcast(idf), Seq("lang", "tok"))
       .withColumn("score_e6", expr("tf * idf_e6"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("tok"))))

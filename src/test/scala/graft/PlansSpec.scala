@@ -519,7 +519,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "chunk_overlap" -> 1,
     "class_rebalance" -> 1,
     "col_entropy" -> 2,
-    "corpus_heaps" -> 4,
+    "corpus_heaps" -> 3,
     "corpus_novelty" -> 2,
     "corpus_token_budget" -> 1,
     "dataset_split" -> 1,
@@ -537,7 +537,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "dedup_rate_by_source" -> 2,
     "dedup_retention" -> 1,
     "dedup_simhash" -> 1,
-    "dedup_strip" -> 3,
+    "dedup_strip" -> 1,
     "domain_mix" -> 2,
     "dq_audit" -> 5,
     "drift_psi" -> 1,
@@ -674,13 +674,13 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "stream_sliding" -> 1,
     "stream_tumbling" -> 1,
     "subquery_scalar" -> 3,
-    "text_bigram_logprob" -> 3,
+    "text_bigram_logprob" -> 2,
     "text_bm25" -> 2,
     "text_boilerplate" -> 1,
     "text_compressibility" -> 1,
     "text_fingerprint" -> 1,
     "text_hapax" -> 1,
-    "text_keyword_extract" -> 3,
+    "text_keyword_extract" -> 2,
     "text_langid" -> 1,
     "text_ngram_coverage" -> 1,
     "text_quality" -> 1,
@@ -690,7 +690,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "text_tfidf" -> 2,
     "text_token_count" -> 1,
     "text_tokenize" -> 1,
-    "text_unigram_logprob" -> 3,
+    "text_unigram_logprob" -> 2,
     "text_verbatim_spans" -> 1,
     "text_zipf" -> 1,
     "token_pmi" -> 1,
