@@ -811,14 +811,21 @@ object Stats {
        |FROM scored GROUP BY r_score, f_score, m_score
        |ORDER BY r_score, f_score, m_score""".stripMargin
   }) { (s, d) =>
-    val c = Tables.orders(s, d)
+    // pinned: the three ExactQuantiles passes (r, f, m boundaries) and
+    // the final scoring aggregate are four consumers — unpinned each
+    // re-ran the orders scan + per-customer aggregate (r17 scan audit:
+    // 4 scans -> 1). The m domain is ~|customers|-distinct, so the
+    // boundary-collect quantile operator stays the right shape here
+    // (a domain-collapsed median window would be partition-less over a
+    // row-count-sized domain — the banned shape).
+    val c = graft.Caching.pinOnce(Tables.orders(s, d)
       .select(col("o_custkey"),
         // o_orderdate reads as TIMESTAMP_NTZ; the UTC session makes the
         // TIMESTAMP cast instant-preserving, matching DuckDB's epoch_us
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
         expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
       .groupBy("o_custkey")
-      .agg(max("day").as("r"), count(lit(1)).as("f"), sum("cents").as("m"))
+      .agg(max("day").as("r"), count(lit(1)).as("f"), sum("cents").as("m")))
     val ps = Seq(0.25, 0.5, 0.75)
     val bounds = Seq("r", "f", "m")
       .map(dim => dim -> graft.operators.ExactQuantiles.scaled(c, dim, ps, 4))
