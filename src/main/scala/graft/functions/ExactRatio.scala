@@ -57,6 +57,21 @@ object ExactRatio {
   val DuckF: Flavor =
     Flavor(x => s"CAST(($x) AS HUGEINT)", (a, b) => s"(($a) // ($b))")
 
+  /** Exact absolute value of a big-integer expression. NEVER use bare
+    * `abs()` (or unary minus) on a Spark DECIMAL(38,0) surface: this
+    * build's columnar negate/abs fast path rounds to 34 significant
+    * digits — IEEE decimal128 precision — so `abs(x)` of a 35–38-digit
+    * negative silently zeroes the low digits (found r17 by LadderSpec's
+    * randomized modDigest property: abs(−…519012) returned …519000 in
+    * the codegen path while the constant-folded path was exact; negate
+    * shows the same loss, while +, −, ×, %, sum and comparisons are
+    * exact at all 38 digits). The CASE-subtract form below stays on the
+    * exact subtraction path. DuckDB's HUGEINT abs is exact — kept as-is.
+    */
+  def safeAbs(f: Flavor, x: String): String =
+    if (f eq DuckF) s"abs($x)"
+    else s"(CASE WHEN ($x) < 0 THEN ${f.bigCast("0")} - ($x) ELSE ($x) END)"
+
   private def pow10(k: Int): String = "1" + ("0" * k)
 
   /** 10^k as an exact big-integer literal (string-cast: both engines parse
@@ -112,7 +127,7 @@ object ExactRatio {
           s"${p}_sc2" -> (s"${p}_sc + (CASE WHEN (${p}_sb + ${p}_sc) % 2 = 1" +
             s" AND ${p}_sb = 0 THEN 1 ELSE 0 END)")),
       Seq(s"${p}_h" -> f.intDiv(s"${p}_sb2 + ${p}_sc2", "2")),
-      Seq(s"${p}_np" -> f.intDiv(s"abs($nb)", pow10Case(f, s"${p}_h")),
+      Seq(s"${p}_np" -> f.intDiv(safeAbs(f, nb), pow10Case(f, s"${p}_h")),
           s"${p}_bp" -> f.intDiv(bb, pow10Case(f, s"${p}_sb2")),
           s"${p}_cp" -> f.intDiv(cb, pow10Case(f, s"${p}_sc2"))),
       Seq(out -> s"CAST(${f.intDiv(
@@ -174,7 +189,7 @@ object ExactRatio {
     * carried separately by [[signInt]] where it matters.
     */
   def modDigest(f: Flavor, x: String): String =
-    s"CAST((${f.bigCast(s"abs($x)")} % 1000000007) AS BIGINT)"
+    s"CAST((${f.bigCast(safeAbs(f, x))} % 1000000007) AS BIGINT)"
 
   /** Apply staged columns to a DataFrame (Spark flavor); Catalyst collapses
     * the chained projections into one.

@@ -788,7 +788,8 @@ object Curation {
       .select(col("n"),
         expr("cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))").as("num"),
         expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as decimal(38,0))").as("den"),
-        expr("abs(cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0)))").as("sl_a"))
+        expr(graft.functions.ExactRatio.safeAbs(graft.functions.ExactRatio.SparkF,
+          "cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))")).as("sl_a"))
     ExactRatio.applySpark(base,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "sl_a", "den", "sl_e6"))
       .select(col("n"),

@@ -1703,14 +1703,18 @@ object Stats {
         " * 1000000.0d + 0.5d) as bigint)"))
     val pinned = graft.Caching.pinOnce(lp)
     val hn = pinned.groupBy("nat").agg(max("ctv").as("ct"), max("nv").as("nv"))
-      .agg((-sum(expr("cast(ct as decimal(38,0))" +
+      // 0 − sum, not unary minus: Spark's decimal negate rounds to 34
+      // significant digits (the safeAbs class, ExactRatio r17) while
+      // subtraction is exact at all 38
+      .agg((lit(0).cast("decimal(38,0)") - sum(expr("cast(ct as decimal(38,0))" +
         " * cast(floor(ln(cast(ct as double) / cast(nv as double))" +
         " * 1000000.0d + 0.5d) as bigint)"))).cast("decimal(38,0)").as("hnv"))
     val mi = pinned.agg(max("nv").as("n"),
       countDistinct("seg").as("n_seg"), countDistinct("nat").as("n_nat"),
       sum(expr("cast(o as decimal(38,0)) * mi_e6")).cast("decimal(38,0)").as("smi"))
     val base = mi.crossJoin(hn)
-      .withColumn("ua", expr("abs(cast(smi as decimal(38,0)))"))
+      .withColumn("ua", expr(graft.functions.ExactRatio.safeAbs(
+        graft.functions.ExactRatio.SparkF, "cast(smi as decimal(38,0))")))
       .withColumn("ub", expr("greatest(cast(hnv as decimal(38,0)), cast(1 as decimal(38,0)))"))
     ExactRatio.applySpark(base,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "ua", "ub", "u0_e6"))
@@ -1861,7 +1865,11 @@ object Stats {
           " * (2 * n1 * n2 - (n1 + n2))").as("zd"))
     import graft.functions.ExactRatio
     ExactRatio.applySpark(base,
-        ExactRatio.ratE6Stages(ExactRatio.SparkF, "abs(zn)", "zd", "z2_e6"))
+        // zn = za² · (n−1) ≥ 0 by construction, but Spark's bare decimal
+        // abs is the lossy decimal128 negate path on negatives (r17,
+        // ExactRatio.safeAbs) — route through the safe form for defense
+        ExactRatio.ratE6Stages(ExactRatio.SparkF,
+          ExactRatio.safeAbs(ExactRatio.SparkF, "zn"), "zd", "z2_e6"))
       .select(col("event_type"), col("n_obs"), col("n_runs"),
         col("n_above"), col("n_below"), col("z2_e6"),
         expr(ExactRatio.signInt("za")).as("z_sign"))

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property gate for the ExactRatio integer-division ladders —
+  * the kernel every normalized statistic's hash surface rides on. The
+  * fixture-level brute tests pin each KEY at its data's magnitudes; this
+  * spec pins the LADDERS themselves across the full documented domain
+  * (operands 1 digit to 37 digits, including the skewed-magnitude regimes
+  * the r16 ADVICE flagged), by evaluating the generated SQL through Spark
+  * and comparing every sample against an exact BigInt replica of the
+  * staged algorithm. Any silent int64 wrap in a staged `div` (Spark's
+  * IntegralDivide wraps rather than throws — the reason the 12-digit
+  * shift budget exists) would surface here as a value mismatch.
+  */
+class LadderSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import graft.functions.ExactRatio
+
+  /** BigInt replica of ExactRatio.shiftOver: smallest shift that brings v
+    * under 10^keep, as the generated CASE ladder computes it. */
+  private def shiftOver(v: BigInt, keep: Int): Int =
+    (38 - keep to 1 by -1).find(sh => v >= BigInt(10).pow(keep - 1 + sh)).getOrElse(0)
+
+  /** Replica of ratE6Stages: floor(1e6·a/b) through the common-shift
+    * ladder, including the greatest(bp, 1) guard. */
+  private def ratE6(a: BigInt, b: BigInt): Long = {
+    val u = math.max(shiftOver(a, 12), shiftOver(b, 12))
+    val ap = a / BigInt(10).pow(u)
+    val bp = (b / BigInt(10).pow(u)).max(1)
+    ((BigInt(1000000) * ap) / bp).toLong
+  }
+
+  /** Replica of r2e6Stages: floor(1e6·num²/(b·c)) through the
+    * independently-shifted ladder with the even-parity bump. */
+  private def r2e6(num: BigInt, b: BigInt, c: BigInt): Long = {
+    val sb = shiftOver(b, 12); val sc = shiftOver(c, 12)
+    val odd = (sb + sc) % 2 == 1
+    val sb2 = sb + (if (odd && sb >= 1) 1 else 0)
+    val sc2 = sc + (if (odd && sb == 0) 1 else 0)
+    val h = (sb2 + sc2) / 2
+    val np = num.abs / BigInt(10).pow(h)
+    val bp = b / BigInt(10).pow(sb2)
+    val cp = c / BigInt(10).pow(sc2)
+    ((BigInt(1000000) * np * np) / (bp * cp)).toLong
+  }
+
+  private val rnd = new scala.util.Random(42) // seeded: deterministic suite
+  private def randDigits(n: Int): BigInt = {
+    val head = ('1' + rnd.nextInt(9)).toChar
+    val tail = Seq.fill(n - 1)(('0' + rnd.nextInt(10)).toChar)
+    BigInt((head +: tail).mkString)
+  }
+
+  test("ratE6Stages == BigInt replica across 1..37-digit operands incl. skewed pairs") {
+    val samples = (1 to 300).map { i =>
+      val da = 1 + rnd.nextInt(37)
+      // every 3rd sample forces the skewed-magnitude regime ADVICE flagged
+      val db = if (i % 3 == 0) 1 + rnd.nextInt(13) else 1 + rnd.nextInt(37)
+      (i.toLong, randDigits(da), randDigits(db))
+    } :+ ((301L, BigInt(0), BigInt(1))) :+ ((302L, BigInt(10).pow(37) - 1, BigInt(1)))
+    import s.implicits._
+    val df = samples.map { case (i, a, b) => (i, a.toString, b.toString) }
+      .toDF("id", "a_s", "b_s")
+      .select(col("id"), expr("cast(a_s as decimal(38,0))").as("a"),
+        expr("cast(b_s as decimal(38,0))").as("b"))
+    val out = ExactRatio.applySpark(df,
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "a", "b", "r_e6"))
+      .select("id", "r_e6").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.foreach { case (i, a, b) =>
+      assert(out(i) == ratE6(a, b),
+        s"ratE6($a, $b): sql=${out(i)} replica=${ratE6(a, b)}")
+    }
+  }
+
+  test("r2e6Stages == BigInt replica across magnitudes, signs, and parity bumps") {
+    val samples = (1 to 300).map { i =>
+      val b = randDigits(1 + rnd.nextInt(37))
+      val c = randDigits(1 + rnd.nextInt(37))
+      // |num| <= min(b, c) <= sqrt(b·c) keeps the documented Cauchy-Schwarz
+      // domain; every 4th sample is negative, every 10th zero
+      val bound = b.min(c)
+      val numAbs = if (i % 10 == 0) BigInt(0)
+        else bound * BigInt(rnd.nextInt(1000)) / 1000
+      val num = if (i % 4 == 0) -numAbs else numAbs
+      (i.toLong, num, b, c)
+    }
+    import s.implicits._
+    val df = samples.map { case (i, n, b, c) => (i, n.toString, b.toString, c.toString) }
+      .toDF("id", "n_s", "b_s", "c_s")
+      .select(col("id"), expr("cast(n_s as decimal(38,0))").as("num"),
+        expr("cast(b_s as decimal(38,0))").as("b"),
+        expr("cast(c_s as decimal(38,0))").as("c"))
+    val out = ExactRatio.applySpark(df,
+        ExactRatio.r2e6Stages(ExactRatio.SparkF, "num", "b", "c", "r2_e6"))
+      .select("id", "r2_e6").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.foreach { case (i, n, b, c) =>
+      assert(out(i) == r2e6(n, b, c),
+        s"r2e6($n, $b, $c): sql=${out(i)} replica=${r2e6(n, b, c)}")
+    }
+  }
+
+  test("modDigest == BigInt replica for signed decimal inputs") {
+    val samples = (1 to 100).map { i =>
+      val v = randDigits(1 + rnd.nextInt(37))
+      (i.toLong, if (i % 2 == 0) -v else v)
+    }
+    import s.implicits._
+    val df = samples.map { case (i, v) => (i, v.toString) }.toDF("id", "v_s")
+      .select(col("id"), expr("cast(v_s as decimal(38,0))").as("v"))
+    val out = df.withColumn("m9",
+        expr(ExactRatio.modDigest(ExactRatio.SparkF, "v")))
+      .select("id", "m9").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.foreach { case (i, v) =>
+      assert(out(i) == (v.abs mod BigInt(1000000007)).toLong, s"modDigest($v)")
+    }
+  }
+}
