@@ -101,6 +101,25 @@ class LadderSpec extends AnyFunSuite {
     }
   }
 
+  test("no bare abs() over a decimal cast in any Spark-side query source") {
+    // the r17 hazard this spec's property test found: Spark's columnar
+    // decimal negate/abs rounds to 34 significant digits, so every
+    // big-integer absolute value must go through ExactRatio.safeAbs.
+    // This source lint keeps the rule from regressing (DuckDB-side
+    // abs(... AS HUGEINT) in oracle SQL strings is exact and allowed —
+    // the pattern below only matches Spark decimal casts).
+    val banned = "abs\\s*\\(\\s*cast\\s*\\([^()]*as\\s+decimal".r
+    val offenders = for {
+      dir <- Seq("src/main/scala/graft/queries", "src/main/scala/graft/functions",
+        "src/main/scala/graft/operators")
+      f <- new java.io.File(dir).listFiles.toSeq if f.getName.endsWith(".scala")
+      line <- scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex
+      if banned.findFirstIn(line._1.toLowerCase).isDefined
+    } yield s"${f.getName}:${line._2 + 1}: ${line._1.trim.take(80)}"
+    assert(offenders.isEmpty,
+      s"bare abs() over a Spark decimal cast (use ExactRatio.safeAbs):\n${offenders.mkString("\n")}")
+  }
+
   test("modDigest == BigInt replica for signed decimal inputs") {
     val samples = (1 to 100).map { i =>
       val v = randDigits(1 + rnd.nextInt(37))
