@@ -179,11 +179,17 @@ object Pipeline {
        |  FROM documents)
        |SELECT r.doc_id, r.lang, r.source FROM r, m
        |WHERE r.rn <= m.mn ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val m = docs.groupBy("lang").agg(count(lit(1)).as("n")).agg(min("n").as("mn"))
-    docs.withColumn("rn",
-        row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
-      .crossJoin(broadcast(m))
+    // ONE window pass computes rank and class size together (the
+    // class_rebalance shape, r17): pinned as a narrow projection so the
+    // min-class scalar and the final filter are cache reads instead of
+    // a second document scan (2 scans -> 1)
+    val lbl = Window.partitionBy("lang")
+    val w = graft.Caching.pinOnce(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rn", row_number().over(lbl.orderBy("doc_id")))
+      .withColumn("n", count(lit(1)).over(lbl)))
+    val m = w.filter(col("rn") === 1).agg(min("n").as("mn"))
+    w.crossJoin(broadcast(m))
       .filter(col("rn") <= col("mn"))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")

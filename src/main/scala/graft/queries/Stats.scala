@@ -168,12 +168,15 @@ object Stats {
        |    / (CAST(t.t AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS entropy
        |FROM lp JOIN t ON lp.source = t.source
        |GROUP BY t.source, t.n_langs, t.t ORDER BY t.source""".stripMargin) { (s, d) =>
+    // per-source totals as windows over the bounded (source, lang) cell
+    // domain — the kl_divergence/mutual_info discipline (r17: the old
+    // aggregate-and-broadcast-back marginal re-scanned documents; 2
+    // scans -> 1)
     val c = Tables.documents(s, d).groupBy("source", "lang")
       .agg(count(lit(1)).as("c"))
-    val t = c.groupBy("source")
-      .agg(sum("c").as("t"), count(lit(1)).as("n_langs"))
-    c.join(broadcast(t), "source")
-      .withColumn("lp_e6", expr(
+      .withColumn("t", sum("c").over(Window.partitionBy("source")))
+      .withColumn("n_langs", count(lit(1)).over(Window.partitionBy("source")))
+    c.withColumn("lp_e6", expr(
         "cast(floor(ln(cast(c as double) / cast(t as double)) * 1000000.0d + 0.5d) as bigint)"))
       .groupBy("source", "n_langs", "t")
       // decimal-before-multiply: DuckDB computes Σ c·lp in HUGEINT; a

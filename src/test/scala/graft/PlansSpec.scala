@@ -518,7 +518,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "bpe_train" -> 0,
     "chunk_overlap" -> 1,
     "class_rebalance" -> 1,
-    "col_entropy" -> 2,
+    "col_entropy" -> 1,
     "corpus_heaps" -> 3,
     "corpus_novelty" -> 2,
     "corpus_token_budget" -> 1,
@@ -538,7 +538,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "dedup_retention" -> 1,
     "dedup_simhash" -> 1,
     "dedup_strip" -> 1,
-    "domain_mix" -> 2,
+    "domain_mix" -> 1,
     "dq_audit" -> 5,
     "drift_psi" -> 1,
     "embedding_centroid" -> 2,
