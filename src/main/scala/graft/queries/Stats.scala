@@ -829,15 +829,43 @@ object Stats {
         expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
       .groupBy("o_custkey")
       .agg(max("day").as("r"), count(lit(1)).as("f"), sum("cents").as("m")))
-    val ps = Seq(0.25, 0.5, 0.75)
-    val bounds = Seq("r", "f", "m")
-      .map(dim => dim -> graft.operators.ExactQuantiles.scaled(c, dim, ps, 4))
-      .toMap
-    def score(dim: String) = "1 + " + (0 to 2)
-      .map(k => s"(case when 4 * $dim > ${bounds(dim)(k)}L then 1 else 0 end)")
+    // r (recency day) and f (order count) live on CONSTANT-bounded value
+    // domains (wall-clock days / per-customer order counts), so their
+    // quartile boundaries come from the agg_percentile integer idiom
+    // in-plan — quartile·4 = (4−g)·a + g·b over bracketing order
+    // statistics with g = (k(n−1)) mod 4, exactly ExactQuantiles'
+    // round(4a + (b−a)·frac·4) — as 1-row frames crossJoin-broadcast to
+    // the scorer: no boundary-collect actions (r17: orders_rfm was the
+    // suite's most action-heavy key at 23 jobs — the r/f quantile passes
+    // were 12 of them). m (money sum) keeps the boundary-collect
+    // operator: its domain is ~|customers|-distinct, where a
+    // domain-collapsed quantile window would be partition-less over a
+    // row-count-sized domain — the banned shape.
+    def quartX4(dim: String): org.apache.spark.sql.DataFrame = {
+      val dom = c.groupBy(col(dim).as("v")).agg(count(lit(1)).as("w"))
+        .withColumn("cw", sum("w").over(Window.orderBy("v")))
+        .withColumn("n", sum("w").over(Window.partitionBy()))
+      val aggs = (1 to 3).flatMap { k =>
+        Seq(min(when(expr(s"cw >= 1 + ($k * (n - 1)) div 4"), col("v"))).as(s"a$k"),
+          min(when(expr(s"cw >= 2 + ($k * (n - 1)) div 4"), col("v"))).as(s"b$k"))
+      } :+ max("n").as("n")
+      dom.agg(aggs.head, aggs.tail: _*)
+        .select((1 to 3).map { k =>
+          expr(s"cast((4 - ($k * (n - 1)) % 4) * a$k" +
+            s" + (($k * (n - 1)) % 4) * coalesce(b$k, a$k) as bigint)")
+            .as(s"${dim}q$k")
+        }: _*)
+    }
+    val mBounds = graft.operators.ExactQuantiles
+      .scaled(c, "m", Seq(0.25, 0.5, 0.75), 4)
+    def score(dim: String, bound: Int => String) = "1 + " + (1 to 3)
+      .map(k => s"(case when 4 * $dim > ${bound(k)} then 1 else 0 end)")
       .mkString(" + ")
-    c.select(expr(score("r")).as("r_score"), expr(score("f")).as("f_score"),
-        expr(score("m")).as("m_score"))
+    c.crossJoin(broadcast(quartX4("r"))).crossJoin(broadcast(quartX4("f")))
+      .select(
+        expr(score("r", k => s"rq$k")).as("r_score"),
+        expr(score("f", k => s"fq$k")).as("f_score"),
+        expr(score("m", k => s"${mBounds(k - 1)}L")).as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("r_score", "f_score", "m_score")

@@ -258,6 +258,7 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "drift_psi" -> "(type, day) cells - day is wall-clock-bounded (r17)",
       "interval_concurrency" -> "minute domain - bounded by wall-clock, not rows",
       "kl_divergence" -> "|sources|x|langs| cells (r17)",
+      "orders_rfm" -> "r/f quartile spines: wall-clock day and order-count domains (r17)",
       "pareto_frontier" -> "distinct price-cents domain (value-bounded)",
       "retrieval_rrf" -> "bounded top-k candidate lists",
       "stats_anova" -> "|event types| rows",
