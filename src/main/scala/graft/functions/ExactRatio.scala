@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Exact scaled-integer rationals for cross-engine hash surfaces.
   *
@@ -195,8 +195,27 @@ object ExactRatio {
     * the chained projections into one.
     */
   def applySpark(df: DataFrame, stages: Seq[Seq[(String, String)]]): DataFrame =
+    // one select per stage, NOT a withColumn per column: withColumn runs
+    // the full analyzer once per call, and a ladder is 9–12 columns — the
+    // per-run DataFrame-construction cost was measurable (r18)
     stages.foldLeft(df)((d, st) =>
-      st.foldLeft(d)((dd, ce) => dd.withColumn(ce._1, expr(ce._2))))
+      d.select(col("*") +: st.map(ce => expr(ce._2).as(ce._1)): _*))
+
+  /** [[applySpark]] for a BOUNDED group-domain frame (≤ a few hundred
+    * rows by construction — per-flag / per-event-type / per-decile
+    * moment tables): inserts a single-partition exchange FIRST, so the
+    * ladder's CASE-heavy stages live in their own tiny codegen stage
+    * instead of collapsing into the upstream aggregate/window pipeline.
+    * Measured r18 (stats_spearman, 3-row ladder input): fused form
+    * 3.58 s/run vs 1.99 s behind the exchange — the collapsed tree
+    * re-derives the aggregate's result expressions once per ladder
+    * reference and recompiles the blown-up stage on every run. A narrow
+    * coalesce(1) does NOT help (4.09 s — still fuses into the same
+    * whole-stage pipeline); the shuffle is the point. NEVER use on a
+    * data-sized frame — that would serialize it through one task.
+    */
+  def applySparkDomain(df: DataFrame, stages: Seq[Seq[(String, String)]]): DataFrame =
+    applySpark(df.repartition(1), stages)
 
   /** Wrap an inner SELECT (DuckDB flavor) in one nested `SELECT *, …` layer
     * per stage; the caller's outer SELECT picks the contract columns.

@@ -61,7 +61,7 @@ object CorrMatrix {
     import graft.functions.ExactRatio
     val exploded = m.select(explode(array(pairs: _*)).as("p")).select("p.*")
       .filter(col("vxx") > 0 && col("vyy") > 0)
-    ExactRatio.applySpark(exploded,
+    ExactRatio.applySparkDomain(exploded,
         ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "r2_e6"))
       .withColumn("r_sign", expr(ExactRatio.signInt("cov_n2")))
       .withColumn("cov_m9", expr(ExactRatio.modDigest(ExactRatio.SparkF, "cov_n2")))

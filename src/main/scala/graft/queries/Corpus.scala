@@ -95,12 +95,20 @@ object Corpus {
     * order per doc without any global sort. Nothing touches the driver.
     *
     * The chunk explode feeds three consumers (dup aggregation, anti-join
-    * probe, per-doc totals) and is deliberately RECOMPUTED rather than
-    * cached: it is map-only work off the scan, and at 100 TB persisting a
-    * corpus-scale exploded table costs far more memory/disk than three
-    * codegen'd map passes — the opposite trade from the minhash gram
-    * table (TextSim.gramTable), whose distinct() already paid a shuffle
-    * worth keeping.
+    * probe, per-doc totals). Since r17 it is PINNED, not recomputed: the
+    * scan-count audit showed the three recomputations each re-read
+    * documents (3 parquet scans), and under driver-host contention the
+    * extra jobs dominate the cache's materialization cost. The pin is
+    * O(corpus tokens) — unlike the other pin sites, which are bounded
+    * (vocabulary/user/1-row domains) — so the trade is explicit:
+    * MEMORY_AND_DISK (pinOnce's default) spills chunk batches to local
+    * disk instead of failing, the pinned projection is already the
+    * minimal 3 columns every consumer needs (doc_id, ci, chunk — chunk
+    * itself IS the payload, so no narrower pin exists), and a 100 TB
+    * deployment that would rather pay 3 map-only scans than a
+    * corpus-sized spill simply drops the pinOnce wrapper — the plan is
+    * correct either way; only the scan count changes (PlansSpec pins the
+    * cached shape at 1).
     */
   private val dedupStrip = Q("dedup_strip",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -449,7 +457,7 @@ object Corpus {
         expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as decimal(38,0))").as("den"),
         expr(graft.functions.ExactRatio.safeAbs(graft.functions.ExactRatio.SparkF,
           "cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))")).as("sl_a"))
-    ExactRatio.applySpark(base,
+    ExactRatio.applySparkDomain(base,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "sl_a", "den", "sl_e6"))
       .select(col("n"),
         expr(ExactRatio.modDigest(ExactRatio.SparkF, "num")).as("num_m9"),

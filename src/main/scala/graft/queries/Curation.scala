@@ -605,7 +605,11 @@ object Curation {
       .groupBy("prev", "n_next", "tot")
       .agg(sum(expr("cast(n as decimal(19,0)) * lp_e6")).as("slp"))
       .select(col("prev"), col("n_next"), col("tot"),
-        expr("cast((-cast(slp as decimal(38,0))) div cast(tot as decimal(38,0)) as bigint)")
+        // negation spelled 0 − x, never unary minus: Spark's columnar
+        // decimal negate rounds to 34 significant digits (the safeAbs
+        // contract) — unreachable at |slp| ≤ 34 digits, enforced anyway
+        expr("cast((cast(0 as decimal(38,0)) - cast(slp as decimal(38,0)))" +
+          " div cast(tot as decimal(38,0)) as bigint)")
           .as("h_e6"))
       .orderBy("prev")
   }
@@ -790,7 +794,7 @@ object Curation {
         expr("cast(cast(n as decimal(38,0)) * sxx - sx * sx as decimal(38,0))").as("den"),
         expr(graft.functions.ExactRatio.safeAbs(graft.functions.ExactRatio.SparkF,
           "cast(cast(n as decimal(38,0)) * sxy - sx * sy as decimal(38,0))")).as("sl_a"))
-    ExactRatio.applySpark(base,
+    ExactRatio.applySparkDomain(base,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "sl_a", "den", "sl_e6"))
       .select(col("n"),
         expr(ExactRatio.modDigest(ExactRatio.SparkF, "num")).as("num_m9"),

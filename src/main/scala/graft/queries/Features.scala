@@ -397,9 +397,13 @@ object Features {
 
   /** Shared basket builder for [[basketPairs]] / [[basketLift]]: per-order
     * sorted distinct part-type arrays (head noun of p_name; part dim
-    * broadcast). The returned frame is plan-cached via ensureCached —
-    * basket_lift consumes it from three subtrees; the caller contract is
-    * the usual graft.Caching one (harness clearCache retires it).
+    * broadcast). Pinned via pinOnce (r18, VERDICT r17 item 4): basket_lift
+    * consumes it from three subtrees, and the lazy ensureCached form let
+    * those consumers race to populate the cache at sink time — measured 16
+    * run jobs, the contention-amplification exposure the r17 action-count
+    * forensic identified. Materializing the pin up front is one job and
+    * every consumer stage then reads the built cache. The caller contract
+    * is the usual graft.Caching one (harness clearCache retires it).
     */
   private def baskets(s: SparkSession, d: String): DataFrame = {
     val b = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -408,7 +412,7 @@ object Features {
         col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
       .agg(expr("array_sort(array_distinct(collect_list(typ)))").as("ts"))
-    graft.Caching.ensureCached(b)
+    graft.Caching.pinOnce(b)
   }
 
   /** The pair-explosion expression both basket ops share. The outer
@@ -797,13 +801,17 @@ object Features {
     * presentation only, and the pair must share ≥ 2 rare parts (one
     * shared singleton part trivially scores 1.0).
     *
-    * Scale shape: the ONLY pair-forming step is the equi-join on the
-    * df-capped part key — fan-out ≤ df²/2 ≤ 190 per part, linear in
-    * parts, never all-pairs over customers (the dedup_fuzzy band-join
-    * discipline). Everything else is combinable aggregates plus two
-    * norm joins on the pair table. Int64 bound: norm² ≤ (idfmax_e5 ·
-    * Σtf)² — holds to idfmax·L ≈ 3×10⁹ weight-mass per customer; past
-    * that the two sums move to DECIMAL(38,0) without changing shape.
+    * Scale shape: the ONLY pair-forming step is a per-part
+    * collect_list + map-side pair explode over the df-capped part key —
+    * list ≤ 20 entries, fan-out ≤ df²/2 ≤ 190 per part, linear in
+    * parts, never all-pairs over customers (the dedup_fuzzy /
+    * basket_pairs discipline; r18 — this replaced a w⋈w self-join with
+    * identical fan-out, because the join consumed the weight frame twice
+    * and forced a second corpus-scale pinOnce). Everything else is
+    * combinable aggregates; the norms ride the pair structs. Int64
+    * bound: norm² ≤ (idfmax_e5 · Σtf)² — holds to idfmax·L ≈ 3×10⁹
+    * weight-mass per customer; past that the two sums move to
+    * DECIMAL(38,0) without changing shape.
     */
   private val simSparseCosine = Q("sim_sparse_cosine",
     s"""WITH cp AS (SELECT o.o_custkey AS c, l.l_partkey AS p,
@@ -852,16 +860,33 @@ object Features {
     // are partitioned (by p, then by c) on the df-capped frame, and the
     // n2 sum is an exact order-free BIGINT — identical values to the
     // aggregate-and-join form by construction.
-    val w = graft.Caching.pinOnce(cp
+    val w = cp
       .withColumn("df", count(lit(1)).over(Window.partitionBy("p")))
       .filter(col("df").between(2, 20))
       .crossJoin(broadcast(nc))
       .select(col("c"), col("p"), expr(
         "cast(tf * cast(floor(ln((cast(n as double) + 1.0d) / (cast(df as double) + 1.0d))" +
           " * 100000.0d + 0.5d) as bigint) as bigint)").as("w"))
-      .withColumn("n2", sum(expr("w * w")).over(Window.partitionBy("c"))))
-    val pr = w.toDF("ca", "pa", "wa", "na")
-      .join(w.toDF("cb", "pb", "wb", "nb"), expr("pb = pa AND ca < cb"))
+      .withColumn("n2", sum(expr("w * w")).over(Window.partitionBy("c")))
+    // pairs per part via collect_list + map-side explode, NOT a self-join
+    // (r18, VERDICT r17 item 3): the self-join consumed w TWICE, which
+    // forced a second pinOnce materialization of the whole weight frame;
+    // this form consumes w once, so the pin disappears. The per-part list
+    // is bounded by the df cap (≤ 20 entries, ≤ 190 exploded pairs) — the
+    // identical fan-out the equi-join had, same basket_pairs discipline.
+    // sort_array orders each list by c (distinct within a part), so i < j
+    // enumerates exactly the a.c < b.c pairs; wa/n2a ride the structs.
+    val pairExpr =
+      """flatten(transform(sequence(1, size(l) - 1),
+        |  i -> transform(sequence(i + 1, size(l)),
+        |    j -> struct(element_at(l, i) as a, element_at(l, j) as b))))""".stripMargin
+    val pr = w.groupBy("p")
+      .agg(expr("sort_array(collect_list(struct(c, w, n2)))").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(pairExpr)).as("q"))
+      .select(col("q.a.c").as("ca"), col("q.b.c").as("cb"),
+        col("q.a.w").as("wa"), col("q.b.w").as("wb"),
+        col("q.a.n2").as("na"), col("q.b.n2").as("nb"))
       .groupBy("ca", "cb")
       .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"),
         max("na").as("na"), max("nb").as("nb"))

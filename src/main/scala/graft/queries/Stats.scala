@@ -1285,16 +1285,36 @@ object Stats {
       lit(2) * sum("c").over(o.rangeBetween(Window.unboundedPreceding, Window.currentRow)) -
         sum("c").over(o.rangeBetween(Window.currentRow, Window.currentRow)) + 1
     }
-    // the leading decimal cast keeps the whole product chain in
-    // DECIMAL(38,0): c·r2x·r2y reaches 4n³, which exceeds int64 near
-    // ~1.3M rows per flag — exact at any group size this way (ADVICE r14)
+    // Moment sums, size-guarded (r18): every per-row product c·r2x·r2y is
+    // bounded by 4n³ (c ≤ n, doubled ranks ≤ 2n), and so is each whole
+    // per-flag SUM (Σc·max²). With n the per-flag row count (an unordered
+    // window sharing the rank windows' exchange), a group with
+    // n ≤ 1,000,000 has 4n³ = 4·10¹⁸ < 2⁶³−1 — the ENTIRE moment fits
+    // int64, so the fast branch multiplies and sums codegen'd longs,
+    // provably exact. Bigger groups take the DECIMAL(38,0)
+    // cast-before-multiply branch (exact at any size, ADVICE r14); the
+    // branch is per-flag constant, so each group sums entirely on one
+    // side and the other side contributes 0/NULL. Values are identical
+    // by construction; only the arithmetic engine changes.
     val r = jd.withColumn("r2x", rank2("x")).withColumn("r2y", rank2("y"))
+      .withColumn("nf", sum("c").over(Window.partitionBy("flag")))
+    def guarded(name: String, factors: String*) = {
+      val prodL = ("c" +: factors).mkString(" * ")
+      val prodD = ("cast(c as decimal(38,0))" +: factors).mkString(" * ")
+      Seq(
+        sum(expr(s"case when nf <= 1000000 then $prodL else 0L end"))
+          .as(s"${name}_l"),
+        sum(expr(s"case when nf > 1000000 then $prodD end")).as(s"${name}_d"))
+    }
+    def merged(name: String) = expr(
+      s"cast(${name}_l as decimal(38,0)) + coalesce(${name}_d, cast(0 as decimal(38,0)))")
+      .as(name)
     val m = r.groupBy("flag").agg(sum("c").as("n"),
-      sum(expr("cast(c as decimal(38,0)) * r2x")).as("sx"),
-      sum(expr("cast(c as decimal(38,0)) * r2y")).as("sy"),
-      sum(expr("cast(c as decimal(38,0)) * r2x * r2y")).as("sxy"),
-      sum(expr("cast(c as decimal(38,0)) * r2x * r2x")).as("sxx"),
-      sum(expr("cast(c as decimal(38,0)) * r2y * r2y")).as("syy"))
+        (guarded("sx", "r2x") ++ guarded("sy", "r2y") ++
+          guarded("sxy", "r2x", "r2y") ++ guarded("sxx", "r2x", "r2x") ++
+          guarded("syy", "r2y", "r2y")): _*)
+      .select(col("flag"), col("n"), merged("sx"), merged("sy"),
+        merged("sxy"), merged("sxx"), merged("syy"))
     def term(q: String, a: String, b2: String) =
       s"cast(n as decimal(38,0)) * $q - $a * $b2"
     // a zero variance term means every value in the group is identical —
@@ -1307,7 +1327,7 @@ object Stats {
         expr(s"cast(${term("sxx", "sx", "sx")} as decimal(38,0))").as("vxx"),
         expr(s"cast(${term("syy", "sy", "sy")} as decimal(38,0))").as("vyy"))
     import graft.functions.ExactRatio
-    ExactRatio.applySpark(filtered,
+    ExactRatio.applySparkDomain(filtered,
         ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "rho2_e6"))
       .withColumn("rho_sign", expr(ExactRatio.signInt("cov_n2")))
       .withColumn("cov_m9", expr(ExactRatio.modDigest(ExactRatio.SparkF, "cov_n2")))
@@ -1383,7 +1403,7 @@ object Stats {
         expr(s"cast(${term("sxx", "sx", "sx")} as decimal(38,0))").as("vxx"),
         expr(s"cast(${term("syy", "sy", "sy")} as decimal(38,0))").as("vyy"))
     import graft.functions.ExactRatio
-    ExactRatio.applySpark(filtered,
+    ExactRatio.applySparkDomain(filtered,
         ExactRatio.r2e6Stages(ExactRatio.SparkF, "cov_n2", "vxx", "vyy", "ac12_e6"))
       .withColumn("ac1_sign", expr(ExactRatio.signInt("cov_n2")))
       .withColumn("cov_m9", expr(ExactRatio.modDigest(ExactRatio.SparkF, "cov_n2")))
@@ -1551,7 +1571,7 @@ object Stats {
         expr("cast(sst_n as decimal(38,0))").as("eb"))
       .transform { base =>
         import graft.functions.ExactRatio
-        ExactRatio.applySpark(base,
+        ExactRatio.applySparkDomain(base,
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "fa", "fb", "f_e6") ++
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "ea", "eb", "eta2_e6"))
       }
@@ -1747,7 +1767,7 @@ object Stats {
       .withColumn("ua", expr(graft.functions.ExactRatio.safeAbs(
         graft.functions.ExactRatio.SparkF, "cast(smi as decimal(38,0))")))
       .withColumn("ub", expr("greatest(cast(hnv as decimal(38,0)), cast(1 as decimal(38,0)))"))
-    ExactRatio.applySpark(base,
+    ExactRatio.applySparkDomain(base,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "ua", "ub", "u0_e6"))
       .select(col("n"), col("n_seg"), col("n_nat"),
         expr(ExactRatio.modDigest(ExactRatio.SparkF, "smi")).as("smi_m9"),
@@ -1895,7 +1915,7 @@ object Stats {
         expr("cast(2 as decimal(38,0)) * n1 * n2" +
           " * (2 * n1 * n2 - (n1 + n2))").as("zd"))
     import graft.functions.ExactRatio
-    ExactRatio.applySpark(base,
+    ExactRatio.applySparkDomain(base,
         // zn = za² · (n−1) ≥ 0 by construction, but Spark's bare decimal
         // abs is the lossy decimal128 negate path on negatives (r17,
         // ExactRatio.safeAbs) — route through the safe form for defense
@@ -1956,7 +1976,7 @@ object Stats {
         expr(s"(cast(1000000 as decimal(38,0)) * n_d - cast(n as decimal(38,0)) * $be6)" +
           s" * (cast(1000000 as decimal(38,0)) * n_d - cast(n as decimal(38,0)) * $be6)").as("nc"),
         expr(s"cast(1000000 as decimal(38,0)) * n * $be6").as("dc"))
-    ExactRatio.applySpark(w,
+    ExactRatio.applySparkDomain(w,
         ExactRatio.ratE6Stages(ExactRatio.SparkF, "nc", "dc", "c_e6"))
       .agg(max("n").as("n"), count(lit(1)).as("n_digits"),
         sum("c_e6").as("chi2_e6"))
@@ -2197,7 +2217,7 @@ object Stats {
         expr("cast(sst_n as decimal(38,0))").as("eb"))
       .transform { base =>
         import graft.functions.ExactRatio
-        ExactRatio.applySpark(base,
+        ExactRatio.applySparkDomain(base,
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "fa", "fb", "f_e6") ++
           ExactRatio.ratE6Stages(ExactRatio.SparkF, "ea", "eb", "eta2_e6"))
       }
@@ -2315,7 +2335,7 @@ object Stats {
       .withColumn("dyp", expr("greatest(n_pairs - tie_y, 1)"))
       .transform { base =>
         import graft.functions.ExactRatio
-        ExactRatio.applySpark(base,
+        ExactRatio.applySparkDomain(base,
           ExactRatio.r2e6Stages(ExactRatio.SparkF, "tnum", "dxp", "dyp", "tau2_e6"))
       }
       .select(col("n_groups"), col("n_pairs"), col("nc"), col("nd"),

@@ -101,23 +101,92 @@ class LadderSpec extends AnyFunSuite {
     }
   }
 
-  test("no bare abs() over a decimal cast in any Spark-side query source") {
-    // the r17 hazard this spec's property test found: Spark's columnar
-    // decimal negate/abs rounds to 34 significant digits, so every
-    // big-integer absolute value must go through ExactRatio.safeAbs.
-    // This source lint keeps the rule from regressing (DuckDB-side
-    // abs(... AS HUGEINT) in oracle SQL strings is exact and allowed —
-    // the pattern below only matches Spark decimal casts).
-    val banned = "abs\\s*\\(\\s*cast\\s*\\([^()]*as\\s+decimal".r
+  // --- source lint for the r17 hazard this spec's property test found:
+  // Spark's columnar decimal negate/abs rounds to 34 significant digits,
+  // so every big-integer absolute value must go through
+  // ExactRatio.safeAbs and every negation must be spelled `0 - x`.
+  // ADVICE r17: the original single-line regex could not cross nested
+  // parens (missing exactly the fixed bug's shape,
+  // `abs(cast(cast(n as decimal(38,0)) * sxy - ... as decimal(38,0)))`)
+  // and did not cover unary minus at all. This scan is paren-aware over
+  // the WHOLE file text with Scala string seams dissolved first, so
+  // expressions split across concatenated/stripMargin lines still match.
+  // DuckDB-side abs(... AS HUGEINT) in oracle SQL strings is exact and
+  // allowed — only spans containing a decimal cast are flagged.
+
+  /** File text with Scala string-literal seams removed so SQL split
+    * across `" +" `/stripMargin lines scans as one expression:
+    * `"..." + "..."` joins, and `\n  |` margin markers drop. */
+  private def joinedSource(f: java.io.File): String = {
+    val raw = scala.io.Source.fromFile(f, "UTF-8").mkString
+    raw.replaceAll("\"\\s*\\+\\s*\\n?\\s*s?\"", "")
+      .replaceAll("\\n\\s*\\|", " ")
+      .toLowerCase
+  }
+
+  /** Balanced-paren span starting at the '(' at `open`; runs to end of
+    * text if unbalanced (a string-literal paren) — overly broad beats
+    * silently short. */
+  private def parenSpan(t: String, open: Int): String = {
+    var depth = 0; var i = open
+    while (i < t.length) {
+      t.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return t.substring(open + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    t.substring(open + 1)
+  }
+
+  private def prevNonSpace(t: String, i: Int): Char = {
+    var j = i - 1
+    while (j >= 0 && t.charAt(j).isWhitespace) j -= 1
+    if (j >= 0) t.charAt(j) else ' '
+  }
+
+  private val lintFiles: Seq[java.io.File] = for {
+    dir <- Seq("src/main/scala/graft/queries", "src/main/scala/graft/functions",
+      "src/main/scala/graft/operators")
+    f <- new java.io.File(dir).listFiles.toSeq if f.getName.endsWith(".scala")
+  } yield f
+
+  private val decimalCast = "as\\s+decimal".r
+
+  test("no abs() over a decimal cast in any Spark-side query source") {
+    val callRe = "abs\\s*\\(".r
     val offenders = for {
-      dir <- Seq("src/main/scala/graft/queries", "src/main/scala/graft/functions",
-        "src/main/scala/graft/operators")
-      f <- new java.io.File(dir).listFiles.toSeq if f.getName.endsWith(".scala")
-      line <- scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex
-      if banned.findFirstIn(line._1.toLowerCase).isDefined
-    } yield s"${f.getName}:${line._2 + 1}: ${line._1.trim.take(80)}"
+      f <- lintFiles
+      t = joinedSource(f)
+      m <- callRe.findAllMatchIn(t)
+      // exclude identifiers ending in abs (safeabs) and method calls (.abs)
+      if m.start == 0 || !(t.charAt(m.start - 1).isLetterOrDigit ||
+        t.charAt(m.start - 1) == '_' || t.charAt(m.start - 1) == '.')
+      span = parenSpan(t, m.end - 1)
+      if decimalCast.findFirstIn(span).isDefined
+    } yield s"${f.getName}@${m.start}: abs(${span.take(70)}…)"
     assert(offenders.isEmpty,
-      s"bare abs() over a Spark decimal cast (use ExactRatio.safeAbs):\n${offenders.mkString("\n")}")
+      s"abs() over a Spark decimal cast (use ExactRatio.safeAbs):\n${offenders.mkString("\n")}")
+  }
+
+  test("no unary minus on a decimal cast in any Spark-side query source") {
+    // negate has the same 34-digit loss as abs; spell it `0 - x` (binary
+    // subtraction is exact at all 38 digits). A minus whose left-hand
+    // neighbor is a value (identifier/digit/close-paren/quote-end) is
+    // binary and allowed; after '(', ',', '"', or an operator it is unary.
+    val minusCast = "-\\s*cast\\s*\\(".r
+    val offenders = for {
+      f <- lintFiles
+      t = joinedSource(f)
+      m <- minusCast.findAllMatchIn(t)
+      p = prevNonSpace(t, m.start)
+      if !(p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '\'')
+      span = parenSpan(t, t.indexOf('(', m.start))
+      if decimalCast.findFirstIn(span).isDefined
+    } yield s"${f.getName}@${m.start}: ${p}-cast(${span.take(60)}…)"
+    assert(offenders.isEmpty,
+      s"unary minus on a Spark decimal cast (spell it `0 - x`):\n${offenders.mkString("\n")}")
   }
 
   test("modDigest == BigInt replica for signed decimal inputs") {

@@ -31,6 +31,14 @@ class MarginSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     .map("/root/testdata/" + _)
     .filter(p => new java.io.File(p).isDirectory)
 
+  // ADVICE r17: with zero fixture dirs every gate below would silently
+  // register zero tests and the suite would pass unaudited — fail loudly
+  // instead of vacuously.
+  test("margin audit fixtures present") {
+    assert(sfs.nonEmpty,
+      "no /root/testdata/sf* fixture dir found — every snap-margin gate would be vacuous")
+  }
+
   private def testAllSfs(name: String)(body: String => Unit): Unit =
     sfs.foreach { dir =>
       test(s"$name [${dir.split('/').last}]") { body(dir) }
