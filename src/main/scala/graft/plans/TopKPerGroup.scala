@@ -17,16 +17,28 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * interchangeable, so the output multiset is deterministic).
   *
   * Why a custom operator: Spark expresses top-k-per-group as
-  * `row_number() OVER (PARTITION BY g ORDER BY o) <= k`, whose physical
-  * plan shuffles EVERY row of the input to the group's reducer and sorts
-  * each partition before discarding all but k rows per group. The
-  * aggregate-style shape here — a map-side partial bounded heap (at most
-  * k rows per (partition, group) survive), an exchange that therefore
-  * carries ≤ k·|partitions| rows per group instead of all of them, and a
-  * final merge heap — is exactly what partial aggregation does for sums
-  * and is the shape that survives a 100 TB fact table with a hot group.
-  * Heaps never exceed k entries per group per task, so memory is
-  * O(k·groups-per-task), independent of input size.
+  * `row_number() OVER (PARTITION BY g ORDER BY o) <= k`; historically
+  * that physical plan shuffled EVERY row of the input to the group's
+  * reducer and sorted each partition before discarding all but k rows
+  * per group. The aggregate-style shape here — a map-side partial
+  * bounded heap (at most k rows per (partition, group) survive), an
+  * exchange that therefore carries ≤ k·|partitions| rows per group
+  * instead of all of them, and a final merge heap — is exactly what
+  * partial aggregation does for sums and is the shape that survives a
+  * 100 TB fact table with a hot group. Heaps never exceed k entries per
+  * group per task, so memory is O(k·groups-per-task), independent of
+  * input size.
+  *
+  * Honest status on THIS Spark (4.x): the stock optimizer's
+  * `WindowGroupLimit` rank-limit pushdown now produces the same
+  * map-side bound for the row_number form — measured head-to-head at
+  * 50M rows / 100k groups / k=3 (tools/topkbench.scala, BASELINE r18):
+  * both plans shuffle exactly 9.6M records (= partitions × groups × k)
+  * and the codegen'd stock plan is ~1.4× faster than this RDD-based
+  * exec (2.75 vs 3.75 s), with exceptAll-verified identical output.
+  * The operator (and the TopKRewrite rule) stays as the extension-path
+  * exemplar and the fallback for engines/shapes without the pushdown;
+  * production keys should — and do — use the window form.
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
