@@ -803,12 +803,13 @@ object Features {
     *
     * Scale shape: the ONLY pair-forming step is a per-part
     * collect_list + map-side pair explode over the df-capped part key —
-    * list ≤ 20 entries, fan-out ≤ df²/2 ≤ 190 per part, linear in
-    * parts, never all-pairs over customers (the dedup_fuzzy /
-    * basket_pairs discipline; r18 — this replaced a w⋈w self-join with
-    * identical fan-out, because the join consumed the weight frame twice
-    * and forced a second corpus-scale pinOnce). Everything else is
-    * combinable aggregates; the norms ride the pair structs. Int64
+    * list ≤ 20 entries, fan-out ≤ df(df+1)/2 ≤ 210 per part (i ≤ j:
+    * the diagonal self-pairs carry the norms), linear in parts, never
+    * all-pairs over customers (the dedup_fuzzy / basket_pairs
+    * discipline; r18 replaced a w⋈w self-join, r19 folded the df cap
+    * into the same groupBy and moved the norm windows onto the
+    * aggregated pair frame). Everything else is combinable aggregates;
+    * the norms ride the diagonal of the pair aggregate. Int64
     * bound: norm² ≤ (idfmax_e5 · Σtf)² — holds to idfmax·L ≈ 3×10⁹
     * weight-mass per customer; past that the two sums move to
     * DECIMAL(38,0) without changing shape.
@@ -841,58 +842,73 @@ object Features {
         graft.functions.ExactRatio.r2e6Stages(graft.functions.ExactRatio.DuckF,
           "dot_e10", "norm2_a", "norm2_b", "cos2_e6"))} q
        |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
-    // pin the (c, p, tf) purchase table FIRST: nc and the weight
-    // projection both derive from it, and unpinned each would re-run the
-    // lineitem⋈orders join (measured: recompute = extra fact scans at
-    // materialization time)
-    val cp = graft.Caching.pinOnce(
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          expr("o_orderkey = l_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .agg(count(lit(1)).as("tf")))
+    // the (c, p, tf) purchase table is NOT pinned (r19): its only heavy
+    // consumer is the single groupBy(p) chain below; the other consumer,
+    // nc, is a 1-row countDistinct that Spark executes as an independent
+    // broadcast subtree CONCURRENTLY with the main scan. The r16-era pin
+    // predates that single-consumer shape (three window/join consumers
+    // then). Measured r19 A/B at sf0.1 idle: pinned 2.56 s vs unpinned
+    // 1.86 s — the persist+count+cache-write of the corpus-scale frame
+    // cost more than nc's duplicated 2-column scan. At 100 TB the trade
+    // is even more lopsided: the pin would materialize a customer×part
+    // cache (the pinOnce-spill class VERDICT r18 item 3 flags), while
+    // the nc subtree is a combinable partial countDistinct that never
+    // holds state beyond its aggregation buffers.
+    def cp = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        expr("o_orderkey = l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("tf"))
     val nc = cp.agg(countDistinct("c").as("n"))
-    // df and the customer norm are WINDOW columns over the weight frame
-    // (r16 verdict item 1: the old separate dfs/nrm aggregates made the
-    // frame a 3-consumer cache and put two extra joins on the pair
-    // table; the window forms ride the same pinned materialization, so
-    // the final action is join-only — 3.73 s → 2.78 s idle). Both windows
-    // are partitioned (by p, then by c) on the df-capped frame, and the
-    // n2 sum is an exact order-free BIGINT — identical values to the
-    // aggregate-and-join form by construction.
-    val w = cp
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("p")))
-      .filter(col("df").between(2, 20))
+    // r19 (VERDICT r18 item 1, the last weak key): the r18 shape ran a
+    // p→c→p shuffle ladder after a pinned cp (df window by part, n2
+    // window by customer, THEN groupBy(p) for pair lists) — the c-window
+    // between the two p-shuffles blocked exchange reuse and moved the
+    // whole weight frame three times. This form moves it ONCE: a single
+    // groupBy(p) collect_list both applies the df cap (df = size(l) — cp
+    // has one row per (c,p), so the list length IS the distinct-customer
+    // count the oracle's dfs CTE computes) and forms the pair lists; the
+    // idf weight is computed inline on the bounded lists. Norms need no
+    // extra pass over the weight frame at all: the pair explode emits
+    // SELF-pairs (i ≤ j, not i < j), so the groupBy(ca,cb) diagonal rows
+    // carry num = Σ_p w² = the customer's exact n2 — and na/nb are two
+    // windows over the SMALL aggregated pair frame (diag row (a,a) lives
+    // in both partition ca=a and partition cb=a), not over the corpus.
+    // Net: one consumer chain, no pin at all, two fewer full-frame
+    // shuffles. Measured idle (sf0.1): r18 2.32 s → 1.86 s. Fan-out per
+    // part stays ≤ df(df+1)/2 ≤ 210 (diag adds ≤ 20) — the basket_pairs
+    // discipline, never all-pairs over customers. sort_array orders each
+    // (c, tf) list by c (distinct within a part), so i < j enumerates
+    // exactly the a.c < b.c pairs.
+    val parts = cp.groupBy("p")
+      .agg(expr("sort_array(collect_list(struct(c, tf)))").as("l"))
+      .filter(size(col("l")).between(2, 20))
       .crossJoin(broadcast(nc))
-      .select(col("c"), col("p"), expr(
-        "cast(tf * cast(floor(ln((cast(n as double) + 1.0d) / (cast(df as double) + 1.0d))" +
-          " * 100000.0d + 0.5d) as bigint) as bigint)").as("w"))
-      .withColumn("n2", sum(expr("w * w")).over(Window.partitionBy("c")))
-    // pairs per part via collect_list + map-side explode, NOT a self-join
-    // (r18, VERDICT r17 item 3): the self-join consumed w TWICE, which
-    // forced a second pinOnce materialization of the whole weight frame;
-    // this form consumes w once, so the pin disappears. The per-part list
-    // is bounded by the df cap (≤ 20 entries, ≤ 190 exploded pairs) — the
-    // identical fan-out the equi-join had, same basket_pairs discipline.
-    // sort_array orders each list by c (distinct within a part), so i < j
-    // enumerates exactly the a.c < b.c pairs; wa/n2a ride the structs.
+      .withColumn("idf", expr(
+        "cast(floor(ln((cast(n as double) + 1.0d) / (cast(size(l) as double) + 1.0d))" +
+          " * 100000.0d + 0.5d) as bigint)"))
+      .select(expr(
+        "transform(l, e -> struct(e.c as c, cast(e.tf * idf as bigint) as w))").as("lw"))
     val pairExpr =
-      """flatten(transform(sequence(1, size(l) - 1),
-        |  i -> transform(sequence(i + 1, size(l)),
-        |    j -> struct(element_at(l, i) as a, element_at(l, j) as b))))""".stripMargin
-    val pr = w.groupBy("p")
-      .agg(expr("sort_array(collect_list(struct(c, w, n2)))").as("l"))
-      .filter(size(col("l")) >= 2)
+      """flatten(transform(sequence(1, size(lw)),
+        |  i -> transform(sequence(i, size(lw)),
+        |    j -> struct(element_at(lw, i) as a, element_at(lw, j) as b))))""".stripMargin
+    val pg = parts
       .select(explode(expr(pairExpr)).as("q"))
       .select(col("q.a.c").as("ca"), col("q.b.c").as("cb"),
-        col("q.a.w").as("wa"), col("q.b.w").as("wb"),
-        col("q.a.n2").as("na"), col("q.b.n2").as("nb"))
+        col("q.a.w").as("wa"), col("q.b.w").as("wb"))
       .groupBy("ca", "cb")
-      .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"),
-        max("na").as("na"), max("nb").as("nb"))
+      .agg(count(lit(1)).as("nsh"), sum(expr("wa * wb")).as("num"))
+    // a customer in any surviving pair always has a diagonal row (it has
+    // ≥ 1 rare part by construction), so max(when(diag)) is never null on
+    // an emitted pair; the na > 0 guard also absorbs the null in theory
+    val diagN2 = max(when(col("ca") === col("cb"), col("num")))
+    val withNorms = pg
+      .withColumn("na", diagN2.over(Window.partitionBy("ca")))
+      .withColumn("nb", diagN2.over(Window.partitionBy("cb")))
     import graft.functions.ExactRatio
-    val base = pr
-      .filter(expr("nsh >= 2 AND na > 0 AND nb > 0" +
+    val base = withNorms
+      .filter(expr("ca < cb AND nsh >= 2 AND na > 0 AND nb > 0" +
         " AND 4 * (cast(num as decimal(38,0)) * num) >= cast(na as decimal(38,0)) * nb"))
       .select(col("ca").as("cust_a"), col("cb").as("cust_b"),
         col("nsh").as("n_shared"), col("num").as("dot_e10"),

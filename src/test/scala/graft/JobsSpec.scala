@@ -36,7 +36,10 @@ class JobsSpec extends AnyFunSuite {
   private val expected: Map[String, (Int, Int)] = Map(
     "stats_spearman" -> (0, 4),
     "outlier_mad" -> (0, 5),
-    "sim_sparse_cosine" -> (5, 10),
+    // r19 re-audit: pin dropped + df/n2 windows folded into the pair
+    // aggregate's diagonal — build jobs 5 -> 0 (no pinOnce count), run
+    // 10 -> 12, total 15 -> 12
+    "sim_sparse_cosine" -> (0, 12),
     "basket_lift" -> (5, 10),
     "kmeans_iter" -> (17, 5),
     "span_attribution" -> (4, 11),
@@ -63,10 +66,18 @@ class JobsSpec extends AnyFunSuite {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         counter.incrementAndGet()
     }
+    // ADVICE r18 (ShuffleSpec twin): require two consecutive 200 ms
+    // agreements so a >50 ms listener-bus stall can't mis-attribute
+    // build-phase events to the run phase
     def settled(): Int = {
+      var agree = 0
       var prev = -1
       var cur = counter.get()
-      while (cur != prev) { Thread.sleep(50); prev = cur; cur = counter.get() }
+      while (agree < 2) {
+        Thread.sleep(200)
+        prev = cur; cur = counter.get()
+        agree = if (cur == prev) agree + 1 else 0
+      }
       cur
     }
     def sink(k: String): Unit = SparkEntry.queries(k)(s, d)

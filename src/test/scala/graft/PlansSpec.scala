@@ -652,7 +652,11 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "set_union_distinct" -> 2,
     "sim_cosine_topk" -> 2,
     "sim_signbit_hamming" -> 2,
-    "sim_sparse_cosine" -> 2,
+    // r19: 2 -> 4 by design, not regression — the cp pin was dropped
+    // (unpinned measured 1.86 s vs 2.56 s pinned at sf0.1 idle), so the
+    // 1-row nc countDistinct subtree scans lineitem+orders again as a
+    // concurrent broadcast branch instead of reading a corpus-scale cache
+    "sim_sparse_cosine" -> 4,
     "skew_profile" -> 0,
     "sort_multi" -> 1,
     "source_overlap" -> 1,
