@@ -189,6 +189,71 @@ class LadderSpec extends AnyFunSuite {
       s"unary minus on a Spark decimal cast (spell it `0 - x`):\n${offenders.mkString("\n")}")
   }
 
+  /** VERDICT r18 item 2: applySparkDomain is repartition(1) — safe only
+    * on bounded group-domain frames. Three-way armor: the audited
+    * call-site census (a NEW caller goes red here and must be audited),
+    * the armed guard rejecting a data-sized frame, and every production
+    * caller running green under the armed guard.
+    */
+  test("applySparkDomain call-site census matches the audited bounded-domain set") {
+    val callRe = "applysparkdomain\\s*\\(".r // joinedSource lowercases
+    val audited = Map(
+      // stats_corr_matrix (+ spearman's rank reuse) — k·(k+1)/2 column pairs
+      "CorrMatrix.scala" -> 1,
+      // text_zipf — bounded rank-bucket domain
+      "Curation.scala" -> 1,
+      // stats_spearman, events_autocorr, stats_anova, stats_theil_u,
+      // stats_runs_test, stats_benford_chisq, stats_levene,
+      // stats_kendall_tau — per-flag / per-lag / per-group moment tables
+      "Stats.scala" -> 8,
+      // corpus_heaps — per-decile-prefix vocab curve (bounded bucket count)
+      "Corpus.scala" -> 1)
+    val counts = (for {
+      f <- lintFiles if f.getName != "ExactRatio.scala" // the definition
+      n = callRe.findAllMatchIn(joinedSource(f)).size if n > 0
+    } yield f.getName -> n).toMap
+    assert(counts == audited,
+      s"applySparkDomain call sites drifted vs the audited census " +
+        s"(got $counts, audited $audited): every caller must feed a " +
+        "BOUNDED group-domain frame - audit the new site's input shape, " +
+        "prove the bound, and record it here")
+  }
+
+  test("armed domain guard rejects a data-sized input") {
+    s.conf.set(ExactRatio.DomainGuardConf, "true")
+    try {
+      val big = s.range(ExactRatio.DomainRowBound + 1L)
+        .selectExpr("cast(id + 1 as decimal(38,0)) as a",
+          "cast(id + 2 as decimal(38,0)) as b")
+      val e = intercept[IllegalArgumentException] {
+        ExactRatio.applySparkDomain(big,
+          ExactRatio.ratE6Stages(ExactRatio.SparkF, "a", "b", "r_e6"))
+      }
+      assert(e.getMessage.contains("serialize"), e.getMessage)
+      // at the bound itself it must still pass (two-sided: the guard is
+      // a ceiling, not a misfire on legitimate large-ish domains)
+      ExactRatio.applySparkDomain(
+        s.range(ExactRatio.DomainRowBound.toLong)
+          .selectExpr("cast(id + 1 as decimal(38,0)) as a",
+            "cast(id + 2 as decimal(38,0)) as b"),
+        ExactRatio.ratE6Stages(ExactRatio.SparkF, "a", "b", "r_e6"))
+        .write.format("noop").mode("overwrite").save()
+    } finally s.conf.unset(ExactRatio.DomainGuardConf)
+  }
+
+  test("every production applySparkDomain caller is bounded under the armed guard") {
+    val callers = Seq("stats_corr_matrix", "text_zipf", "stats_spearman",
+      "events_autocorr", "stats_anova", "stats_theil_u", "stats_runs_test",
+      "stats_benford_chisq", "stats_levene", "stats_kendall_tau",
+      "corpus_heaps")
+    s.conf.set(ExactRatio.DomainGuardConf, "true")
+    try callers.foreach { k =>
+      SparkEntry.queries(k)(s, TestSpark.sf)
+        .write.format("noop").mode("overwrite").save()
+      s.catalog.clearCache()
+    } finally s.conf.unset(ExactRatio.DomainGuardConf)
+  }
+
   test("modDigest == BigInt replica for signed decimal inputs") {
     val samples = (1 to 100).map { i =>
       val v = randDigits(1 + rnd.nextInt(37))
