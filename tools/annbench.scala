@@ -2,7 +2,9 @@
 // keys) measured at 200k vectors — 100× the bench fixture's embedding
 // table. The claim under test: brute-force exact search reads the whole
 // float corpus per query batch, while the IVF-PQ index reads nprobe/nCells
-// of a 32×-compressed code table — and the recall cost of that economy is
+// of a 16×-compressed code table (64 float dims = 256 B vs 16 B of PQ
+// codes — ADVICE r18 fix; BASELINE/README/SCALE state the same 16×) —
+// and the recall cost of that economy is
 // bounded. Deterministic synthetic corpus (16 latent clusters + hash
 // noise, pure id arithmetic, no rand()); the index is built ONCE through
 // the library-facing trainer (graft.operators.IvfPqIndex.fit — the same

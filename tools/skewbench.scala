@@ -5,8 +5,11 @@
 // and each mitigation — AQE skew split, deterministic salting
 // (graft.operators.SaltedJoin), small-side broadcast — restores
 // parallelism. Deterministic synthetic data (spark.range + pmod, no
-// rand()): BIG = 40M rows, half on key 0 and half uniform over 100k
-// keys; DIM = 100k keys. Each scenario runs the identical join +
+// rand()): BIG = 40M rows, half on key 0 and half spread over the 50k
+// ODD residues of pmod(id, 100k) (odd id, even modulus ⇒ odd residue
+// only — ~400 rows each; ADVICE r18 corrected the stated cardinality,
+// the generator is unchanged so the recorded numbers still reproduce);
+// DIM = 100k keys. Each scenario runs the identical join +
 // combinable aggregate into a 1-row sink, 3 timed runs after one warm.
 //   /opt/spark/bin/spark-shell --master 'local[32]' \
 //     --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
