@@ -208,9 +208,22 @@ class LadderSpec extends AnyFunSuite {
       "Stats.scala" -> 8,
       // corpus_heaps — per-decile-prefix vocab curve (bounded bucket count)
       "Corpus.scala" -> 1)
+    // ADVICE r19: walk ALL of src/main/scala (not just lintFiles) so a new
+    // caller in multimodal/streaming/sources/plans/top-level — or inside
+    // ExactRatio.scala itself — cannot evade the census; only the
+    // definition site (`def applysparkdomain`) is excluded, by matching
+    // the preceding `def` rather than skipping the whole file.
+    def walk(dir: java.io.File): Seq[java.io.File] =
+      dir.listFiles.toSeq.flatMap { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+      }
     val counts = (for {
-      f <- lintFiles if f.getName != "ExactRatio.scala" // the definition
-      n = callRe.findAllMatchIn(joinedSource(f)).size if n > 0
+      f <- walk(new java.io.File("src/main/scala"))
+      t = joinedSource(f)
+      n = callRe.findAllMatchIn(t).count { m =>
+        "(^|[^a-z0-9_])def\\s*$".r.findFirstIn(t.take(m.start)).isEmpty
+      } if n > 0
     } yield f.getName -> n).toMap
     assert(counts == audited,
       s"applySparkDomain call sites drifted vs the audited census " +

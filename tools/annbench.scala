@@ -83,7 +83,7 @@ def brute = vecs.crossJoin(broadcast(probeDf))
   .select("a_id", "b_id", "rnk")
 
 // ---- IVF-PQ: driver routes probes to NPROBE cells, ADC scores only
-// those cells' 64-bit codes (2/16ths of a 32x-compressed table) ----
+// those cells' 64-bit codes (2/16ths of a 16x-compressed table) ----
 val subDim = DIM / model.codebook.length
 val nCodes = model.codebook(0).length
 def distTable(qv: Array[Long]): Seq[Long] =
