@@ -112,12 +112,17 @@ object Curation {
     * peak — including THE peak — is attained at a reported minute). The sweep is the classic +1/−1 event trick, all exact
     * integers: every window contributes +1 at its start minute and −1
     * one past its end minute, deltas collapse through ONE combinable
-    * aggregate onto the minute DOMAIN (bounded by wall-clock time,
-    * never by row count), and concurrency is the running sum over that
-    * domain. The single-partition running-sum window is over the
-    * bounded minute domain — the histogram_equidepth-style domain
-    * argument, not a row sort; the final top-20 is a TakeOrdered heap.
-    * Ties break to the earliest minute on both engines.
+    * aggregate onto the minute DOMAIN, and concurrency is the running
+    * sum over that domain. The running sum is the RANGE-PARTITIONED
+    * two-pass prefix sum ([[graft.operators.RangePrefixSum]]), never a
+    * partition-less window (r20, VERDICT r19 item 4): the minute domain
+    * is bounded by wall-clock SPAN, which — unlike the fixed value
+    * spaces of the other domain windows — grows with corpus age (~526k
+    * minutes/year; a 10-year corpus would push ~5M rows through one
+    * WindowExec task). With RangePrefixSum every stage is parallel and
+    * the only driver state is one BigDecimal per partition. The final
+    * top-20 is a TakeOrdered heap. Ties break to the earliest minute on
+    * both engines.
     */
   private val intervalConcurrency = Q("interval_concurrency",
     s"""WITH e AS (SELECT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS m0 FROM events),
@@ -133,10 +138,13 @@ object Curation {
       .select(expr("cast(ts_us div 60000000 as bigint)").as("m0"))
     val ev = e.select(col("m0").as("minute"), lit(1).as("delta"))
       .unionAll(e.select((col("m0") + 5).as("minute"), lit(-1).as("delta")))
-    val daily = ev.groupBy("minute").agg(sum("delta").as("d"))
-    daily
-      .withColumn("conc", sum("d").over(Window.orderBy("minute")))
-      .select(col("minute"), col("conc"))
+    // DECIMAL for RangePrefixSum's exact BigDecimal accumulation; minute
+    // is unique after the groupBy, so ordering by it alone is total
+    val daily = ev.groupBy("minute")
+      .agg(sum("delta").cast("decimal(38,0)").as("d"))
+    val (c, _) = graft.operators.RangePrefixSum.withRunningSum(
+      daily, Seq(col("minute")), "d", "conc")
+    c.select(col("minute"), col("conc").cast("bigint").as("conc"))
       .orderBy(col("conc").desc, col("minute"))
       .limit(20)
   }

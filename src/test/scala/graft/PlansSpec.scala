@@ -244,6 +244,17 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"parts_abc must not force a single-partition exchange for ordering:\n$plan")
   }
 
+  test("interval_concurrency: running sum is range-partitioned, no window node") {
+    // VERDICT r19 item 4: the minute domain grows with wall-clock span
+    // (unlike the fixed value spaces on the allowlist), so the running
+    // sum must be the RangePrefixSum two-pass shape, window-free
+    val plan = finalPlan(SparkEntry.queries("interval_concurrency")(s, d))
+    assert(!plan.contains("Window"),
+      s"interval_concurrency must not plan a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"interval_concurrency must not force a single-partition exchange:\n$plan")
+  }
+
   test("no key plans a partition-less window outside the audited bounded-domain allowlist") {
     // the r14 parts_abc lesson: sum() OVER (ORDER BY ...) with no
     // PARTITION BY moves the whole input into ONE task. That is only
@@ -256,7 +267,9 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       "corpus_token_budget" -> "|sources|x|langs| cells",
       "exp_pipeline" -> "231-row composite grid",
       "drift_psi" -> "(type, day) cells - day is wall-clock-bounded (r17)",
-      "interval_concurrency" -> "minute domain - bounded by wall-clock, not rows",
+      // interval_concurrency left r20: its minute domain grows with
+      // wall-clock SPAN (not a fixed value space) - re-planned on
+      // RangePrefixSum, no window node remains
       "kl_divergence" -> "|sources|x|langs| cells (r17)",
       "orders_rfm" -> "r/f quartile spines: wall-clock day and order-count domains (r17)",
       "pareto_frontier" -> "distinct price-cents domain (value-bounded)",
@@ -589,7 +602,10 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "histogram_fixed" -> 1,
     "ingest_csv" -> 1,
     "ingest_json" -> 1,
-    "interval_concurrency" -> 2,
+    // r20: RangePrefixSum re-plan - the final plan rides the prefix-sum
+    // RDD (the parts_abc class); the events scans feed the pinned
+    // range-partitioned frame behind the RDD lineage
+    "interval_concurrency" -> 0,
     "interval_coverage" -> 1,
     "inverted_index" -> 1,
     "join_anti" -> 2,
