@@ -57,20 +57,28 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"recovered only $found of $planted planted pairs")
   }
 
-  // gates pinned at ~70-80% of measured recall (r12 derandomized planes:
-  // LSH 0.66 with 32 hash-sign planes / 8x4-bit bands; IVF 0.440 with
-  // nProbe=3) so a silent regression to near-random bucketing fails
-  // loudly. These are SEMANTIC gates on top of the DuckDB hash-exact
-  // oracle both LSH keys also carry since r12: the oracle proves the
-  // buckets are reproduced bit-for-bit, this proves they are USEFUL.
-  test("LSH ANN keeps recall >= 0.45 vs brute-force top-3") {
+  // gates pinned r20 at ~90% of measured recall (VERDICT r19 item 3;
+  // r12 derandomized planes: LSH with 32 hash-sign planes / 8x4-bit
+  // bands; IVF with nProbe=3). Every recall here is a deterministic
+  // fixture constant, so ~90% is regression margin for engine-version
+  // drift, not noise margin. These are SEMANTIC gates on top of the
+  // DuckDB hash-exact oracle both LSH keys also carry since r12: the
+  // oracle proves the buckets are reproduced bit-for-bit, this proves
+  // they are USEFUL.
+  test("LSH ANN keeps recall >= 0.60 vs brute-force top-3") {
+    // r20 (VERDICT r19 item 3): every input to this recall is
+    // deterministic (derandomized planes, fixed fixture), so the value
+    // is a reproducible constant — the gate is pinned at ~90% of the
+    // measured 0.660 instead of the old 0.45 floor, and the measured
+    // value is printed so a drift shows in the test report
     val ann = SparkEntry.queries("ann_lsh_bucket")(s, d)
       .select("vec_id", "neighbor_id")
     val brute = SparkEntry.queries("sim_cosine_topk")(s, d)
       .select("vec_id", "neighbor_id")
     val hits = ann.intersect(brute).count().toDouble
     val recall = hits / brute.count()
-    assert(recall >= 0.45, s"recall@3 $recall")
+    info(f"LSH recall@3 vs brute-force: $recall%.3f")
+    assert(recall >= 0.60, s"recall@3 $recall")
   }
 
   test("knn_label_ann agrees with brute-force knn_label on >= 80% of probes") {
@@ -111,13 +119,17 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(sh.size < 1000, s"simhash candidate set exploded: ${sh.size}")
   }
 
-  test("IVF ANN keeps recall >= 0.35 vs brute-force top-3") {
+  test("IVF ANN keeps recall >= 0.55 vs brute-force top-3") {
+    // r20: deterministic fixture constant (measured 0.613 — the r12
+    // prose value 0.440 was stale) — gate at ~90% of measured instead
+    // of the old 0.35 floor
     val ivf = SparkEntry.queries("ann_ivf")(s, d)
       .select("vec_id", "neighbor_id")
     val brute = SparkEntry.queries("sim_cosine_topk")(s, d)
       .select("vec_id", "neighbor_id")
     val recall = ivf.intersect(brute).count().toDouble / brute.count()
-    assert(recall >= 0.35, s"IVF recall@3 $recall")
+    info(f"IVF recall@3 vs brute-force: $recall%.3f")
+    assert(recall >= 0.55, s"IVF recall@3 $recall")
   }
 
   test("embedding_cluster matches union-find over brute-force cosine >= 0.4 pairs") {
@@ -518,8 +530,10 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     info(f"ADC recall@3 vs exact L2: $recall%.3f")
     // compressed-domain search trades exactness for 16x compression; the
     // codes must still place a usable fraction of the true top-3 in the
-    // ADC top-3 (brute-force cosine stays available as sim_cosine_topk)
-    assert(recall >= 0.25, f"ADC recall collapsed: $recall%.3f")
+    // ADC top-3 (brute-force cosine stays available as sim_cosine_topk).
+    // r20: deterministic fixture constant (measured 0.307) — gate at
+    // ~90% of measured instead of the old 0.25 floor
+    assert(recall >= 0.28, f"ADC recall collapsed: $recall%.3f")
   }
 
   test("ann_ivfpq keeps useful recall vs exact integer L2 under nprobe=2 routing") {
@@ -542,7 +556,13 @@ class MlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got.size == 50, s"every probe must return rows, got ${got.size}")
     val recall = got.map { case (a, g) => (g & exact(a)).size }.sum / 150.0
     info(f"IVF-PQ recall@3 vs exact L2: $recall%.3f")
-    assert(recall >= 0.18, f"IVF-PQ recall collapsed: $recall%.3f") // measured 0.260
+    // r20: deterministic fixture constant (measured 0.260) — gate at
+    // ~90% of measured instead of the old 0.18 floor. The 200k-vector
+    // annbench sweep shows recall FLAT across nprobe 1..16 (routing
+    // already finds the right cells; ADC quantization bounds recall),
+    // so nprobe=2 stays the operating point and the recall lever is
+    // exact re-rank, not more cells.
+    assert(recall >= 0.24, f"IVF-PQ recall collapsed: $recall%.3f")
   }
 
   test("IvfPqIndex.fit is a public, deterministic trainer over any frame") {

@@ -93,32 +93,67 @@ def distTable(qv: Array[Long]): Seq[Long] =
     while (i < cv.length) { val df0 = qv(sub * subDim + i) - cv(i); d2 += df0 * df0; i += 1 }
     d2
   }
-def routeCells(qv: Array[Long]): Seq[Int] =
+def routeCells(qv: Array[Long], nprobe: Int): Seq[Int] =
   model.cells.indices.map { c =>
     var d2 = 0L; var j = 0
     while (j < DIM) { val df0 = qv(j) - model.cells(c)(j); d2 += df0 * df0; j += 1 }
     (d2, c)
-  }.sorted.take(NPROBE).map(_._2)
-val routed = probes.toSeq.flatMap { case (aId, qv) =>
-  val dt = distTable(qv); routeCells(qv).map(c => (aId, c, dt))
-}.toDF("a_id", "c_id", "dt")
+  }.sorted.take(nprobe).map(_._2)
 val wA = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
-def ivfpq = broadcast(routed)
-  .join(corpus, expr("c_id = cluster AND a_id <> vec_id"))
-  .select(col("a_id"), col("vec_id").as("b_id"), expr(
-    s"""aggregate(sequence(0, ${model.codebook.length - 1}), cast(0 as bigint),
-       | (acc, sub) -> acc + element_at(dt, sub * $nCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin)
-    .as("adc2"))
-  .withColumn("rnk", row_number().over(wA)).filter(col("rnk") <= 3)
-  .select("a_id", "b_id", "rnk")
+def ivfpq(nprobe: Int, k: Int = 3) = {
+  val routed = probes.toSeq.flatMap { case (aId, qv) =>
+    val dt = distTable(qv); routeCells(qv, nprobe).map(c => (aId, c, dt))
+  }.toDF("a_id", "c_id", "dt")
+  broadcast(routed)
+    .join(corpus, expr("c_id = cluster AND a_id <> vec_id"))
+    .select(col("a_id"), col("vec_id").as("b_id"), expr(
+      s"""aggregate(sequence(0, ${model.codebook.length - 1}), cast(0 as bigint),
+         | (acc, sub) -> acc + element_at(dt, sub * $nCodes + cast(element_at(codes, sub + 1) as int) + 1))""".stripMargin)
+      .as("adc2"))
+    .withColumn("rnk", row_number().over(wA)).filter(col("rnk") <= k)
+    .select("a_id", "b_id", "rnk")
+}
 
 timed("brute_exact") { brute.count() }
-timed("ivfpq_adc") { ivfpq.count() }
-
 // recall@3: fraction of brute-force true top-3 the index also returns
 val bSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-val iSet = ivfpq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-println(f"ANNBENCH recall@3=${(bSet & iSet).size.toDouble / bSet.size}%.3f " +
-  s"scanned=${NPROBE}/${model.cells.length} cells, codes (16 B/vec) vs floats (256 B/vec)")
+
+// ---- operating curve (VERDICT r19 item 3): recall/wall vs nprobe ----
+// nprobe = the cell-routing knob; the curve locates the knee where
+// more probed cells stop buying recall faster than they cost wall.
+for (np <- Seq(1, 2, 4, 8, 16)) {
+  val q = ivfpq(np)
+  timed(f"ivfpq_np$np%-2d") { q.count() }
+  val iSet = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  println(f"ANNBENCH nprobe=$np%-2d recall@3=${(bSet & iSet).size.toDouble / bSet.size}%.3f " +
+    s"scanned=$np/${model.cells.length} cells, codes (16 B/vec) vs floats (256 B/vec)")
+}
+
+// ---- refinement curve: exact re-rank of the top-R ADC candidates ----
+// The nprobe sweep measures recall FLAT at 0.707 (routing already finds
+// the right cells; ADC quantization error is what misorders the top-3),
+// so the recall lever is refinement, not more cells: keep the top-R by
+// ADC, re-score ONLY those R rows/probe against the float vectors
+// (R x 256 B per probe, still ~corpus/1000 reads), exact top-3.
+def refined(np: Int, r: Int) = {
+  val cand = broadcast(ivfpq(np, r).select("a_id", "b_id"))
+  cand.join(vecs, col("b_id") === col("vec_id"))
+    .join(broadcast(probeDf.withColumnRenamed("a_id", "p_id")),
+      col("a_id") === col("p_id"))
+    .select(col("a_id"), col("b_id"), expr(
+      """aggregate(zip_with(embedding, qv,
+        |  (e, q) -> (cast(floor(cast(e as double) * 1000000.0d + 0.5d) as bigint) - q)
+        |          * (cast(floor(cast(e as double) * 1000000.0d + 0.5d) as bigint) - q)),
+        |  cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin).as("d2"))
+    .withColumn("rnk", row_number().over(w))
+    .filter(col("rnk") <= 3).select("a_id", "b_id", "rnk")
+}
+for (r <- Seq(8, 32)) {
+  val q = refined(2, r)
+  timed(f"refine_r$r%-3d") { q.count() }
+  val rSet = q.collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+  println(f"ANNBENCH nprobe=2 rerank=$r%-3d recall@3=${(bSet & rSet).size.toDouble / bSet.size}%.3f " +
+    s"(exact re-score of $r cands/probe = $r x 256 B reads/probe)")
+}
 }
 sys.exit(0)
