@@ -803,6 +803,57 @@ object LlmOps {
           col("rnk"), col("adc2"))
         .orderBy("vec_id", "rnk")
     },
+
+    // The refinement step standard IVF-PQ deployments put on top of ADC
+    // (r20, VERDICT r19 item 3): the annbench sweep measured recall@3
+    // FLAT at 0.707 across nprobe 1..16 at 200k vectors — cell routing
+    // already reaches every true neighbor, ADC quantization error is
+    // what misorders the top-3 — and exact re-rank of the top-8 ADC
+    // candidates recovered recall 1.000 at 15× the brute wall. So: the
+    // same ivfPqCorpus code scan and ADC shortlist as ann_ivfpq, kept to
+    // top-[[ivfPqRerank]] per probe (WindowGroupLimit-bounded), then
+    // ONLY those R rows/probe are re-scored with the exact integer L2
+    // against the ×10⁶-quantized float vectors. Scale shape: the
+    // re-score reads R×256 B per probe via one broadcast hash join of
+    // the (probes × R)-row shortlist against the cached vector frame —
+    // the corpus read stays the same nprobe/nCells code scan; nothing
+    // data-sized is collected, crossed, or re-shuffled.
+    Q("ann_ivfpq_rerank", ivfPqRerankOracle) { (s, d) =>
+      import s.implicits._
+      val (cent, _, v) = pqFit(s, d)
+      val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
+      val corpus = ivfPqCorpus(s, d)
+        .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
+      val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
+      val probeVecs = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val probeRows = probeVecs.flatMap { case (aId, qv) =>
+        val cells = centMat.indices.map(c => (sqDistL(qv, centMat(c)), c))
+          .sorted.take(ivfPqNProbe).map(_._2)
+        val dt = pqDistTable(qv, centMap)
+        cells.map(cid => (aId, cid, dt))
+      }.toDF("a_id", "c_id", "dt")
+      val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
+      val short = broadcast(probeRows)
+        .join(corpus, expr("c_id = cluster AND a_id <> b_id"))
+        .select(col("a_id"), col("b_id"), expr(adcLookupExpr).as("adc2"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= ivfPqRerank)
+        .join(broadcast(probeVecs.toDF("p_id", "pqv")),
+          col("a_id") === col("p_id"))
+        .select("a_id", "b_id", "pqv")
+      val w2 = Window.partitionBy("a_id").orderBy(col("d2"), col("b_id"))
+      broadcast(short)
+        .join(v.select(col("vec_id"), col("qv").as("bqv")),
+          col("b_id") === col("vec_id"))
+        .select(col("a_id"), col("b_id"), expr(
+          """aggregate(zip_with(bqv, pqv, (b, a) -> (b - a) * (b - a)),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("d2"))
+        .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+          col("rnk"), col("d2"))
+        .orderBy("vec_id", "rnk")
+    },
   )
 
   /** Deterministic coarse-quantizer fit shared by `ann_ivf` /
@@ -1086,15 +1137,26 @@ object LlmOps {
   private final val ivfPqCells = 16
   private final val ivfPqNProbe = 2
 
-  /** DuckDB twin of ann_ivfpq: the shared PQ fit/encode chain
+  /** ADC-shortlist size the exact re-rank refines (r20). The 200k-vector
+    * annbench sweep measured recall@3 FLAT at 0.707 across nprobe 1..16
+    * (routing already reaches every true neighbor's cell; ADC
+    * quantization error is what misorders the top-3) and re-ranking the
+    * top-8 ADC candidates with exact L2 recovered recall 1.000 at 15×
+    * the brute wall — so the recall knob is R, not nprobe. */
+  private final val ivfPqRerank = 8
+
+  /** Shared DuckDB CTE chain for the two IVF-PQ twins, ending at
+    * `adc(a_id, b_id, adc2)`: the shared PQ fit/encode chain
     * ([[pqFitCtes]]) plus an i-prefixed replay of [[ivfOracleSql]]'s
     * coarse-quantizer chain (same 65,536 hash-ordered sample, same 5
     * integer-Lloyd rounds with the COALESCE empty-cell discipline), then
     * candidates restricted to the probes' [[ivfPqNProbe]]-nearest cells'
     * members, scored by pure distance-table lookups. All exact integers,
     * generated from the same constants as the Spark side so the twins
-    * cannot drift. */
-  private def ivfPqOracle: String = {
+    * cannot drift. ONE builder feeds both `ann_ivfpq` and
+    * `ann_ivfpq_rerank`, so the shortlist the re-rank refines is always
+    * exactly the search key's candidate set. */
+  private def ivfPqChainCtes: String = {
     val iters = (1 to 5).map { r =>
       s"""id$r AS (SELECT s.vec_id, ct.c,
          |    CAST(list_sum(list_transform(generate_series(1, 64),
@@ -1111,7 +1173,7 @@ object LlmOps {
          |    (SELECT c, list(cve ORDER BY pos) AS cv FROM icl$r GROUP BY c) n
          |    ON n.c = p.c)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $pqFitCtes,
+    s"""$pqFitCtes,
        |isamp AS (SELECT vec_id, qv, row_number() OVER (ORDER BY
        |    CAST(CAST(vec_id AS DECIMAL(19,0)) * 2654435761 % 4294967296 AS BIGINT), vec_id) AS rn
        |  FROM v QUALIFY rn <= 65536),
@@ -1141,12 +1203,35 @@ object LlmOps {
        |adc AS (SELECT c.a_id, c.b_id,
        |    CAST(list_sum(list_transform(generate_series(0, ${pqSubspaces - 1}),
        |      sub -> d.dt[sub * $pqCodes + CAST(cv.codes[sub + 1] AS INTEGER) + 1])) AS BIGINT) AS adc2
-       |  FROM cand c JOIN dte d ON d.a_id = c.a_id JOIN codesv cv ON cv.vec_id = c.b_id)
+       |  FROM cand c JOIN dte d ON d.a_id = c.a_id JOIN codesv cv ON cv.vec_id = c.b_id)""".stripMargin
+  }
+
+  private def ivfPqOracle: String =
+    s"""WITH $ivfPqChainCtes
        |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, adc2
        |FROM (SELECT a_id, b_id, adc2,
        |    row_number() OVER (PARTITION BY a_id ORDER BY adc2, b_id) AS rnk FROM adc) r
        |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
-  }
+
+  /** DuckDB twin of ann_ivfpq_rerank: the shared [[ivfPqChainCtes]]
+    * shortlist (top-[[ivfPqRerank]] per probe by ADC), re-scored with
+    * the EXACT integer L2 against the ×10⁶-quantized vectors, top-3 by
+    * (d2, b_id). All exact integers: |qv| ≲ 2×10⁶ so a 64-dim squared
+    * L2 is ≤ 64·(4×10⁶)² ≈ 10¹⁵ ≪ int64. */
+  private def ivfPqRerankOracle: String =
+    s"""WITH $ivfPqChainCtes,
+       |short AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY adc2, b_id) AS rnk FROM adc) r
+       |  WHERE rnk <= $ivfPqRerank),
+       |ex AS (SELECT sh.a_id, sh.b_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> (bv.qv[i] - pv.qv[i]) * (bv.qv[i] - pv.qv[i]))) AS BIGINT) AS d2
+       |  FROM short sh JOIN v bv ON bv.vec_id = sh.b_id
+       |  JOIN v pv ON pv.vec_id = sh.a_id)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INT) AS rnk, d2
+       |FROM (SELECT a_id, b_id, d2,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rnk FROM ex) r
+       |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
   /** DuckDB CTE producing `jpairs(da, db, jac)` — the capped
     * shared-shingle exact-Jaccard pair graph (jac >= 0.5), shared by the

@@ -48,6 +48,10 @@ class JobsSpec extends AnyFunSuite {
     "agg_hash_sum" -> (0, 4),
     "text_verbatim_spans" -> (4, 7),
     "ann_ivfpq" -> (1, 8),
+    // r20 new-key audit (tools/actioncount at the suite config): the
+    // exact re-rank adds 3 run jobs over ann_ivfpq (shortlist window +
+    // the two broadcast sides of the re-score join)
+    "ann_ivfpq_rerank" -> (1, 11),
     "embedding_cluster" -> (9, 4),
     "knn_label_ann" -> (0, 6),
     "token_pmi" -> (0, 12),

@@ -483,6 +483,21 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"per-probe top-3 must bound the rank exchange:\n$plan")
   }
 
+  test("ann_ivfpq_rerank: shortlist is WindowGroupLimit-bounded, re-score joins stay broadcast") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivfpq_rerank")(s, d))
+    // the ADC shortlist must stay per-probe bounded BEFORE the exact
+    // re-score, and both the cell routing and the R-row re-score join
+    // must be broadcast hash joins — a cross or shuffled join here would
+    // re-score against the corpus instead of the R candidates
+    assert(plan.contains("WindowGroupLimit"),
+      s"ADC shortlist must bound the exchange via WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell routing and re-score must be broadcast hash joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"re-rank must never cross probes with the corpus:\n$plan")
+  }
+
   test("ann_lsh_bucket bounds the re-rank with WindowGroupLimit and pushes the probe filter") {
     val plan = finalPlan(SparkEntry.queries("ann_lsh_bucket")(s, d))
     assert(plan.contains("WindowGroupLimit"),
@@ -522,6 +537,9 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "agg_weighted_median" -> 1,
     "ann_ivf" -> 2,
     "ann_ivfpq" -> 1,
+    // r20: same single embeddings scan as ann_ivfpq — the re-rank joins
+    // the shortlist back to the ALREADY-CACHED quantized-vector frame
+    "ann_ivfpq_rerank" -> 1,
     "ann_lsh_bucket" -> 2,
     "ann_pq_adc" -> 1,
     "attribution_last_touch" -> 2,

@@ -38,6 +38,11 @@ class ShuffleSpec extends AnyFunSuite {
     * (r18) at the suite config.
     */
   private val expected: Map[String, (Long, Long)] = Map(
+    // r20 new-key audit (tools/shufflecount at the suite config): the
+    // re-rank's run records are the ADC candidate rows entering the two
+    // bounded windows (shortlist + final top-3) — 1.5x ann_ivfpq's 800,
+    // never corpus-sized
+    "ann_ivfpq_rerank" -> (0L, 1200L),
     "ann_lsh_bucket" -> (0L, 10496L),
     "chunk_overlap" -> (0L, 6672L),
     "corpus_heaps" -> (1L, 16555L),
