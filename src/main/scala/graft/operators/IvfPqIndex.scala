@@ -238,7 +238,7 @@ object IvfPqIndex {
       codes: Int = 16, rounds: Int = 3): IvfPqModel = {
     val dims = vecs.agg(
       min(size(col("embedding"))), max(size(col("embedding"))),
-      count(lit(1)), count(col("embedding"))).head
+      count(lit(1)), count(col("embedding"))).head()
     require(!dims.isNullAt(0), "cannot fit an IVF-PQ model on an empty frame")
     require(dims.getLong(2) == dims.getLong(3),
       s"${dims.getLong(2) - dims.getLong(3)} row(s) have a NULL embedding — " +

@@ -780,25 +780,8 @@ object LlmOps {
     // probe set (the ann_pq_adc collect discipline); corpus assignment
     // and scoring stay distributed. All-integer → hash-exact oracle.
     Q("ann_ivfpq", ivfPqOracle) { (s, d) =>
-      import s.implicits._
-      val (cent, _, v) = pqFit(s, d)
-      val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
-      val corpus = ivfPqCorpus(s, d)
-        .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
-      val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
-      val probeRows = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
-        .flatMap { r =>
-          val (aId, qv) = (r.getLong(0), r.getSeq[Long](1))
-          val cells = centMat.indices.map(c => (sqDistL(qv, centMat(c)), c))
-            .sorted.take(ivfPqNProbe).map(_._2)
-          val dt = pqDistTable(qv, centMap)
-          cells.map(cid => (aId, cid, dt))
-        }.toDF("a_id", "c_id", "dt")
-      val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
-      broadcast(probeRows)
-        .join(corpus, expr("c_id = cluster AND a_id <> b_id"))
-        .select(col("a_id"), col("b_id"), expr(adcLookupExpr).as("adc2"))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      val (ranked, _) = adcRanked(s, d)
+      ranked.filter(col("rnk") <= 3)
         .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
           col("rnk"), col("adc2"))
         .orderBy("vec_id", "rnk")
@@ -809,35 +792,21 @@ object LlmOps {
     // FLAT at 0.707 across nprobe 1..16 at 200k vectors — cell routing
     // already reaches every true neighbor, ADC quantization error is
     // what misorders the top-3 — and exact re-rank of the top-8 ADC
-    // candidates recovered recall 1.000 at 15× the brute wall. So: the
-    // same ivfPqCorpus code scan and ADC shortlist as ann_ivfpq, kept to
-    // top-[[ivfPqRerank]] per probe (WindowGroupLimit-bounded), then
-    // ONLY those R rows/probe are re-scored with the exact integer L2
-    // against the ×10⁶-quantized float vectors. Scale shape: the
-    // re-score reads R×256 B per probe via one broadcast hash join of
-    // the (probes × R)-row shortlist against the cached vector frame —
-    // the corpus read stays the same nprobe/nCells code scan; nothing
-    // data-sized is collected, crossed, or re-shuffled.
+    // candidates recovered recall 1.000 at 1/15th the brute wall (15×
+    // faster). So: the SAME [[adcRanked]] code scan and ADC shortlist
+    // as ann_ivfpq, kept to top-[[ivfPqRerank]] per probe
+    // (WindowGroupLimit-bounded), then ONLY those R rows/probe are
+    // re-scored with the exact integer L2 against the ×10⁶-quantized
+    // float vectors. Scale shape: the re-score reads R×256 B per probe
+    // via one broadcast hash join of the (probes × R)-row shortlist
+    // against the cached vector frame — the corpus read stays the same
+    // nprobe/nCells code scan; nothing data-sized is collected,
+    // crossed, or re-shuffled.
     Q("ann_ivfpq_rerank", ivfPqRerankOracle) { (s, d) =>
       import s.implicits._
-      val (cent, _, v) = pqFit(s, d)
-      val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
-      val corpus = ivfPqCorpus(s, d)
-        .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
-      val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
-      val probeVecs = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      val probeRows = probeVecs.flatMap { case (aId, qv) =>
-        val cells = centMat.indices.map(c => (sqDistL(qv, centMat(c)), c))
-          .sorted.take(ivfPqNProbe).map(_._2)
-        val dt = pqDistTable(qv, centMap)
-        cells.map(cid => (aId, cid, dt))
-      }.toDF("a_id", "c_id", "dt")
-      val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
-      val short = broadcast(probeRows)
-        .join(corpus, expr("c_id = cluster AND a_id <> b_id"))
-        .select(col("a_id"), col("b_id"), expr(adcLookupExpr).as("adc2"))
-        .withColumn("rnk", row_number().over(w))
+      val (ranked, probeVecs) = adcRanked(s, d)
+      val (_, _, v) = pqFit(s, d) // memoized — the same cached frame
+      val short = ranked
         .filter(col("rnk") <= ivfPqRerank)
         .join(broadcast(probeVecs.toDF("p_id", "pqv")),
           col("a_id") === col("p_id"))
@@ -855,6 +824,39 @@ object LlmOps {
         .orderBy("vec_id", "rnk")
     },
   )
+
+  /** Shared probe-routing + ADC-scored candidate frame for the two
+    * IVF-PQ keys — the Spark twin of [[ivfPqChainCtes]]'s shared `adc`
+    * CTE + rank window: ONE builder, so the shortlist the re-rank
+    * refines is always exactly the search key's candidate set (the same
+    * no-drift argument the oracle side encodes). Returns the ranked
+    * frame `(a_id, b_id, adc2, rnk)` — rnk by (adc2, b_id) per probe —
+    * plus the driver-collected probe vectors (bounded: [[pqAdcProbes]],
+    * the ann_pq_adc collect discipline). Corpus assignment and scoring
+    * stay distributed; only the probe set and distance tables ride the
+    * driver. */
+  private def adcRanked(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, Seq[Long])]) = {
+    import s.implicits._
+    val (cent, _, v) = pqFit(s, d)
+    val centMat = coarseFit(s, d, ivfPqCells).map(_._1)
+    val corpus = ivfPqCorpus(s, d)
+      .select(col("vec_id").as("b_id"), col("cluster"), col("codes"))
+    val centMap = cent.map(t => ((t._1, t._2), t._3)).toMap
+    val probeVecs = v.filter(col("vec_id") < pqAdcProbes).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val probeRows = probeVecs.flatMap { case (aId, qv) =>
+      val cells = centMat.indices.map(c => (sqDistL(qv, centMat(c)), c))
+        .sorted.take(ivfPqNProbe).map(_._2)
+      val dt = pqDistTable(qv, centMap)
+      cells.map(cid => (aId, cid, dt))
+    }.toDF("a_id", "c_id", "dt")
+    val w = Window.partitionBy("a_id").orderBy(col("adc2"), col("b_id"))
+    (broadcast(probeRows)
+      .join(corpus, expr("c_id = cluster AND a_id <> b_id"))
+      .select(col("a_id"), col("b_id"), expr(adcLookupExpr).as("adc2"))
+      .withColumn("rnk", row_number().over(w)), probeVecs)
+  }
 
   /** Deterministic coarse-quantizer fit shared by `ann_ivf` /
     * `ann_ivfpq`: bottom-65,536 corpus-spread sample by the
@@ -1141,8 +1143,9 @@ object LlmOps {
     * annbench sweep measured recall@3 FLAT at 0.707 across nprobe 1..16
     * (routing already reaches every true neighbor's cell; ADC
     * quantization error is what misorders the top-3) and re-ranking the
-    * top-8 ADC candidates with exact L2 recovered recall 1.000 at 15×
-    * the brute wall — so the recall knob is R, not nprobe. */
+    * top-8 ADC candidates with exact L2 recovered recall 1.000 at
+    * 1/15th the brute wall (15× faster) — so the recall knob is R, not
+    * nprobe. */
   private final val ivfPqRerank = 8
 
   /** Shared DuckDB CTE chain for the two IVF-PQ twins, ending at

@@ -22,7 +22,7 @@ import org.apache.spark.sql.expressions.Window
 val N = 200000L
 val DIM = 64
 val PROBES = 100
-val NPROBE = 2
+// nprobe is a per-call parameter since the r20 sweep (1,2,4,8,16 below)
 
 // Planted-neighbor corpus: 40k FAMILIES of 5 vectors each (f = id div 5)
 // inside 16 latent clusters (f % 16). Per-dim structure: cluster center
@@ -82,7 +82,7 @@ def brute = vecs.crossJoin(broadcast(probeDf))
   .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
   .select("a_id", "b_id", "rnk")
 
-// ---- IVF-PQ: driver routes probes to NPROBE cells, ADC scores only
+// ---- IVF-PQ: driver routes probes to nprobe cells, ADC scores only
 // those cells' 64-bit codes (2/16ths of a 16x-compressed table) ----
 val subDim = DIM / model.codebook.length
 val nCodes = model.codebook(0).length

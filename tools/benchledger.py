@@ -53,16 +53,27 @@ def cmd_append(rnd, log_path, ledger_path):
     if not runs:
         sys.exit(f"no queries_full lines found in {log_path}")
     keys = sorted(set().union(*[set(r) for r in runs]))
-    meds = {k: round(statistics.median([r[k] for r in runs if k in r]), 3)
-            for k in keys}
+    # Bench.scala records a crashed key as -1.0 in queries_full (its own
+    # total line already excludes negatives). A crash must surface as a
+    # loud CRASHED entry, not poison the medians or read as "improved".
+    meds, crashed = {}, []
+    for k in keys:
+        good = [r[k] for r in runs if k in r and r[k] >= 0]
+        if good:
+            meds[k] = round(statistics.median(good), 3)
+        if any(k in r and r[k] < 0 for r in runs):
+            crashed.append(k)
     entry = {"round": int(rnd), "sf": sf, "runs": len(runs),
              "total_med": round(statistics.median(
-                 [sum(r.values()) for r in runs]), 2),
+                 [sum(v for v in r.values() if v >= 0) for r in runs]), 2),
              "keys": meds}
+    if crashed:
+        entry["crashed"] = sorted(crashed)
     with open(ledger_path, "a") as f:
         f.write(json.dumps(entry, sort_keys=True) + "\n")
-    print(f"appended round {rnd}: {len(keys)} keys, "
-          f"{entry['runs']} runs, total_med {entry['total_med']} s")
+    print(f"appended round {rnd}: {len(meds)} keys, "
+          f"{entry['runs']} runs, total_med {entry['total_med']} s"
+          + (f", CRASHED: {crashed}" if crashed else ""))
 
 
 def cmd_diff(ledger_path):
@@ -92,6 +103,8 @@ def cmd_diff(ledger_path):
         print(f"  NEW       {k:<28}          {kb[k]:6.2f} s")
     for k in sorted(set(ka) - set(kb)):
         print(f"  REMOVED   {k:<28} {ka[k]:6.2f} s")
+    for k in b.get("crashed", []):
+        print(f"  CRASHED   {k:<28} (negative sentinel in >= 1 run)")
 
 
 if __name__ == "__main__":

@@ -46,9 +46,12 @@ for (years <- Seq(1, 10)) {
   }
 
   // correctness cross-check: identical running sums — minute is unique,
-  // so an order-insensitive exact digest over (minute, conc) suffices
+  // so an order-insensitive digest over per-row xxhash64(minute, conc)
+  // suffices; the NON-LINEAR per-row hash means compensating conc
+  // errors (e.g. two equal-sized partitions with swapped offsets, which
+  // a linear sum-digest cancels out of) cannot collide
   val dg = (df: org.apache.spark.sql.DataFrame) => df
-    .agg(sum(expr("cast(minute * 1000003 + conc as decimal(38,0))")))
+    .agg(sum(expr("cast(xxhash64(minute, conc) as decimal(38,0))")))
     .collect()(0).getDecimal(0)
   val dw = dg(windowShape)
   val dp = dg(prefixShape)
