@@ -814,14 +814,15 @@ object Stats {
        |FROM scored GROUP BY r_score, f_score, m_score
        |ORDER BY r_score, f_score, m_score""".stripMargin
   }) { (s, d) =>
-    // pinned: the three ExactQuantiles passes (r, f, m boundaries) and
-    // the final scoring aggregate are four consumers — unpinned each
-    // re-ran the orders scan + per-customer aggregate (r17 scan audit:
-    // 4 scans -> 1). The m domain is ~|customers|-distinct, so the
-    // boundary-collect quantile operator stays the right shape here
-    // (a domain-collapsed median window would be partition-less over a
-    // row-count-sized domain — the banned shape).
-    val c = graft.Caching.pinOnce(Tables.orders(s, d)
+    // cached LAZILY (not pinOnce): the consumers — ExactQuantiles' range
+    // pass and the final scoring aggregate — are strictly SEQUENTIAL
+    // actions, so the first EQ job materializes the cache and nothing
+    // races to populate it (the pinOnce count exists for plans whose
+    // concurrent subtrees would otherwise each rebuild the pipeline);
+    // dropping the explicit count saves its AQE job chain (r21 audit:
+    // build jobs 9 -> 6). Unpinned entirely each consumer re-ran the
+    // orders scan + per-customer aggregate (r17 scan audit: 4 scans -> 1).
+    val c = graft.Caching.ensureCached(Tables.orders(s, d)
       .select(col("o_custkey"),
         // o_orderdate reads as TIMESTAMP_NTZ; the UTC session makes the
         // TIMESTAMP cast instant-preserving, matching DuckDB's epoch_us
@@ -829,43 +830,42 @@ object Stats {
         expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
       .groupBy("o_custkey")
       .agg(max("day").as("r"), count(lit(1)).as("f"), sum("cents").as("m")))
-    // r (recency day) and f (order count) live on CONSTANT-bounded value
-    // domains (wall-clock days / per-customer order counts), so their
-    // quartile boundaries come from the agg_percentile integer idiom
-    // in-plan — quartile·4 = (4−g)·a + g·b over bracketing order
-    // statistics with g = (k(n−1)) mod 4, exactly ExactQuantiles'
-    // round(4a + (b−a)·frac·4) — as 1-row frames crossJoin-broadcast to
-    // the scorer: no boundary-collect actions (r17: orders_rfm was the
-    // suite's most action-heavy key at 23 jobs — the r/f quantile passes
-    // were 12 of them). m (money sum) keeps the boundary-collect
-    // operator: its domain is ~|customers|-distinct, where a
+    // ONE grouped ExactQuantiles pass for all nine boundaries (r21,
+    // VERDICT r20 item 3 — the key was the suite's most action-heavy at
+    // 19 jobs): the three dims stack into a (dim, value) table and the
+    // grouped boundary-collect operator ranges over it once, so the r/f/m
+    // quartiles cost one range shuffle + two scalar collects instead of
+    // one ExactQuantiles pass for m PLUS two in-plan crossJoin-broadcast
+    // window subframes for r and f (each a broadcast-build job chain at
+    // sink time). Exactness is unchanged: groupedScaled's
+    // round(4a + (b−a)·frac·4) over bracketing order statistics IS the
+    // quartile·4 = (4−g)·a + g·b idiom the in-plan form computed (g =
+    // (k(n−1)) mod 4, dyadic frac exact in double), and m used this very
+    // operator before. The m domain is ~|customers|-distinct, so the
+    // boundary-collect operator remains the right shape (a
     // domain-collapsed quantile window would be partition-less over a
-    // row-count-sized domain — the banned shape.
-    def quartX4(dim: String): org.apache.spark.sql.DataFrame = {
-      val dom = c.groupBy(col(dim).as("v")).agg(count(lit(1)).as("w"))
-        .withColumn("cw", sum("w").over(Window.orderBy("v")))
-        .withColumn("n", sum("w").over(Window.partitionBy()))
-      val aggs = (1 to 3).flatMap { k =>
-        Seq(min(when(expr(s"cw >= 1 + ($k * (n - 1)) div 4"), col("v"))).as(s"a$k"),
-          min(when(expr(s"cw >= 2 + ($k * (n - 1)) div 4"), col("v"))).as(s"b$k"))
-      } :+ max("n").as("n")
-      dom.agg(aggs.head, aggs.tail: _*)
-        .select((1 to 3).map { k =>
-          expr(s"cast((4 - ($k * (n - 1)) % 4) * a$k" +
-            s" + (($k * (n - 1)) % 4) * coalesce(b$k, a$k) as bigint)")
-            .as(s"${dim}q$k")
-        }: _*)
+    // row-count-sized domain — the banned shape); r and f merely ride
+    // the same range pass, keyed by dim.
+    val stacked = c.select(explode(expr(
+      "array(named_struct('g', 'r', 'v', r)," +
+        " named_struct('g', 'f', 'v', f)," +
+        " named_struct('g', 'm', 'v', m))")).as("s"))
+      .select(col("s.g").as("g"), col("s.v").as("v"))
+    val bounds = graft.operators.ExactQuantiles
+      .groupedScaled(stacked, "g", "v", Seq(0.25, 0.5, 0.75), 4)
+    def score(dim: String) = {
+      // empty input ⇒ no groups in the map; the scorer's literals are
+      // irrelevant then (c is empty), mirroring ExactQuantiles.scaled's
+      // all-zero degrade
+      val qs = bounds.getOrElse(dim, Array.fill(3)(0L))
+      "1 + " + (1 to 3)
+        .map(k => s"(case when 4 * $dim > ${qs(k - 1)}L then 1 else 0 end)")
+        .mkString(" + ")
     }
-    val mBounds = graft.operators.ExactQuantiles
-      .scaled(c, "m", Seq(0.25, 0.5, 0.75), 4)
-    def score(dim: String, bound: Int => String) = "1 + " + (1 to 3)
-      .map(k => s"(case when 4 * $dim > ${bound(k)} then 1 else 0 end)")
-      .mkString(" + ")
-    c.crossJoin(broadcast(quartX4("r"))).crossJoin(broadcast(quartX4("f")))
-      .select(
-        expr(score("r", k => s"rq$k")).as("r_score"),
-        expr(score("f", k => s"fq$k")).as("f_score"),
-        expr(score("m", k => s"${mBounds(k - 1)}L")).as("m_score"))
+    c.select(
+        expr(score("r")).as("r_score"),
+        expr(score("f")).as("f_score"),
+        expr(score("m")).as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("r_score", "f_score", "m_score")

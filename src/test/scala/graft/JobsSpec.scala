@@ -44,7 +44,14 @@ class JobsSpec extends AnyFunSuite {
     "kmeans_iter" -> (17, 5),
     "span_attribution" -> (4, 11),
     "dedup_simhash" -> (5, 4),
-    "orders_rfm" -> (9, 10),
+    // r21 re-audit (VERDICT r20 item 3): the three quantile consumers
+    // folded into ONE grouped ExactQuantiles pass over the stacked
+    // (dim, value) table and the boundary literals replaced the two
+    // crossJoin-broadcast quartile subframes — build 9 -> 7 (lazy
+    // ensureCached instead of pinOnce's counted pin; consumers are
+    // sequential, nothing races), run 10 -> 4, total 19 -> 11 at
+    // local[32]/sf0.1 (tools/actioncount)
+    "orders_rfm" -> (7, 4),
     "agg_hash_sum" -> (0, 4),
     "text_verbatim_spans" -> (4, 7),
     "ann_ivfpq" -> (1, 8),

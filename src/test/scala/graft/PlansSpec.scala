@@ -271,7 +271,9 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       // wall-clock SPAN (not a fixed value space) - re-planned on
       // RangePrefixSum, no window node remains
       "kl_divergence" -> "|sources|x|langs| cells (r17)",
-      "orders_rfm" -> "r/f quartile spines: wall-clock day and order-count domains (r17)",
+      // orders_rfm left r21: the r/f quartile spines (its last
+      // partition-less windows) were folded into the single grouped
+      // ExactQuantiles pass — no window node remains
       "pareto_frontier" -> "distinct price-cents domain (value-bounded)",
       "retrieval_rrf" -> "bounded top-k candidate lists",
       "stats_anova" -> "|event types| rows",
