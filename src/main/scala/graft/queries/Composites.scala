@@ -62,7 +62,7 @@ object Composites {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(expr(dsum("l_quantity")))
+        .agg(expr(dsumSpark("l_quantity")))
         .orderBy("l_returnflag")
     },
 

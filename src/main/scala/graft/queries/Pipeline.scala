@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import Sqlh.{dsum, revenue}
+import Sqlh.{dsum, dsumSpark, revenue}
 
 /** Round-9 pipeline-analytics suite (SURVEY.md §2.13): the remaining
   * operations a production training-data pipeline runs between ingest and
@@ -223,7 +223,7 @@ object Pipeline {
          |            WHERE o_totalprice > 450000),
          |bf AS (SELECT bloom_agg(o_orderkey) AS b FROM dim)
          |SELECT /*+ SHUFFLE_MERGE(d) */
-         |  d.o_orderpriority, ${dsum(revenue)} AS revenue, count(*) AS n_items
+         |  d.o_orderpriority, ${dsumSpark(revenue)} AS revenue, count(*) AS n_items
          |FROM graft_bpf_lineitem f
          |JOIN dim d ON f.l_orderkey = d.o_orderkey
          |WHERE bloom_might_contain((SELECT b FROM bf), f.l_orderkey)

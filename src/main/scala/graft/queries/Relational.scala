@@ -29,7 +29,7 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), expr("c_nationkey = n_nationkey"))
       .join(broadcast(Tables.region(s, d)), expr("n_regionkey = r_regionkey"))
       .groupBy("r_name", "l_returnflag")
-      .agg(expr(dsum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(expr(dsumSpark(revenue)).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("r_name", "l_returnflag")
   }
 
@@ -382,7 +382,7 @@ object Relational {
         .select(col("c_custkey").as("custkey"), col("c_nationkey"))
       SaltedJoin.inner(big, small, key = "custkey", salts = 8)
         .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_orders"), expr(dsum("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), expr(dsumSpark("o_totalprice")).as("sum_price"))
         .orderBy("c_nationkey")
     },
 
@@ -521,11 +521,11 @@ object Relational {
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
-        expr(dsum("l_quantity")).as("sum_qty"),
-        expr(dsum("l_extendedprice")).as("sum_base"),
-        expr(dsum(revenue)).as("sum_disc"),
-        expr(dsum(charge)).as("sum_charge"),
-        expr(davg("l_quantity")).as("avg_qty"),
+        expr(dsumSpark("l_quantity")).as("sum_qty"),
+        expr(dsumSpark("l_extendedprice")).as("sum_base"),
+        expr(dsumSpark(revenue)).as("sum_disc"),
+        expr(dsumSpark(charge)).as("sum_charge"),
+        expr(davgSpark("l_quantity")).as("avg_qty"),
         min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
         count(lit(1)).as("count_order"),
       ).orderBy("l_returnflag", "l_linestatus")
@@ -566,7 +566,7 @@ object Relational {
       s.sql(
         s"""SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r,
            |  CAST(grouping(n_name) AS INT) AS g_n, count(*) AS cnt,
-           |  ${dsum("s_acctbal")} AS bal
+           |  ${dsumSpark("s_acctbal")} AS bal
            |FROM gs_supplier JOIN gs_nation ON s_nationkey = n_nationkey
            |JOIN gs_region ON n_regionkey = r_regionkey
            |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
@@ -587,7 +587,7 @@ object Relational {
       s.sql(
         s"""SELECT r_name, n_name, CAST(grouping(r_name) AS INT) AS g_r,
            |  CAST(grouping(n_name) AS INT) AS g_n, count(*) AS cnt,
-           |  ${dsum("s_acctbal")} AS bal
+           |  ${dsumSpark("s_acctbal")} AS bal
            |FROM ru_supplier JOIN ru_nation ON s_nationkey = n_nationkey
            |JOIN ru_region ON n_regionkey = r_regionkey
            |GROUP BY ROLLUP (r_name, n_name)
@@ -605,7 +605,7 @@ object Relational {
         .agg(grouping("c_mktsegment").cast("int").as("g_m"),
           grouping("c_nationkey").cast("int").as("g_n"),
           count(lit(1)).as("cnt"),
-          expr(dsum("c_acctbal")).as("bal"))
+          expr(dsumSpark("c_acctbal")).as("bal"))
         .orderBy(col("g_m"), col("g_n"),
           col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
     },

@@ -22,7 +22,7 @@ object StreamingBatch {
          |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts_ntz"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), expr(dsum("value")).as("sum_v"))
+        .agg(count(lit(1)).as("cnt"), expr(dsumSpark("value")).as("sum_v"))
         .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_v"))
         .orderBy("ws", "event_type")
     },

@@ -70,7 +70,7 @@ object TypedOps {
         .filter((li: LineItem) => li.l_quantity > 40) // typed predicate
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_big"),
-          expr(dsum("l_extendedprice * (1 - l_discount)")).as("rev_big"))
+          expr(dsumSpark("l_extendedprice * (1 - l_discount)")).as("rev_big"))
         .orderBy("l_returnflag")
     },
   )
