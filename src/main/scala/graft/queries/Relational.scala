@@ -120,7 +120,16 @@ object Relational {
          |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, qty2""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        expr("cast(cast(l_extendedprice as decimal(18,6)) * (1 - cast(l_discount as decimal(18,6))) as double)").as("disc_price"),
+        // Spark side of the oracle's decimal product in exact integer
+        // units (r21, the dsumSpark discipline): price cents × (100 −
+        // discount points) is the exact ×10⁴ integer of the decimal
+        // product (both factors have ≤2 fraction digits, quantized
+        // tie-free by the pure-FP floor idiom), and the correctly-rounded
+        // double of that long / 10⁴ equals the decimal→double cast
+        // bit-for-bit — no per-row BigDecimal
+        expr("cast(cast(floor(l_extendedprice * cast(100 as double) + cast(0.5 as double)) as bigint)" +
+          " * (100 - cast(floor(l_discount * cast(100 as double) + cast(0.5 as double)) as bigint))" +
+          " as double) / 10000").as("disc_price"),
         expr("l_quantity * 2").as("qty2"),
       ).orderBy("l_orderkey", "l_linenumber", "disc_price", "qty2")
     },

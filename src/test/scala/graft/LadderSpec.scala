@@ -213,13 +213,20 @@ class LadderSpec extends AnyFunSuite {
     // ExactRatio.scala itself — cannot evade the census; only the
     // definition site (`def applysparkdomain`) is excluded, by matching
     // the preceding `def` rather than skipping the whole file.
+    // ADVICE r20: listFiles is null on a missing/unreadable dir and the
+    // root is cwd-relative — fail with a readable assertion instead of an
+    // opaque NPE when the suite runs from an unexpected working directory
     def walk(dir: java.io.File): Seq[java.io.File] =
-      dir.listFiles.toSeq.flatMap { f =>
+      Option(dir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq.flatMap { f =>
         if (f.isDirectory) walk(f)
         else if (f.getName.endsWith(".scala")) Seq(f) else Nil
       }
+    val root = new java.io.File("src/main/scala")
+    assert(root.isDirectory,
+      s"census root ${root.getAbsolutePath} missing - the suite must run " +
+        "from the repo root for the applySparkDomain call-site census")
     val counts = (for {
-      f <- walk(new java.io.File("src/main/scala"))
+      f <- walk(root)
       t = joinedSource(f)
       n = callRe.findAllMatchIn(t).count { m =>
         "(^|[^a-z0-9_])def\\s*$".r.findFirstIn(t.take(m.start)).isEmpty

@@ -624,7 +624,15 @@ class PlansSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     "ingest_json" -> 1,
     // r20: RangePrefixSum re-plan - the final plan rides the prefix-sum
     // RDD (the parts_abc class); the events scans feed the pinned
-    // range-partitioned frame behind the RDD lineage
+    // range-partitioned frame behind the RDD lineage.
+    // KNOWN BLIND SPOT (ADVICE r20): 0 means this gate no longer
+    // observes the key's parquet reads at all - a regression that adds
+    // redundant events scans under the RDD lineage passes silently here.
+    // The shape itself stays gated (PlansSpec "interval_concurrency:
+    // running sum is range-partitioned, no window node") and the scan
+    // behavior is pinned inside RangePrefixSum (one repartitionByRange of
+    // the caller's frame, pinned, both passes read the pin); extending
+    // the census into pre-RDD lineage needs a builder-side plan capture.
     "interval_concurrency" -> 0,
     "interval_coverage" -> 1,
     "inverted_index" -> 1,
