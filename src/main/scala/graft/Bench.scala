@@ -231,8 +231,16 @@ object Bench {
     // "[info] " prefix (and possibly ANSI codes) a strict parser rejects.
     // Also drop the line in a file so the bench result survives any
     // stdout-decoration regardless of the launcher.
+    // VERDICT r21 item 1b: the stdout contract line only fits the slowest
+    // ~58 keys, which starved the driver's round-over-round diff (24
+    // phantom "dropped" + 20 phantom "new" keys in PERF_r21). Write the
+    // full-precision 220-key queries_full line to the file as well
+    // (additions-only: the stdout contract is byte-unchanged) so a
+    // complete per-key diff is always recoverable from the archive.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("target/bench_last.json"),
+      line + "\n" +
+        s"""{"metric":"queries_full","queries":$qsFull,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () } // best-effort; stdout stays the contract
     spark.stop()
   }
