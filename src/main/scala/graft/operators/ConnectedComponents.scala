@@ -207,17 +207,25 @@ object ConnectedComponents {
       nodes: DataFrame, edges: DataFrame): DataFrame = {
     val collected = edges.select(col("a"), col("b")).collect()
     val labelDf = labelFrame(spark, nodes.schema.fields.head, unionFind(collected))
-    attachLabels(nodes, labelDf, broadcastLabels = true)
+    // materialize = false (r22): labelDf is a driver-local LocalRelation,
+    // so the attach join's lineage (nodes scan + broadcast of literal
+    // rows) never reads a retirable cache — the consumer's own sink can
+    // populate the persisted frame without an extra count job here
+    attachLabels(nodes, labelDf, broadcastLabels = true, materialize = false)
   }
 
   /** Attach a (node, lbl) label frame to `nodes`; nodes the labels don't
     * cover (isolated vertices) label themselves — same semantics as the
-    * loop's self-loop rows. Result persisted + materialized per the
-    * operator's output contract (consumers must not recompute through
-    * the caller's possibly-retired lineage).
+    * loop's self-loop rows. Result persisted; `materialize` additionally
+    * counts it so consumers never recompute through the caller's
+    * possibly-retired lineage — REQUIRED when `labels` still reads a
+    * cache the caller is about to unpersist (alternatingStars' edge
+    * cache); skippable when `labels` is a driver-local literal
+    * (localSolve), where the lazy cache populates on the consumer's own
+    * first action instead of an extra count job (r22).
     */
   private def attachLabels(nodes: DataFrame, labels: DataFrame,
-      broadcastLabels: Boolean): DataFrame = {
+      broadcastLabels: Boolean, materialize: Boolean = true): DataFrame = {
     val l = labels.toDF("e_node", "e_lbl")
     // ensureCached: composed queries (dedup_retention then dedup_cluster)
     // re-derive the same label plan in one session — re-persisting an
@@ -226,7 +234,7 @@ object ConnectedComponents {
       .join(if (broadcastLabels) broadcast(l) else l,
         col("node") === col("e_node"), "left_outer")
       .select(col("node"), coalesce(col("e_lbl"), col("node")).as("lbl")))
-    out.count()
+    if (materialize) out.count()
     out
   }
 

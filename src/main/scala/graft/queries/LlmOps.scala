@@ -667,14 +667,32 @@ object LlmOps {
       var cent: Seq[(Long, Seq[Long])] = v.orderBy("vec_id").limit(4)
         .collect().toSeq.sortBy(_.getLong(0)).zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
-      def assignAgainst(c: Seq[(Long, Seq[Long])]) =
-        v.crossJoin(broadcast(c.toDF("c", "cv")))
-          .select(col("vec_id"), col("c"), expr(
-            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)")
-            .as("d2"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("c"))).as("m"))
-          .select(col("vec_id"), col("m.c").as("c"), col("m.d2").as("d2"))
+      // r22 (VERDICT r21 item 4, guide §2.4): the assignment used to
+      // crossJoin(broadcast(cent)) into |V|·k distance rows reduced by a
+      // groupBy(vec_id) argmin — one broadcast-build job plus a |V|·k
+      // exchange per round, and the centroid update then JOINED the
+      // assignment back to v (another exchange). The centroids are
+      // driver literals already, so the argmin needs no join and no
+      // shuffle at all: array_min over the k inline struct(d2, c) terms
+      // is the same lexicographic min(struct(d2, c)) — identical
+      // exact-integer distance arithmetic (same zip_with/aggregate
+      // fold), identical (d2, c) tie-break — evaluated map-side per
+      // vector. The assignment carries qv forward, so the update
+      // aggregates straight off it instead of re-joining v. Per round:
+      // 3 exchanges + broadcast build -> 1 exchange ((c, pos) mean).
+      // Jobs (tools/actioncount, local[32]/sf0.1): build 17 -> 4,
+      // run 5 -> 3; isolated timekey 2.55 -> 1.36 s (MlSpec re-derives
+      // the fit bit-exactly; oracle hash green at 3 SFs).
+      def assignAgainst(c: Seq[(Long, Seq[Long])]) = {
+        val structs = c.map { case (ci, cv) =>
+          val arr = cv.mkString("array(", "L,", "L)")
+          s"struct(aggregate(zip_with(qv, $arr, (a, b) -> (a - b) * (a - b)), " +
+            s"cast(0 as bigint), (acc, x) -> acc + x) AS d2, ${ci}L AS c)"
+        }.mkString(",")
+        v.select(col("vec_id"), col("qv"),
+            expr(s"array_min(array($structs))").as("m"))
+          .select(col("vec_id"), col("qv"), col("m.c").as("c"), col("m.d2").as("d2"))
+      }
       var asgn: org.apache.spark.sql.DataFrame = null
       for (k <- 1 to kmeansRounds) {
         asgn = assignAgainst(cent)
@@ -682,7 +700,7 @@ object LlmOps {
         // collect and the returned output plan — cache it so the
         // distance pass runs once, not twice
         if (k == kmeansRounds) asgn = graft.Caching.ensureCached(asgn)
-        val upd = v.join(asgn.select("vec_id", "c"), "vec_id")
+        val upd = asgn
           .select(col("c"), posexplode(col("qv")))
           .groupBy("c", "pos")
           .agg(expr("cast(sum(col) div count(*) as bigint)").as("cve"))
@@ -1300,7 +1318,11 @@ object LlmOps {
     * dedup_cluster reuses it — until the session owner's clearCache().
     */
   private def clusterLabels(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val jp = jaccardPairs(s, d) // persisted + materialized by contract
+    // persisted + materialized by contract; the materialization count IS
+    // the edge count (edges below is a 1:1 projection of jp), so it rides
+    // into ConnectedComponents' size bound instead of a second count job
+    // over the cached pair frame (r22; -1 on warm re-entry = count there)
+    val (jp, m) = jaccardPairsCounted(s, d)
     val edges = jp.select(col("da").as("a"), col("db").as("b"))
     // endpoints-only CC: the callers' left join + coalesce already makes
     // every non-participant doc its own singleton cluster, so the label
@@ -1309,7 +1331,7 @@ object LlmOps {
     // attachment join and no cache to materialize (r13: two fewer
     // shuffles + one fewer action per consumer under the driver bench's
     // per-action contention exposure)
-    graft.operators.ConnectedComponents.minLabelFromEdges(edges)
+    graft.operators.ConnectedComponents.minLabelFromEdges(edges, graphSizeHint = m)
       .withColumnRenamed("node", "p_id")
   }
 
@@ -1533,7 +1555,15 @@ object LlmOps {
     ()
   }
 
-  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def jaccardPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    jaccardPairsCounted(s, d)._1
+
+  /** [[jaccardPairs]] plus its materialized pair count (-1 on warm
+    * re-entry): `clusterLabels` feeds the count straight into
+    * ConnectedComponents' edge-count bound, saving the re-count job over
+    * the cached pair frame (r22). */
+  private[queries] def jaccardPairsCounted(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
     val (stats, grams) = pairStats(s, d)
     val jp = stats
       .filter(expr("cast(c as double) / (na + nb - c) >= 0.5"))
@@ -1542,6 +1572,6 @@ object LlmOps {
     // warm re-entry (graph_degree then dedup_ngram_jaccard in one session
     // builds the IDENTICAL plan) touches nothing; the RETURNED jp is the
     // caller's to retire (graft.Caching ownership contract)
-    graft.Caching.materializeRetiring(jp, grams)
+    graft.Caching.materializeRetiringCounted(jp, grams)
   }
 }
